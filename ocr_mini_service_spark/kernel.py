@@ -96,21 +96,21 @@ def det_id(*parts: Any) -> str:
     return hashlib.sha256("|".join(str(p) for p in parts).encode("utf-8")).hexdigest()[:16]
 
 
-def parse_tsv_words(tsv_content: str) -> list[dict]:
-    """Mirror of ocr.service.ts:263-293 + parse-tsv-output.function.ts:134-196,
-    minus the reading-order sort (applied separately so the relational Spark
-    path can interpose native operators).
+def parse_tsv_blocks(tsv_content: str) -> tuple[float, float, list[dict]]:
+    """Raw-block parse shared by the fused and relational Spark paths.
 
-    Returns word dicts with normalized coords, baseline, trimmed text, conf,
-    and the structural key (block/par/line/word numbers) for deterministic ids.
-    Raises ValueError where the reference throws (no page line -> caught by the
-    caller's error-isolation wrapper).
+    Mirror of ocr.service.ts:263-293 guards + parse-tsv-output.function.ts
+    :134-170 minus normalization/word-filter.  Returns
+    ``(page_w, page_h, rows)`` where rows keep raw pixel ints / raw conf and an
+    emission ordinal ``line_no`` (reading-order clustering is order-dependent,
+    so emission order is part of the contract).  Raises ValueError where the
+    reference throws (no page line -> caught by the error-isolation wrapper).
     """
     if tsv_content is None or len(tsv_content) == 0:
-        return []  # ocr.service.ts:271-274 empty file
+        return 0.0, 0.0, []  # ocr.service.ts:271-274 empty file
     lines = tsv_content.strip().split("\n")
     if len(lines) < 2:
-        return []  # ocr.service.ts:281-283
+        return 0.0, 0.0, []  # ocr.service.ts:281-283
     data_lines = lines[1:]  # skip header (parse-tsv-output.function.ts:139)
 
     # Page-dims lookup: FIRST line whose first character is '1'
@@ -125,29 +125,56 @@ def parse_tsv_words(tsv_content: str) -> list[dict]:
     else:
         page_w, page_h = 0.0, 0.0
 
-    words: list[dict] = []
-    for line in data_lines:
+    rows: list[dict] = []
+    for line_no, line in enumerate(data_lines):
         columns = line.split("\t")
         if len(columns) < 12:  # parse-tsv-output.function.ts:151-154
             continue
-        level = js_parse_int(columns[0])
-        text = columns[11]
+        rows.append(
+            {
+                "line_no": line_no,
+                "level": js_parse_int(columns[0]),
+                "page_num": js_parse_int(columns[1]),
+                "block_num": js_parse_int(columns[2]),
+                "par_num": js_parse_int(columns[3]),
+                "line_num": js_parse_int(columns[4]),
+                "word_num": js_parse_int(columns[5]),
+                "left_px": js_parse_int(columns[6]),
+                "top_px": js_parse_int(columns[7]),
+                "width_px": js_parse_int(columns[8]),
+                "height_px": js_parse_int(columns[9]),
+                "conf_raw": js_parse_int(columns[10]),
+                "text": columns[11],
+            }
+        )
+    return page_w, page_h, rows
+
+
+def parse_tsv_words(tsv_content: str) -> list[dict]:
+    """Word-level parse — parse-tsv-output.function.ts:134-196 minus the
+    reading-order sort (applied separately so the relational path can
+    interpose native operators): normalize coords by page dims, conf/100,
+    keep level-5 non-blank rows, compute baseline."""
+    page_w, page_h, rows = parse_tsv_blocks(tsv_content)
+    words: list[dict] = []
+    for r in rows:
+        text = r["text"]
         # level-5 + non-blank filter (parse-tsv-output.function.ts:173)
-        if level == 5 and text.strip():
-            top = js_div(js_parse_int(columns[7]), page_h)
-            height = js_div(js_parse_int(columns[9]), page_h)
+        if r["level"] == 5 and text.strip():
+            top = js_div(r["top_px"], page_h)
+            height = js_div(r["height_px"], page_h)
             t = text.strip()
             words.append(
                 {
-                    "block_num": int(js_parse_int(columns[2])),
-                    "par_num": int(js_parse_int(columns[3])),
-                    "line_num": int(js_parse_int(columns[4])),
-                    "word_num": int(js_parse_int(columns[5])),
-                    "left": js_div(js_parse_int(columns[6]), page_w),
+                    "block_num": int(r["block_num"]),
+                    "par_num": int(r["par_num"]),
+                    "line_num": int(r["line_num"]),
+                    "word_num": int(r["word_num"]),
+                    "left": js_div(r["left_px"], page_w),
                     "top": top,
-                    "width": js_div(js_parse_int(columns[8]), page_w),
+                    "width": js_div(r["width_px"], page_w),
                     "height": height,
-                    "conf": js_parse_int(columns[10]) / 100.0,
+                    "conf": r["conf_raw"] / 100.0,
                     "text": t,
                     "baseline": calculate_baseline(t, top, height),
                 }

@@ -1,0 +1,138 @@
+"""Resumable per-partition commit manifest — the Spark re-expression of the
+reference's ``JobStatus`` map (/root/reference/src/types/return-strategy.types.ts:9-17,
+src/ocr/image-recognition.service.ts:25, 61-67, 189-214): one row per
+partition-bucket with status, extraction metrics (blocks kept/dropped, error
+counts — service.ts:184-186) and commit lineage, enabling idempotent resume.
+
+Layout (parquet emulation of an Iceberg snapshot — an Iceberg catalog slots in
+behind the same two functions when its runtime jar is on the cluster):
+
+    <output>/bucket=<k>/part-*.parquet     data, one bucket per task
+    <output>/_manifest/part-*.parquet      append-only manifest rows
+
+Partitioning strategy (north rule): bucket = pmod(xxhash64(conv_id, salt), N)
+with salt = pmod(xxhash64(turn_idx), S).  Hashing conv_id keeps a
+conversation's turns in at most S buckets (mostly co-located) while the salt
+bounds the skew of pathologically long conversations — a 10^6-turn
+conversation spreads over S tasks instead of serializing one (SURVEY.md §4.2).
+
+Crash atomicity: data files are committed by Spark's parquet commit protocol;
+manifest rows are appended only AFTER the data write returns, and metrics are
+aggregated from the committed files themselves (read-back), so a manifest row
+is always backed by data.  A crash between data and manifest re-runs that
+bucket; dynamic partition overwrite makes the re-run idempotent (no
+duplicates).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import extract_fused
+from .schema import TRANSCRIPTS
+
+SALT_FACTOR = 8
+
+
+def bucket_expr(n_buckets: int, salt_factor: int = SALT_FACTOR):
+    """Deterministic bucket assignment from (conv_id, turn_idx) — recomputable
+    on both the input and output side, so no column needs to survive the
+    extraction kernel."""
+    salt = F.pmod(F.xxhash64(F.col("turn_idx").cast("long")), F.lit(salt_factor))
+    return F.pmod(F.xxhash64(F.col("conv_id"), salt), F.lit(n_buckets)).cast("int")
+
+
+def read_manifest(spark: SparkSession, output: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(f"{output}/_manifest")
+    except Exception:
+        return None
+
+
+def committed_buckets(spark: SparkSession, output: str) -> set[int]:
+    m = read_manifest(spark, output)
+    if m is None:
+        return set()
+    rows = m.filter(F.col("status") == "completed").select("bucket").distinct().collect()
+    return {r["bucket"] for r in rows}
+
+
+def run_with_manifest(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    output: str,
+    n_buckets: int | None = None,
+    resume: bool = False,
+    salt_factor: int = SALT_FACTOR,
+) -> dict:
+    """Extract all not-yet-committed buckets in one Spark job; append manifest
+    rows per bucket after the data commit.  Returns run stats."""
+    if n_buckets is None:
+        n_buckets = 2 * spark.sparkContext.defaultParallelism
+
+    started_at = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+
+    df = transcripts.withColumn("bucket", bucket_expr(n_buckets, salt_factor))
+    skipped: set[int] = set()
+    if resume:
+        skipped = committed_buckets(spark, output)
+        if skipped:
+            df = df.filter(~F.col("bucket").isin(*[int(b) for b in skipped]))
+
+    # One shuffle on the small input side (raw turns), none on the fat output
+    # side: each task then owns whole buckets → one file per bucket via
+    # partitionBy, sorted by the stable turn order within each.
+    df = df.repartition(n_buckets, "bucket")
+    extracted = extract_fused(df).withColumn("bucket", bucket_expr(n_buckets, salt_factor))
+    (
+        extracted.sortWithinPartitions("bucket", "conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(output)
+    )
+
+    # Metrics from the committed files (lineage-true), column-pruned scan.
+    committed_at = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    back = spark.read.parquet(output)
+    if skipped:
+        back = back.filter(~F.col("bucket").isin(*[int(b) for b in skipped]))
+    metrics = (
+        back.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("n_blocks_kept").cast("long").alias("n_words_kept"),
+            F.sum("n_blocks_dropped").cast("long").alias("n_words_dropped"),
+            F.count("error").alias("n_errors"),
+        )
+        .select(
+            "bucket",
+            F.lit("completed").alias("status"),
+            "n_turns",
+            "n_words_kept",
+            "n_words_dropped",
+            "n_errors",
+            F.lit(None).cast("string").alias("error"),
+            F.lit(started_at).alias("started_at"),
+            F.lit(committed_at).alias("committed_at"),
+        )
+    )
+    metrics.write.mode("append").parquet(f"{output}/_manifest")
+
+    done = metrics.select("bucket").distinct().count()
+    n_turns = (
+        metrics.agg(F.sum("n_turns")).collect()[0][0] or 0
+    )
+    return {
+        "n_turns": int(n_turns),
+        "buckets_done": int(done),
+        "buckets_skipped": len(skipped),
+        "n_buckets": n_buckets,
+    }
+
+
+def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(TRANSCRIPTS).parquet(path)
