@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship: full extraction pipeline over transcripts constructed
+              natively from the sf0.001 documents table.
+``queries`` — one entry per implemented operator (SURVEY.md §2 driver-query
+              tags + the training-data-pipeline operators).
+``oracle_sql`` — DuckDB-equivalent ANSI SQL per query.  The extraction
+              oracles derive results INDEPENDENTLY of the engine kernel
+              (word-geometry arithmetic, not shared code).
 """
 
 from __future__ import annotations
@@ -13,26 +15,491 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ocr_mini_service_spark.kernel import DESCENDER_REGEX
+from ocr_mini_service_spark.operators import dedup, multimodal, similarity, text, tpch, transcribe
+from ocr_mini_service_spark.operators.dedup import BASE, MINHASH_AB, MOD
+from ocr_mini_service_spark.operators.text import BPE_ISH, DE_STOPWORDS, EN_STOPWORDS, FP_BASE, FP_MOD
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from ocr_mini_service_spark.pipeline import extract_fused, finalize
+
+    transcripts = transcribe.build_transcripts(spark, "/root/testdata/sf0.001")
+    return finalize(extract_fused(transcripts))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # extraction pipeline (real kernel vs independent SQL-arithmetic oracle)
+        "extract_fulltext": transcribe.extract_fulltext,
+        "extract_word_boxes": transcribe.extract_word_boxes,
+        "extract_metrics_by_source": transcribe.extract_metrics_by_source,
+        # relational operator inventory (SURVEY §2)
+        "q1_pricing_summary": tpch.q1_pricing_summary,
+        "broadcast_region_customers": tpch.broadcast_region_customers,
+        "anti_join_quiet_orders": tpch.anti_join_quiet_orders,
+        "overlap_anti_join_geometric": tpch.overlap_anti_join_geometric,
+        "rollup_lineitem": tpch.rollup_lineitem,
+        "ordered_agg_lineitems": tpch.ordered_agg_lineitems,
+        "window_rownum_orders": tpch.window_rownum_orders,
+        "session_gap_events": tpch.session_gap_events,
+        "topk_orders": tpch.topk_orders,
+        "min_by_supplier": tpch.min_by_supplier,
+        "union_by_name": tpch.union_by_name,
+        "scalar_sampler": tpch.scalar_sampler,
+        "from_json_events": tpch.from_json_events,
+        "unbase64_roundtrip": tpch.unbase64_roundtrip,
+        "hash_key_lineitem": tpch.hash_key_lineitem,
+        "baseline_conditional": tpch.baseline_conditional,
+        "join_two_branches": tpch.join_two_branches,
+        # text analysis
+        "lang_id": text.lang_id,
+        "quality_score": text.quality_score,
+        "token_count": text.token_count,
+        "doc_fingerprint": text.doc_fingerprint,
+        # dedup
+        "dedup_exact": dedup.dedup_exact,
+        "minhash_signatures": dedup.minhash_signatures,
+        "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "simhash_docs": dedup.simhash_docs,
+        # similarity search
+        "array_stats": similarity.array_stats,
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "ann_lsh_buckets": similarity.ann_lsh_buckets,
+        # multimodal plumbing (SQL-checkable half; decode stub is pytest-only)
+        "media_meta_sql": multimodal.media_meta_sql,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+# corpus-with-mutants (must mirror dedup._docs_with_mutants exactly)
+_CORPUS = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, substr(text, 13) AS text
+    FROM documents WHERE (doc_id + 1000000) % 3 = 1
+)"""
+
+# per-doc word shingles + rolling hash (mirrors dedup._shingles/_hash_one:
+# list_reduce starts with the first element, matching fold-from-0 because
+# 0*BASE + c1 = c1)
+_SHINGLE_HASHES = f"""
+shingled AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, greatest(len(ws) - 2, 0)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+           ) AS shingles
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM corpus)
+),
+hashed AS (
+    SELECT doc_id,
+           list_transform(
+               shingles,
+               s -> list_reduce(
+                   list_transform(generate_series(1, length(s)), i -> CAST(ascii(s[i]) AS BIGINT)),
+                   (acc, c) -> (acc * {BASE} + c) % {MOD}
+               )
+           ) AS sh
+    FROM shingled
+)"""
+
+# word geometry of the constructed transcripts (mirrors
+# transcribe.build_transcripts: first 40 whitespace-normalized words,
+# col=p%10, line=p//10, left=col*100, top=100+line*100, w=90, h=20,
+# conf=50+p%50, page 1000x1000; doc_id%5=0 carries a code rect y=[175,275]
+# that overlaps exactly line 1)
+_EXTRACT_WORDS = f"""
+ws AS (
+    SELECT doc_id,
+           list_slice(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), 1, 40) AS w
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) - 1 AS p FROM ws
+),
+geom AS (
+    SELECT doc_id, word, p,
+           p % 10 AS col, p // 10 AS line,
+           (p % 10) * 100 AS left_px, 100 + (p // 10) * 100 AS top_px,
+           50 + p % 50 AS conf_raw,
+           regexp_matches(lower(word), '{DESCENDER_REGEX}') AS has_desc
+    FROM pos WHERE word <> ''
+),
+kept AS (
+    SELECT * FROM geom
+    WHERE NOT (doc_id % 5 = 0 AND line = 1)
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # ---------------- extraction (independent arithmetic oracle) -------
+        "extract_fulltext": f"""
+WITH {_EXTRACT_WORDS},
+agg AS (
+    SELECT doc_id,
+           string_agg(word, ' ' ORDER BY line, CASE WHEN has_desc THEN 0 ELSE 1 END, col) AS extracted_text,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_total FROM geom GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.extracted_text, '') AS extracted_text,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(t.n_total, 0) - COALESCE(a.n_kept, 0) AS n_dropped
+FROM documents d
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+ORDER BY d.doc_id""",
+        "extract_word_boxes": f"""
+WITH {_EXTRACT_WORDS},
+ranked AS (
+    SELECT doc_id, word,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY line, CASE WHEN has_desc THEN 0 ELSE 1 END, col
+           ) - 1 AS INT) AS rank,
+           round(conf_raw / 100.0, 6) AS conf,
+           round(left_px / 1000.0, 6) AS "left",
+           round(top_px / 1000.0, 6) AS top,
+           round(90 / 1000.0, 6) AS width,
+           round(20 / 1000.0, 6) AS height,
+           round(top_px / 1000.0 + CASE WHEN has_desc
+                 THEN (20 / 1000.0) * 0.77 ELSE 20 / 1000.0 END, 6) AS baseline
+    FROM kept
+)
+SELECT doc_id, rank, word, conf, "left", top, width, height, baseline
+FROM ranked ORDER BY doc_id, rank""",
+        "extract_metrics_by_source": f"""
+WITH {_EXTRACT_WORDS},
+perdoc AS (
+    SELECT g.doc_id,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE NOT (g.doc_id % 5 = 0 AND g.line = 1)) AS n_kept
+    FROM geom g GROUP BY g.doc_id
+)
+SELECT d.source,
+       CAST(SUM(COALESCE(p.n_kept, 0)) AS BIGINT) AS total_kept,
+       CAST(SUM(COALESCE(p.n_total, 0) - COALESCE(p.n_kept, 0)) AS BIGINT) AS total_dropped,
+       CAST(SUM(CASE WHEN COALESCE(p.n_total, 0) > COALESCE(p.n_kept, 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pruned
+FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+GROUP BY d.source ORDER BY d.source""",
+        # ---------------- relational inventory -----------------------------
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+       round(AVG(l_quantity), 4) AS avg_qty,
+       round(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+        "broadcast_region_customers": """
+SELECT r_name, COUNT(*) AS n_customers,
+       round(CAST(SUM(c_acctbal) AS DOUBLE), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name""",
+        "anti_join_quiet_orders": """
+SELECT o_orderkey, o_totalprice FROM orders o
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY)
+ORDER BY o_orderkey""",
+        "overlap_anti_join_geometric": """
+WITH rect AS (
+    SELECT l_orderkey, l_linenumber, l_discount AS x, l_tax AS rw,
+           l_quantity / 100.0 AS y, CAST(0.2 AS DOUBLE) AS rh
+    FROM lineitem),
+code AS (
+    SELECT l_orderkey, l_tax AS cx, l_discount AS cw,
+           l_quantity / 150.0 AS cy, CAST(0.3 AS DOUBLE) AS ch
+    FROM lineitem WHERE l_extendedprice > 50000)
+SELECT r.l_orderkey, COUNT(*) AS n_kept
+FROM rect r
+WHERE NOT EXISTS (
+    SELECT 1 FROM code c
+    WHERE c.l_orderkey = r.l_orderkey
+      AND NOT (r.x + r.rw <= c.cx OR c.cx + c.cw <= r.x
+               OR r.y + r.rh <= c.cy OR c.cy + c.ch <= r.y))
+GROUP BY r.l_orderkey ORDER BY r.l_orderkey""",
+        "rollup_lineitem": """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       round(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(MIN(l_extendedprice), 2) AS min_price,
+       round(MAX(l_extendedprice), 2) AS max_price,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus""",
+        "ordered_agg_lineitems": """
+SELECT l_orderkey,
+       string_agg(CAST(l_linenumber AS VARCHAR), ' ' ORDER BY l_linenumber) AS line_seq,
+       CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_x100
+FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+        "window_rownum_orders": """
+SELECT o_custkey, o_orderkey, rn FROM (
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC
+           ) AS INT) AS rn
+    FROM orders) t
+WHERE rn <= 3 ORDER BY o_custkey, rn""",
+        "session_gap_events": """
+WITH flagged AS (
+    SELECT user_id, value, ts, event_id,
+           CASE WHEN CAST(epoch(ts) AS BIGINT)
+                     - LAG(CAST(epoch(ts) AS BIGINT)) OVER w > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, value,
+           CAST(SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+    FROM flagged)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100
+FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+        "topk_orders": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+        "min_by_supplier": """
+SELECT s_nationkey, s_name AS cheapest FROM (
+    SELECT s_nationkey, s_name,
+           ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                              ORDER BY s_acctbal, s_suppkey) AS rn
+    FROM supplier) t
+WHERE rn = 1 ORDER BY s_nationkey""",
+        "union_by_name": """
+WITH u AS (
+    SELECT doc_id AS id, 'doc' AS src, CAST(n_chars AS BIGINT) AS n FROM documents
+    UNION ALL
+    SELECT event_id AS id, 'event' AS src, NULL AS n FROM events)
+SELECT src, COUNT(*) AS n_rows, CAST(SUM(n) AS BIGINT) AS sum_n
+FROM u GROUP BY src ORDER BY src""",
+        "scalar_sampler": """
+SELECT doc_id,
+       CAST(length(lower(trim(text))) AS INT) AS len_lower,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(length(regexp_extract_all(text, 'the')) AS INT) AS n_the,
+       least(n_chars, 200) AS len_capped,
+       greatest(n_chars, 200) AS len_floor,
+       abs(n_chars - 300) AS len_dist,
+       concat_ws('|', lang, source) AS lang_src,
+       substr(text, 1, 16) AS prefix,
+       upper(lang) AS lang_upper,
+       CAST(starts_with(text, 'key') AS INT) AS starts_key
+FROM documents ORDER BY doc_id""",
+        "from_json_events": """
+SELECT event_id, k FROM (
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events) t
+WHERE k > 50 ORDER BY event_id""",
+        "unbase64_roundtrip": """
+SELECT doc_id,
+       CAST(octet_length(from_base64(to_base64(encode(text)))) AS INT) AS n_bytes
+FROM documents ORDER BY doc_id""",
+        "hash_key_lineitem": """
+SELECT l_orderkey, l_linenumber,
+       substr(sha256(concat_ws('|', CAST(l_orderkey AS VARCHAR),
+                               CAST(l_linenumber AS VARCHAR))), 1, 16) AS row_id
+FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+        "baseline_conditional": f"""
+SELECT doc_id,
+       CAST(regexp_matches(lower(text), '{DESCENDER_REGEX}') AS INT) AS has_desc,
+       round(CASE WHEN regexp_matches(lower(text), '{DESCENDER_REGEX}')
+                  THEN CAST(n_chars AS DOUBLE) * 0.77
+                  ELSE CAST(n_chars AS DOUBLE) END, 4) AS baseline_px
+FROM documents ORDER BY doc_id""",
+        "join_two_branches": """
+WITH a AS (SELECT user_id, COUNT(*) AS n_clicks FROM events
+           WHERE event_type = 'click' GROUP BY user_id),
+     b AS (SELECT user_id, COUNT(*) AS n_views FROM events
+           WHERE event_type = 'view' GROUP BY user_id)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(n_views, 0) AS n_views
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+ORDER BY user_id""",
+        # ---------------- text analysis ------------------------------------
+        "lang_id": f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(lower(text), '{EN_STOPWORDS}')) AS INT) AS en_hits,
+       CAST(length(regexp_extract_all(lower(text), '{DE_STOPWORDS}')) AS INT) AS de_hits,
+       CASE WHEN length(regexp_extract_all(lower(text), '{EN_STOPWORDS}'))
+                 >= length(regexp_extract_all(lower(text), '{DE_STOPWORDS}'))
+            THEN 'en' ELSE 'de' END AS lang_guess
+FROM documents ORDER BY doc_id""",
+        "quality_score": f"""
+WITH m AS (
+    SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n,
+           CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+           CAST(length(regexp_extract_all(lower(text), '{EN_STOPWORDS}')) AS DOUBLE) AS n_stop,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+    FROM documents)
+SELECT doc_id,
+       round(n_punct / n, 4) AS punct_ratio,
+       round(n_stop / n_tok, 4) AS stop_ratio,
+       round(0.4 * least(n / 400.0, 1.0)
+             + 0.3 * least(n_stop / n_tok * 4, 1.0)
+             + 0.3 * (1 - least(n_punct / n * 10, 1.0)), 4) AS quality
+FROM m ORDER BY doc_id""",
+        "token_count": f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
+       CAST(length(regexp_extract_all(text, '{BPE_ISH}')) AS INT) AS bpe_tokens
+FROM documents ORDER BY doc_id""",
+        "doc_fingerprint": f"""
+SELECT doc_id,
+       list_reduce(
+           list_transform(generate_series(1, length(text)),
+                          i -> CAST(ascii(text[i]) AS BIGINT)),
+           (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD}) AS fp
+FROM documents ORDER BY doc_id""",
+        # ---------------- dedup --------------------------------------------
+        "dedup_exact": """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY canonical_id""",
+        "minhash_signatures": f"""
+WITH {_CORPUS}, {_SHINGLE_HASHES}
+SELECT doc_id,
+       {", ".join(f"list_min(list_transform(sh, h -> (h * {a} + {b}) % {MOD})) AS m{i}" for i, (a, b) in enumerate(MINHASH_AB))}
+FROM hashed WHERE len(sh) > 0 ORDER BY doc_id""",
+        "lsh_candidate_pairs": f"""
+WITH {_CORPUS}, {_SHINGLE_HASHES},
+sigs AS (
+    SELECT doc_id,
+           {", ".join(f"list_min(list_transform(sh, h -> (h * {a} + {b}) % {MOD})) AS m{i}" for i, (a, b) in enumerate(MINHASH_AB))}
+    FROM hashed WHERE len(sh) > 0),
+bands AS (
+    SELECT doc_id, 0 AS band_id, m0 AS h1, m1 AS h2 FROM sigs
+    UNION ALL
+    SELECT doc_id, 1 AS band_id, m2 AS h1, m3 AS h2 FROM sigs)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band_id = r.band_id AND l.h1 = r.h1 AND l.h2 = r.h2 AND l.doc_id < r.doc_id
+ORDER BY doc_a, doc_b""",
+        "ngram_jaccard_pairs": f"""
+WITH {_CORPUS},
+shingled AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, greatest(len(ws) - 2, 0)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM corpus)),
+sh AS (
+    SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shingled),
+sh2 AS (SELECT doc_id, s FROM sh WHERE s <> ''),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.6
+ORDER BY doc_a, doc_b""",
+        "simhash_docs": f"""
+WITH {_CORPUS},
+shingled AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, greatest(len(ws) - 2, 0)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM corpus)),
+h AS (
+    SELECT doc_id,
+           list_reduce(
+               list_transform(generate_series(1, length(s)),
+                              i -> CAST(ascii(s[i]) AS BIGINT)),
+               (acc, c) -> (acc * {BASE} + c) % {MOD}) AS h
+    FROM (SELECT doc_id, unnest(shingles) AS s FROM shingled) t WHERE s <> ''),
+bits AS (
+    SELECT doc_id,
+           {", ".join(f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(16))}
+    FROM h GROUP BY doc_id)
+SELECT doc_id,
+       CAST({" + ".join(f"CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16))} AS BIGINT) AS simhash
+FROM bits ORDER BY doc_id""",
+        # ---------------- similarity ----------------------------------------
+        "array_stats": """
+SELECT vec_id,
+       CAST(list_min(embedding) AS DOUBLE) AS emb_min,
+       CAST(list_max(embedding) AS DOUBLE) AS emb_max,
+       CAST(len(embedding) AS INT) AS dim,
+       list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS qsum
+FROM embeddings ORDER BY vec_id""",
+        "ann_bruteforce_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_sum(list_transform(generate_series(1, len(q.qv)),
+                    i -> CAST(round(CAST(q.qv[i] AS DOUBLE) * 1000) AS BIGINT)
+                       * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS score
+    FROM embeddings e CROSS JOIN q
+    WHERE q.query_id <> e.vec_id)
+SELECT query_id, rank, neighbor_id, score FROM (
+    SELECT query_id, neighbor_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored) t
+WHERE rank <= 5 ORDER BY query_id, rank""",
+        "ann_lsh_buckets": """
+WITH planes AS (
+    SELECT vec_id, embedding,
+           CAST((CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+                 i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                    * (((i-1) * 17 + 3) % 97 - 48))) >= 0 THEN 1 ELSE 0 END)
+           + 2 * (CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+                 i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                    * (((i-1) * 29 + 11) % 97 - 48))) >= 0 THEN 1 ELSE 0 END)
+           + 4 * (CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+                 i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                    * (((i-1) * 41 + 23) % 97 - 48))) >= 0 THEN 1 ELSE 0 END)
+           + 8 * (CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+                 i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                    * (((i-1) * 53 + 31) % 97 - 48))) >= 0 THEN 1 ELSE 0 END) AS INT) AS bucket
+    FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM planes WHERE vec_id < 5),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           list_sum(list_transform(generate_series(1, len(q.qv)),
+                    i -> CAST(round(CAST(q.qv[i] AS DOUBLE) * 1000) AS BIGINT)
+                       * CAST(round(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS score
+    FROM planes c JOIN q ON c.bucket = q.bucket
+    WHERE q.query_id <> c.vec_id)
+SELECT query_id, rank, neighbor_id, score FROM (
+    SELECT query_id, neighbor_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored) t
+WHERE rank <= 5 ORDER BY query_id, rank""",
+        # ---------------- multimodal ----------------------------------------
+        "media_meta_sql": """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       substr(sha256(text), 1, 16) AS sha,
+       CAST(n_chars % 640 + 16 AS INT) AS declared_w,
+       CAST(n_chars % 480 + 16 AS INT) AS declared_h
+FROM documents ORDER BY media_id""",
+    }

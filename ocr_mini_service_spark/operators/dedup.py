@@ -1,0 +1,165 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.  All expressed with native Spark SQL functions
+(shingling, hashing, banding, self-joins) — deterministic arithmetic hashes so
+DuckDB oracles can reproduce every stage bit-for-bit.
+
+Scale notes: every stage is a narrow map or an equi-join on a hash key.
+Near-dup candidate generation goes through LSH band buckets (join key =
+(band_id, band_hash)) — never an all-pairs product; at 10^12 docs the band
+join shuffles only bucket-colliding pairs, and AQE's skew-join splitting
+handles hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+
+MOD = 1_000_000_007
+BASE = 31
+# 4 independent affine hashes (a*h+b) mod MOD for the minhash signature;
+# a*h < 1000 * 1e9+7 < 2^63 — no overflow wrap anywhere.
+MINHASH_AB = [(131, 7), (269, 89), (421, 241), (607, 389)]
+SHINGLE = 3
+
+
+def _hash_one(s):
+    """Rolling hash of one string column expression."""
+    chars = F.transform(F.sequence(F.lit(1), F.length(s)), lambda i: F.ascii(F.substring(s, i, 1)))
+    return F.aggregate(
+        chars, F.lit(0).cast("long"), lambda acc, c: F.pmod(acc * BASE + c, F.lit(MOD))
+    )
+
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: canonical = min doc_id per md5."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+        .orderBy("canonical_id")
+    )
+
+
+def _docs_with_mutants(spark: SparkSession, sf: str) -> DataFrame:
+    """documents ∪ deterministic near-duplicate mutants (first 12 chars
+    dropped, id+1_000_000) — guarantees the near-dup operators have real work
+    and real positives to find on the synthetic corpus."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    mutants = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.substring("text", 13, 1_000_000).alias("text"),
+    ).filter(F.col("doc_id") % 3 == 1)  # a third of docs get a mutant
+    return docs.unionByName(mutants)
+
+
+def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash: shingle → rolling hash → per-doc min under 4 affine hashes."""
+    corpus = _docs_with_mutants(spark, sf)
+    hashed = corpus.select(
+        "doc_id", F.transform(_shingles(), _hash_one).alias("sh")
+    ).filter(F.size("sh") > 0)
+    cols = [
+        F.array_min(
+            F.transform("sh", lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MOD)))
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return hashed.select("doc_id", *cols).orderBy("doc_id")
+
+
+def _shingles(text_col: str = "text"):
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (SHINGLE - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH banding: 2 bands × 2 rows; candidate pair ⇔ equal band
+    hash in ≥1 band.  Self-equi-join on (band_id, h1, h2) — bucket join, not
+    an all-pairs product."""
+    sigs = minhash_signatures(spark, sf)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"), F.col("m0").alias("h1"), F.col("m1").alias("h2")),
+                F.struct(F.lit(1).alias("band_id"), F.col("m2").alias("h1"), F.col("m3").alias("h2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.h1", "b.h2")
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.h1") == F.col("r.h1"))
+            & (F.col("l.h2") == F.col("r.h2"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram Jaccard near-dup: pairs sharing ≥1 distinct shingle, scored
+    |A∩B| / |A∪B|, kept at ≥ 0.6.  Intersection via exploded-shingle
+    equi-join (scalable formulation — pair generation bounded by shared
+    shingles, not |docs|²)."""
+    corpus = _docs_with_mutants(spark, sf)
+    sh = (
+        corpus.select("doc_id", F.explode(_shingles()).alias("s"))
+        .filter(F.col("s") != "")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash over shingle hashes: bit_j = sign(Σ ±1 by bit j of each
+    shingle hash); fingerprint = Σ 2^j over positive bits."""
+    corpus = _docs_with_mutants(spark, sf)
+    sh = corpus.select("doc_id", F.explode(_shingles()).alias("s")).filter(F.col("s") != "")
+    h = sh.select("doc_id", _hash_one(F.col("s")).alias("h"))
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(16)
+        ]
+    )
+    fp = None
+    for j in range(16):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc_id", fp.cast("long").alias("simhash")).orderBy("doc_id")

@@ -1,0 +1,317 @@
+"""Relational operator showcase queries over the driver testdata.
+
+Each function maps to a SURVEY.md §2 "driver query" tag and has a matching
+DuckDB oracle in ``__spark_entry__.oracle_sql()``.  Every computed column is
+aliased identically on both sides (the driver's value-hash compare sorts
+columns by name).  Reference cites are to /root/reference/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load
+
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """A2/A3-style grouped aggregation (grouped avg/count/sum; SURVEY §2.4).
+    Classic TPC-H Q1 shape: partial (map-side) aggregation + final merge is
+    free in Spark's hash aggregate."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def broadcast_region_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """J3 broadcast equi-join (page-dims enrichment analog,
+    parse-tsv-output.function.ts:144-167): tiny dims (region/nation) broadcast
+    to the fact side — no shuffle of the big table."""
+    region = load(spark, sf, "region")
+    nation = load(spark, sf, "nation")
+    cust = load(spark, sf, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def anti_join_quiet_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """J1-shaped anti-join: equi key + non-equi residual (the overlap
+    anti-join pattern, image-recognition.service.ts:252-276): orders with NO
+    lineitem shipped within 60 days of the order date."""
+    orders = load(spark, sf, "orders").alias("o")
+    li = load(spark, sf, "lineitem").alias("l")
+    cond = (F.col("l.l_orderkey") == F.col("o.o_orderkey")) & (
+        F.col("l.l_shipdate") < F.col("o.o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_anti")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def overlap_anti_join_geometric(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 literally: rectangles from lineitem rows (x=[l_discount,
+    l_discount+l_tax], y=[l_quantity/100, +0.2]) anti-joined against 'code'
+    rectangles derived from high-price rows of the same order; boundary touch
+    (<=) is NOT overlap (image-recognition.service.ts:285-302)."""
+    li = load(spark, sf, "lineitem")
+    rects = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_discount").alias("x"),
+        F.col("l_tax").alias("w"),
+        (F.col("l_quantity") / 100.0).alias("y"),
+        F.lit(0.2).alias("h"),
+    )
+    codes = li.filter(F.col("l_extendedprice") > 50000).select(
+        "l_orderkey",
+        F.col("l_tax").alias("cx"),
+        F.col("l_discount").alias("cw"),
+        (F.col("l_quantity") / 150.0).alias("cy"),
+        F.lit(0.3).alias("ch"),
+    )
+    w, c = rects.alias("w"), codes.alias("c")
+    no_overlap = (
+        (F.col("w.x") + F.col("w.w") <= F.col("c.cx"))
+        | (F.col("c.cx") + F.col("c.cw") <= F.col("w.x"))
+        | (F.col("w.y") + F.col("w.h") <= F.col("c.cy"))
+        | (F.col("c.cy") + F.col("c.ch") <= F.col("w.y"))
+    )
+    return (
+        w.join(c, (F.col("w.l_orderkey") == F.col("c.l_orderkey")) & ~no_overlap, "left_anti")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("l_orderkey")
+    )
+
+
+def rollup_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 hierarchy rollup (lines/paragraphs/blocks analog,
+    docs/api.md:147-159): multi-level grouping with min/max bbox-style
+    aggregates and grouping ids."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+def ordered_agg_lineitems(spark: SparkSession, sf: str) -> DataFrame:
+    """A5/W2 ordered aggregation (space-joined text in reading order,
+    example-ocr-response.json:3-4): explicit sort inside the aggregate —
+    collect_list order is never relied on (SURVEY §4.3)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+                " ",
+            ).alias("line_seq"),
+            # exact quantized sum (avg-of-doubles rounds differently across
+            # engines at .00005 boundaries; integer sums never do)
+            F.sum(F.round(F.col("l_discount") * 100).cast("long")).alias("sum_disc_x100"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+def window_rownum_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """W3 per-group numbering (word_num/line_num regeneration,
+    parse-tsv-output.function.ts:117-120): latest 3 orders per customer."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def session_gap_events(spark: SparkSession, sf: str) -> DataFrame:
+    """W1(b,c) machinery: lag + gap-flag + cumulative-sum sessionization over
+    events (the window half of reading-order clustering; the greedy half is
+    kernel-only, SURVEY §2.5 W1)."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    sess = ev.withColumn("new_sess", gap).withColumn(
+        "session_id", F.sum("new_sess").over(w)
+    )
+    # value quantized to exact integer cents: engine-order-independent sums
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_x100"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProject (result-slicing analog,
+    scripts/test/test-ocr.sh:175-190)."""
+    orders = load(spark, sf, "orders")
+    return orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).select(
+        "o_orderkey", "o_totalprice"
+    ).limit(10)
+
+
+def min_by_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 first/lookup aggregate (dataLines.find(level==1),
+    parse-tsv-output.function.ts:144): cheapest supplier per nation with a
+    deterministic (acctbal, suppkey) tiebreak."""
+    sup = load(spark, sf, "supplier")
+    return (
+        sup.groupBy("s_nationkey")
+        .agg(F.min_by("s_name", F.struct("s_acctbal", "s_suppkey")).alias("cheapest"))
+        .orderBy("s_nationkey")
+    )
+
+
+def union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.6 unionByName: text-branch and tool-branch rows landing in one typed
+    table (the words/codes combine re-modeled as a tagged union)."""
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"), F.lit("doc").alias("src"), F.col("n_chars").cast("long").alias("n")
+    )
+    ev = load(spark, sf, "events").select(
+        F.col("event_id").alias("id"), F.lit("event").alias("src")
+    )
+    u = docs.unionByName(ev, allowMissingColumns=True)
+    return (
+        u.groupBy("src")
+        .agg(F.count("*").alias("n_rows"), F.sum("n").alias("sum_n"))
+        .orderBy("src")
+    )
+
+
+def scalar_sampler(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 scalar-function surface over documents: split/lower/trim/regexp/
+    least/greatest/abs/concat_ws/length — the reference's complete scalar
+    vocabulary in one projection."""
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.length(F.lower(F.trim("text"))).alias("len_lower"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.regexp_count("text", F.lit("the")).alias("n_the"),
+        F.least("n_chars", F.lit(200)).alias("len_capped"),
+        F.greatest("n_chars", F.lit(200)).alias("len_floor"),
+        F.abs(F.col("n_chars") - 300).alias("len_dist"),
+        F.concat_ws("|", "lang", "source").alias("lang_src"),
+        F.substring("text", 1, 16).alias("prefix"),
+        F.upper("lang").alias("lang_upper"),
+        F.col("text").startswith("key").cast("int").alias("starts_key"),
+    ).orderBy("doc_id")
+
+
+def from_json_events(spark: SparkSession, sf: str) -> DataFrame:
+    """P12 JSON options parse (JSON.parse of the request body,
+    image-recognition.controller.ts:101-106) with explicit extraction —
+    no schema inference."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .filter(F.col("k") > 50)
+        .orderBy("event_id")
+    )
+
+
+def unbase64_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S2 base64 buffer ingest (Buffer.from(image,'base64'),
+    image-recognition.controller.ts:172): decode + byte length."""
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.unbase64(F.base64(F.encode("text", "utf-8")))).alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+def hash_key_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """P11 deterministic surrogate ids (nanoid replacement,
+    nanoid.function.ts:7-10): sha2 over a '|'-joined natural key."""
+    li = load(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.substring(
+            F.sha2(F.concat_ws("|", "l_orderkey", "l_linenumber"), 256), 1, 16
+        ).alias("row_id"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def baseline_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    """P7+P8 regex descender predicate + conditional baseline arithmetic
+    (parse-tsv-output.function.ts:66-90) over real text."""
+    from ..kernel import DESCENDER_REGEX
+
+    docs = load(spark, sf, "documents")
+    has_desc = F.lower(F.col("text")).rlike(DESCENDER_REGEX)
+    n = F.col("n_chars").cast("double")
+    return docs.select(
+        "doc_id",
+        has_desc.cast("int").alias("has_desc"),
+        F.round(F.when(has_desc, n * 0.77).otherwise(n), 4).alias("baseline_px"),
+    ).orderBy("doc_id")
+
+
+def join_two_branches(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 two-branch fan-out + recombine (Promise.all words/codes,
+    image-recognition.service.ts:164-182): two independent aggregates over the
+    same scan, recombined by full outer equi-join."""
+    ev = load(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.count("*").alias("n_clicks")
+    )
+    b = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.count("*").alias("n_views")
+    )
+    return (
+        a.join(b, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_views", F.lit(0)).alias("n_views"),
+        )
+        .orderBy("user_id")
+    )

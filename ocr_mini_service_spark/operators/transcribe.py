@@ -1,0 +1,133 @@
+"""Deterministic transcripts built natively from the documents table, and
+extraction queries whose results a DuckDB oracle can derive INDEPENDENTLY
+(without the shared kernel) — the strongest correctness evidence for the
+pipeline: the Spark side goes text → TSV → real extraction kernel → result,
+the oracle goes documents → word-geometry arithmetic → result, and the two
+must agree per turn.
+
+Construction (pure Catalyst expressions, no UDF):
+- take the first 40 whitespace-normalized words of each document
+- word p (0-based) sits at col=p%10, line=p//10:
+  left=col*100 px, top=100+line*100 px, width=90, height=20, conf=50+p%50
+  on a 1000×1000 page → TSV rows level=5 (+ one level-1 page row)
+- every 5th document gets a code rect x=[0,1000], y=[175,275] — it overlaps
+  exactly line 1 (top 200..220) with ≫ulp margins on every comparison, so the
+  oracle can decide overlap with integer logic (the reference's exact <=
+  boundary semantics, /root/reference/src/ocr/image-recognition.service.ts:295-299,
+  are pinned separately by tests/test_kernel.py and the conv_edge fixtures)
+
+Why the oracle is sound: height is constant (20 px) per word, so baselines
+take exactly two values per line (top+15.4 for descender words, top+20 —
+parse-tsv-output.function.ts:66-90), lines are 100 px apart (≫ the 0.0025
+tolerance), and words arrive in pos order — so the greedy clustering
+(parse-tsv-output.function.ts:208-250) provably reduces to
+ORDER BY (baseline, left), which SQL can compute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline import extract_fused
+from ..sources import load
+from ..synth import TSV_HEADER
+
+MAX_WORDS = 40
+PAGE = "1\t1\t0\t0\t0\t0\t0\t0\t1000\t1000\t-1\t"
+CODE_TOOL = (
+    '{"width": 1000, "height": 1000, "codes": [{"points": '
+    '[{"x": 0, "y": 175}, {"x": 1000, "y": 175}, {"x": 1000, "y": 275}, {"x": 0, "y": 275}], '
+    '"data": "synthetic", "typeName": "qr_code"}]}'
+)
+
+
+def build_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    """documents → transcripts(conv_id, turn_idx, role, text, tool, ts),
+    one turn per document, fully deterministic, all-native construction."""
+    docs = load(spark, sf, "documents")
+    words = F.slice(
+        F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " "), 1, MAX_WORDS
+    )
+    # (w, i) -> one level-5 TSV row; i is 0-based
+    rows = F.transform(
+        words,
+        lambda w, i: F.concat_ws(
+            "\t",
+            F.lit("5"),
+            F.lit("1"),
+            F.lit("0"),
+            F.lit("0"),
+            (i / 10).cast("int").cast("string"),
+            (i % 10).cast("string"),
+            ((i % 10) * 100).cast("string"),
+            (100 + (i / 10).cast("int") * 100).cast("string"),
+            F.lit("90"),
+            F.lit("20"),
+            (50 + i % 50).cast("string"),
+            w,
+        ),
+    )
+    tsv = F.concat_ws("\n", F.lit(TSV_HEADER), F.lit(PAGE), F.array_join(rows, "\n"))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        tsv.alias("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(CODE_TOOL)).otherwise(F.lit("")).alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+
+
+def extract_fulltext(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-turn extracted text + metrics through the REAL fused pipeline;
+    oracle derives the same independently (see module docstring)."""
+    ex = extract_fused(build_transcripts(spark, sf))
+    return ex.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "extracted_text",
+        F.col("n_blocks_kept").cast("bigint").alias("n_kept"),
+        F.col("n_blocks_dropped").cast("bigint").alias("n_dropped"),
+    ).orderBy("doc_id")
+
+
+def extract_word_boxes(spark: SparkSession, sf: str) -> DataFrame:
+    """Exploded kept words with normalized geometry (validates P3/P4/P7/P8
+    normalization + baseline math against independent SQL arithmetic)."""
+    ex = extract_fused(build_transcripts(spark, sf))
+    w = ex.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.posexplode("words").alias("rank", "w"),
+    )
+    return w.select(
+        "doc_id",
+        "rank",
+        F.col("w.text").alias("word"),
+        F.round("w.confidence", 6).alias("conf"),
+        F.round("w.left", 6).alias("left"),
+        F.round("w.top", 6).alias("top"),
+        F.round("w.width", 6).alias("width"),
+        F.round("w.height", 6).alias("height"),
+        F.round("w.baseline", 6).alias("baseline"),
+    ).orderBy("doc_id", "rank")
+
+
+def extract_metrics_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Pipeline output joined back to document dims + grouped metrics (A3:
+    kept/dropped counts, image-recognition.service.ts:184-186)."""
+    ex = extract_fused(build_transcripts(spark, sf)).select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "n_blocks_kept",
+        "n_blocks_dropped",
+    )
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    return (
+        ex.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_blocks_kept").cast("bigint").alias("total_kept"),
+            F.sum("n_blocks_dropped").cast("bigint").alias("total_dropped"),
+            F.sum((F.col("n_blocks_dropped") > 0).cast("int")).cast("bigint").alias("n_docs_pruned"),
+        )
+        .orderBy("source")
+    )
