@@ -22,7 +22,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
-BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "60000"))
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "150000"))
 DATA = os.environ.get("SPARK_GRAFT_BENCH_DATA", f"/tmp/spark_graft_bench/transcripts_{BENCH_TURNS}.parquet")
 OUT_BASE = "/tmp/spark_graft_bench/out"
 
@@ -37,7 +37,7 @@ def _extraction_run(master: str, out: str) -> tuple[float, int]:
         transcripts = load_transcripts(spark, DATA)
         transcripts.count()  # warm the scan metadata; measure compute, not listing
         t0 = time.time()
-        stats = run_with_manifest(spark, transcripts, out, n_buckets=None, resume=False)
+        stats = run_with_manifest(spark, transcripts, out, n_buckets=64, resume=False)
         dt = time.time() - t0
         return dt, stats["n_turns"]
     finally:

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from .pipeline import extract_fused
 from .schema import TRANSCRIPTS
 
-SALT_FACTOR = 8
+SALT_FACTOR = 32
 
 
 def bucket_expr(n_buckets: int, salt_factor: int = SALT_FACTOR):
@@ -122,13 +122,14 @@ def run_with_manifest(
     )
     metrics.write.mode("append").parquet(f"{output}/_manifest")
 
-    done = metrics.select("bucket").distinct().count()
-    n_turns = (
-        metrics.agg(F.sum("n_turns")).collect()[0][0] or 0
-    )
+    # one driver read of the (tiny) manifest delta — totals in Python, no
+    # extra Spark jobs
+    rows = spark.read.parquet(f"{output}/_manifest").filter(
+        F.col("committed_at") == F.lit(committed_at)
+    ).collect()
     return {
-        "n_turns": int(n_turns),
-        "buckets_done": int(done),
+        "n_turns": int(sum(r["n_turns"] for r in rows)),
+        "buckets_done": len({r["bucket"] for r in rows}),
         "buckets_skipped": len(skipped),
         "n_buckets": n_buckets,
     }

@@ -224,5 +224,9 @@ def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42, **kw) -> 
     if not os.path.exists(path):
         df = gen_transcripts(n_turns, seed=seed, **kw)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+        # small row groups → splittable scan: Spark parallelizes a single
+        # file across executors only at row-group granularity
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False), path, row_group_size=2048
+        )
     return path
