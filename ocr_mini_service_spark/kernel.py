@@ -52,7 +52,20 @@ DESCENDER_REGEX = "[gjpqyçģķļąęįųșț" "ŋɟʝɡɣʄȷ" ",;‚„¿" r"\
 
 def js_parse_int(s: str) -> float:
     """Semantics of JS ``parseInt(s)`` (radix 10): skip leading whitespace,
-    optional sign, consume decimal digits; NaN if none."""
+    optional sign, consume decimal digits; NaN if none.
+
+    Fast path: CPython's int() accepts exactly the sign+digits(+surrounding
+    whitespace) inputs on which it agrees with parseInt — except numeric
+    underscores ("1_0" → 10 vs parseInt 1), so those take the slow path."""
+    try:
+        if "_" not in s:
+            return float(int(s))
+    except ValueError:
+        pass
+    return _js_parse_int_slow(s)
+
+
+def _js_parse_int_slow(s: str) -> float:
     i, n = 0, len(s)
     while i < n and s[i] in " \t\n\r\v\f":
         i += 1
@@ -78,8 +91,9 @@ def js_div(a: float, b: float) -> float:
 
 
 def has_descenders(text: str) -> bool:
-    """parse-tsv-output.function.ts:78-81 — membership over lowercased chars."""
-    return any(c in DESCENDER_CHARS for c in text.lower())
+    """parse-tsv-output.function.ts:78-81 — membership over lowercased chars
+    (C-level set disjointness, not a Python-loop any())."""
+    return not DESCENDER_CHARS.isdisjoint(text.lower())
 
 
 def calculate_baseline(text: str, top: float, height: float) -> float:
@@ -93,7 +107,7 @@ def det_id(*parts: Any) -> str:
     """Deterministic surrogate for the reference's random nanoid
     (nanoid.function.ts:7-10): sha256 of '|'-joined parts, first 16 hex chars.
     Reproducible across engine / oracle / SQL (sha2(concat_ws('|', ...), 256))."""
-    return hashlib.sha256("|".join(str(p) for p in parts).encode("utf-8")).hexdigest()[:16]
+    return hashlib.sha256("|".join(map(str, parts)).encode("utf-8")).hexdigest()[:16]
 
 
 def parse_tsv_blocks(tsv_content: str) -> tuple[float, float, list[dict]]:
@@ -154,31 +168,57 @@ def parse_tsv_words(tsv_content: str) -> list[dict]:
     """Word-level parse — parse-tsv-output.function.ts:134-196 minus the
     reading-order sort (applied separately so the relational path can
     interpose native operators): normalize coords by page dims, conf/100,
-    keep level-5 non-blank rows, compute baseline."""
-    page_w, page_h, rows = parse_tsv_blocks(tsv_content)
+    keep level-5 non-blank rows, compute baseline.
+
+    Hot-path variant of ``parse_tsv_blocks`` + filter: numeric fields of
+    non-word rows are never observable in the output (the reference parses
+    then discards them), so only the level column is parsed before the
+    level-5/non-blank filter.  tests/test_pipeline.py pins equality between
+    this path, the blocks-based relational path, and the oracle."""
+    if tsv_content is None or len(tsv_content) == 0:
+        return []  # ocr.service.ts:271-274 empty file
+    lines = tsv_content.strip().split("\n")
+    if len(lines) < 2:
+        return []  # ocr.service.ts:281-283
+    data_lines = lines[1:]
+
+    page_line = next((x for x in data_lines if x[:1] == "1"), None)
+    if page_line is None:
+        raise ValueError("Failed to parse OCR results: no page line")
+    cols = page_line.split("\t")
+    if len(cols) == 12:
+        page_w, page_h = js_parse_int(cols[8]), js_parse_int(cols[9])
+    else:
+        page_w, page_h = 0.0, 0.0
+
     words: list[dict] = []
-    for r in rows:
-        text = r["text"]
-        # level-5 + non-blank filter (parse-tsv-output.function.ts:173)
-        if r["level"] == 5 and text.strip():
-            top = js_div(r["top_px"], page_h)
-            height = js_div(r["height_px"], page_h)
-            t = text.strip()
-            words.append(
-                {
-                    "block_num": int(r["block_num"]),
-                    "par_num": int(r["par_num"]),
-                    "line_num": int(r["line_num"]),
-                    "word_num": int(r["word_num"]),
-                    "left": js_div(r["left_px"], page_w),
-                    "top": top,
-                    "width": js_div(r["width_px"], page_w),
-                    "height": height,
-                    "conf": r["conf_raw"] / 100.0,
-                    "text": t,
-                    "baseline": calculate_baseline(t, top, height),
-                }
-            )
+    for line in data_lines:
+        columns = line.split("\t")
+        if len(columns) < 12:  # parse-tsv-output.function.ts:151-154
+            continue
+        if js_parse_int(columns[0]) != 5:
+            continue
+        text = columns[11]
+        t = text.strip()
+        if not t:  # level-5 + non-blank filter (:173)
+            continue
+        top = js_div(js_parse_int(columns[7]), page_h)
+        height = js_div(js_parse_int(columns[9]), page_h)
+        words.append(
+            {
+                "block_num": int(js_parse_int(columns[2])),
+                "par_num": int(js_parse_int(columns[3])),
+                "line_num": int(js_parse_int(columns[4])),
+                "word_num": int(js_parse_int(columns[5])),
+                "left": js_div(js_parse_int(columns[6]), page_w),
+                "top": top,
+                "width": js_div(js_parse_int(columns[8]), page_w),
+                "height": height,
+                "conf": js_parse_int(columns[10]) / 100.0,
+                "text": t,
+                "baseline": calculate_baseline(t, top, height),
+            }
+        )
     return words
 
 
@@ -193,19 +233,22 @@ def reading_order(words: list[dict]) -> list[dict]:
     """
     if not words:
         return words
-    groups: list[list[dict]] = []
+    # groups as (anchor_baseline, members) — anchor = FIRST member's baseline
+    groups: list[tuple[float, list[dict]]] = []
+    tol = BASELINE_TOLERANCE
     for w in words:
         wb = w["baseline"]
-        for g in groups:
-            if abs(wb - g[0]["baseline"]) <= BASELINE_TOLERANCE:
-                g.append(w)
+        for anchor, members in groups:
+            if abs(wb - anchor) <= tol:
+                members.append(w)
                 break
         else:
-            groups.append([w])
-    groups.sort(key=lambda g: sum(x["baseline"] for x in g) / len(g))
-    for g in groups:
+            groups.append((wb, [w]))
+    glist = [members for _, members in groups]
+    glist.sort(key=lambda g: sum(x["baseline"] for x in g) / len(g))
+    for g in glist:
         g.sort(key=lambda x: x["left"])
-    return [w for g in groups for w in g]
+    return [w for g in glist for w in g]
 
 
 def parse_codes(tool_json: str) -> list[dict]:
