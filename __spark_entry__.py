@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_key_lineitem": tpch.hash_key_lineitem,
         "baseline_conditional": tpch.baseline_conditional,
         "join_two_branches": tpch.join_two_branches,
+        "admission_filter": tpch.admission_filter,
+        "to_json_assembly": tpch.to_json_assembly,
         # text analysis
         "lang_id": text.lang_id,
         "quality_score": text.quality_score,
@@ -335,6 +337,18 @@ SELECT COALESCE(a.user_id, b.user_id) AS user_id,
        COALESCE(n_views, 0) AS n_views
 FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
 ORDER BY user_id""",
+        "admission_filter": """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE text IS NOT NULL AND length(text) <= 100000
+  AND lang IN ('en', 'de') AND starts_with(source, 'c') AND n_chars > 50
+ORDER BY doc_id""",
+        "to_json_assembly": """
+SELECT l_orderkey,
+       '{"order":' || l_orderkey || ',"lines":[' ||
+       array_to_string(lines, ',') || '],"n":' || len(lines) || '}' AS doc_json
+FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+      FROM lineitem GROUP BY l_orderkey) t
+ORDER BY l_orderkey""",
         # ---------------- text analysis ------------------------------------
         "lang_id": f"""
 SELECT doc_id,

@@ -84,7 +84,9 @@ def run_with_manifest(
 
     # One shuffle on the small input side (raw turns), none on the fat output
     # side: each task then owns whole buckets → one file per bucket via
-    # partitionBy, sorted by the stable turn order within each.
+    # partitionBy, sorted by the stable turn order within each (the explicit
+    # sort also declares the ordering the partitionBy writer needs, so the
+    # writer does not insert its own partition-column sort).
     df = df.repartition(n_buckets, "bucket")
     extracted = extract_fused(df).withColumn("bucket", bucket_expr(n_buckets, salt_factor))
     (
@@ -120,13 +122,12 @@ def run_with_manifest(
             F.lit(committed_at).alias("committed_at"),
         )
     )
-    metrics.write.mode("append").parquet(f"{output}/_manifest")
-
-    # one driver read of the (tiny) manifest delta — totals in Python, no
-    # extra Spark jobs
-    rows = spark.read.parquet(f"{output}/_manifest").filter(
-        F.col("committed_at") == F.lit(committed_at)
-    ).collect()
+    # collect the (tiny: one row per bucket) metrics once, then append them
+    # from the driver — one metrics job total, no re-read of the manifest
+    rows = metrics.collect()
+    spark.createDataFrame(rows, schema=metrics.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{output}/_manifest")
     return {
         "n_turns": int(sum(r["n_turns"] for r in rows)),
         "buckets_done": len({r["bucket"] for r in rows}),

@@ -315,3 +315,44 @@ def join_two_branches(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def admission_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P1 admission predicates (image-recognition.controller.ts:83-121): the
+    reject-chain (no file / wrong mimetype / oversized / invalid strategy)
+    re-expressed as one conjunctive validation filter — all predicates are
+    pushed to the parquet scan by Catalyst (PushedFilters)."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.filter(
+            F.col("text").isNotNull()
+            & (F.length("text") <= F.lit(100_000))
+            & F.col("lang").isin("en", "de")
+            & F.col("source").startswith("c")
+            & (F.col("n_chars") > F.lit(50))
+        )
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def to_json_assembly(spark: SparkSession, sf: str) -> DataFrame:
+    """S10 JSON document assembly (image-recognition.service.ts:179-182,
+    311): nested struct-of-arrays built with sorted collect_list, serialized
+    with to_json — the OcrProcessResult envelope shape."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_linenumber")).alias("lines"))
+        .select(
+            "l_orderkey",
+            F.to_json(
+                F.struct(
+                    F.col("l_orderkey").alias("order"),
+                    F.col("lines").alias("lines"),
+                    F.size("lines").alias("n"),
+                )
+            ).alias("doc_json"),
+        )
+        .orderBy("l_orderkey")
+    )

@@ -150,7 +150,8 @@ def _edge_turns() -> list[tuple[str, str]]:
 
 
 def gen_transcripts(n_turns: int, seed: int = 42, edge_cases: bool = True,
-                    long_conv_turns: int | None = None) -> pd.DataFrame:
+                    long_conv_turns: int | None = None,
+                    conv_prefix: str = "conv") -> pd.DataFrame:
     """Deterministic transcripts table. Conversation lengths are
     Zipf-distributed (most 2-20 turns, a few huge — FIXTURES.md §1); one
     pathologically long conversation covers skew/salting (edge 13)."""
@@ -180,7 +181,7 @@ def gen_transcripts(n_turns: int, seed: int = 42, edge_cases: bool = True,
         produced += s
 
     for size in sizes:
-        cid = f"conv_{conv_no:08d}"
+        cid = f"{conv_prefix}_{conv_no:08d}"
         conv_no += 1
         for t in range(size):
             text, pw, ph = _gen_turn_text(rng)
@@ -230,3 +231,44 @@ def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42, **kw) -> 
             pa.Table.from_pandas(df, preserve_index=False), path, row_group_size=2048
         )
     return path
+
+
+def _gen_chunk(args: tuple) -> str:
+    dirpath, idx, chunk_turns, seed = args
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = gen_transcripts(
+        chunk_turns,
+        seed=seed + idx,
+        edge_cases=(idx == 0),
+        long_conv_turns=(None if idx == 0 else 0),
+        conv_prefix=f"conv{idx:03d}",
+    )
+    out = f"{dirpath}/part-{idx:04d}.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), out,
+                   row_group_size=2048)
+    return out
+
+
+def write_transcripts_dataset(dirpath: str, n_turns: int, seed: int = 42,
+                              n_chunks: int | None = None) -> str:
+    """Parallel deterministic generation into a multi-file parquet dataset
+    (bench-scale inputs).  Each chunk is seeded by (seed + chunk index) with a
+    disjoint conv_id namespace, so the dataset is reproducible regardless of
+    worker scheduling; chunk 0 carries the edge-case turns and the
+    pathologically long skew conversation."""
+    import multiprocessing as mp
+    import os
+
+    if os.path.exists(f"{dirpath}/_SUCCESS_GEN"):
+        return dirpath
+    os.makedirs(dirpath, exist_ok=True)
+    if n_chunks is None:
+        n_chunks = max(1, min(16, (os.cpu_count() or 8) // 2))
+    chunk_turns = -(-n_turns // n_chunks)
+    with mp.get_context("spawn").Pool(n_chunks) as pool:
+        pool.map(_gen_chunk, [(dirpath, i, chunk_turns, seed) for i in range(n_chunks)])
+    with open(f"{dirpath}/_SUCCESS_GEN", "w") as f:
+        f.write(f"n_turns={n_turns} n_chunks={n_chunks} seed={seed}\n")
+    return dirpath
