@@ -27,14 +27,22 @@ duplicates).
 from __future__ import annotations
 
 import datetime
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .pipeline import extract_fused
-from .schema import TRANSCRIPTS
+from .schema import EXTRACTED, TRANSCRIPTS
 
 SALT_FACTOR = 32
+
+# extracted table + the hive partition column, for inference-free read-back
+from pyspark.sql.types import IntegerType, StructField, StructType  # noqa: E402
+
+_EXTRACTED_BUCKETED = StructType(
+    EXTRACTED.fields + [StructField("bucket", IntegerType(), True)]
+)
 
 
 def bucket_expr(n_buckets: int, salt_factor: int = SALT_FACTOR):
@@ -58,6 +66,35 @@ def committed_buckets(spark: SparkSession, output: str) -> set[int]:
         return set()
     rows = m.filter(F.col("status") == "completed").select("bucket").distinct().collect()
     return {r["bucket"] for r in rows}
+
+
+def _append_manifest(spark: SparkSession, output: str, rows, schema) -> None:
+    """Append the (one-row-per-bucket, already-collected) manifest delta.
+
+    The manifest is driver-sized by construction — one row per bucket — so a
+    local filesystem gets a direct pyarrow append (no Spark job for 64 rows);
+    remote filesystems (s3://, hdfs://) go through a single-partition Spark
+    write, which handles the object-store commit."""
+    path = f"{output}/_manifest"
+    if "://" in output and not output.startswith("file://"):
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        return
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    local = path[len("file://"):] if path.startswith("file://") else path
+    os.makedirs(local, exist_ok=True)
+    arrow_schema = pa.schema(
+        [pa.field(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
+    )
+    table = pa.Table.from_pylist([r.asDict() for r in rows], schema=arrow_schema)
+    pq.write_table(table, f"{local}/part-{uuid.uuid4().hex}.parquet")
 
 
 def run_with_manifest(
@@ -87,19 +124,36 @@ def run_with_manifest(
     # partitionBy, sorted by the stable turn order within each (the explicit
     # sort also declares the ordering the partitionBy writer needs, so the
     # writer does not insert its own partition-column sort).
+    t0 = time.time()
     df = df.repartition(n_buckets, "bucket")
     extracted = extract_fused(df).withColumn("bucket", bucket_expr(n_buckets, salt_factor))
+    # task-side observed metrics riding the write action (zero extra jobs) —
+    # the analog of the reference's SSE progress events
+    # (image-recognition.service.ts:310-312; SURVEY.md §2.1 S7 / §2.4 A3)
+    from pyspark.sql import Observation
+
+    obs = Observation("extract")
+    observed = extracted.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("n_blocks_kept").alias("n_words_kept"),
+        F.sum("n_blocks_dropped").alias("n_words_dropped"),
+        F.count("error").alias("n_errors"),
+    )
     (
-        extracted.sortWithinPartitions("bucket", "conv_id", "turn_idx")
+        observed.sortWithinPartitions("bucket", "conv_id", "turn_idx")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(output)
     )
+    observed_metrics = obs.get
+    t_write = time.time() - t0
 
     # Metrics from the committed files (lineage-true), column-pruned scan.
     committed_at = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
-    back = spark.read.parquet(output)
+    t0 = time.time()
+    back = spark.read.schema(_EXTRACTED_BUCKETED).parquet(output)
     if skipped:
         back = back.filter(~F.col("bucket").isin(*[int(b) for b in skipped]))
     metrics = (
@@ -125,14 +179,18 @@ def run_with_manifest(
     # collect the (tiny: one row per bucket) metrics once, then append them
     # from the driver — one metrics job total, no re-read of the manifest
     rows = metrics.collect()
-    spark.createDataFrame(rows, schema=metrics.schema).coalesce(1).write.mode(
-        "append"
-    ).parquet(f"{output}/_manifest")
+    t_metrics = time.time() - t0
+    t0 = time.time()
+    _append_manifest(spark, output, rows, metrics.schema)
     return {
         "n_turns": int(sum(r["n_turns"] for r in rows)),
         "buckets_done": len({r["bucket"] for r in rows}),
         "buckets_skipped": len(skipped),
         "n_buckets": n_buckets,
+        "t_write": round(t_write, 2),
+        "t_metrics": round(t_metrics, 2),
+        "t_manifest": round(time.time() - t0, 2),
+        "observed": observed_metrics,
     }
 
 

@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="generate a deterministic synthetic input of N turns at --input first")
     p.add_argument("--resume", action="store_true",
                    help="skip buckets already committed in the output manifest")
+    p.add_argument("--hierarchy", action="store_true",
+                   help="also write the lines/paragraphs/blocks rollup table "
+                        "to <output>_hierarchy (docs/api.md:147-159 model)")
     args = p.parse_args(argv)
 
     from ocr_mini_service_spark.session import get_spark
@@ -51,6 +54,13 @@ def main(argv: list[str] | None = None) -> int:
     stats = run_with_manifest(
         spark, transcripts, args.output, n_buckets=args.buckets, resume=args.resume
     )
+
+    if args.hierarchy:
+        from ocr_mini_service_spark.hierarchy import extract_hierarchy
+
+        extract_hierarchy(transcripts).write.mode("overwrite").parquet(
+            f"{args.output}_hierarchy"
+        )
 
     wall = time.time() - t0
     n = stats["n_turns"]

@@ -1,0 +1,125 @@
+"""extract_hierarchy vs a serial oracle built directly on
+kernel.parse_tsv_blocks — pins the documented block→paragraph→line→word
+linkage model (docs/api.md:147-159; OCRHierarchyElement)."""
+
+import pytest
+
+from ocr_mini_service_spark import kernel
+from ocr_mini_service_spark.hierarchy import extract_hierarchy
+from ocr_mini_service_spark.synth import gen_transcripts
+
+_LEVELS = [
+    ("block", 2, ("block_num",), "paragraph"),
+    ("paragraph", 3, ("block_num", "par_num"), "line"),
+    ("line", 4, ("block_num", "par_num", "line_num"), "word"),
+]
+
+
+def _oracle_turn(conv_id: str, turn_idx: int, text: str) -> dict:
+    empty = {"blocks": [], "paragraphs": [], "lines": []}
+    try:
+        pw, ph, rows = kernel.parse_tsv_blocks(text)
+    except Exception:
+        return empty
+    if not rows:
+        return empty
+
+    def keyed(r, keys):
+        return tuple(int(r[k]) for k in keys)
+
+    words = [r for r in rows if int(r["level"]) == 5 and r["text"].strip()]
+    word_ids = {}
+    for r in words:
+        k = (int(r["block_num"]), int(r["par_num"]), int(r["line_num"]))
+        word_ids.setdefault(k, []).append(
+            (r["line_no"], kernel.det_id(conv_id, turn_idx, int(r["block_num"]),
+                                         int(r["par_num"]), int(r["line_num"]),
+                                         int(r["word_num"])))
+        )
+
+    out = {}
+    level_ids: dict[str, dict[tuple, list]] = {"word": {k: v for k, v in word_ids.items()}}
+    for kind, lvl, keys, _ in _LEVELS:
+        level_ids[kind] = {}
+        for r in rows:
+            if int(r["level"]) != lvl:
+                continue
+            k = keyed(r, keys)
+            level_ids[kind].setdefault(k, []).append(
+                (r["line_no"], kernel.det_id(conv_id, turn_idx, kind, *k))
+            )
+    for kind, lvl, keys, child_kind in _LEVELS:
+        elems = []
+        for r in rows:
+            if int(r["level"]) != lvl:
+                continue
+            k = keyed(r, keys)
+            kids = []
+            for ck, entries in level_ids[child_kind].items():
+                if ck[: len(k)] == k:
+                    kids.extend(entries)
+            kids.sort()
+            elems.append(
+                (
+                    r["line_no"],
+                    {
+                        "id": kernel.det_id(conv_id, turn_idx, kind, *k),
+                        "left": r["left_px"] / pw,
+                        "top": r["top_px"] / ph,
+                        "width": r["width_px"] / pw,
+                        "height": r["height_px"] / ph,
+                        "child_ids": [i for _, i in kids],
+                    },
+                )
+            )
+        elems.sort(key=lambda e: e[0])
+        out[kind + "s"] = [e for _, e in elems]
+    return {"blocks": out["blocks"], "paragraphs": out["paragraphs"],
+            "lines": out["lines"]}
+
+
+@pytest.mark.parametrize("n_turns", [300])
+def test_hierarchy_matches_oracle(spark, n_turns):
+    pdf = gen_transcripts(n_turns)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in extract_hierarchy(spark.createDataFrame(pdf)).collect()
+    }
+    assert len(got) == len(pdf)
+    checked_nonempty = 0
+    for rec in pdf.itertuples():
+        want = _oracle_turn(rec.conv_id, int(rec.turn_idx), rec.text)
+        have = got[(rec.conv_id, int(rec.turn_idx))]
+        for col in ("blocks", "paragraphs", "lines"):
+            h = [row.asDict(recursive=True) for row in have[col]]
+            w = want[col]
+            assert len(h) == len(w), (rec.conv_id, rec.turn_idx, col)
+            for he, we in zip(h, w):
+                assert he["id"] == we["id"], (rec.conv_id, rec.turn_idx, col)
+                assert he["child_ids"] == we["child_ids"], (rec.conv_id, rec.turn_idx, col)
+                for f in ("left", "top", "width", "height"):
+                    assert repr(he[f]) == repr(we[f]), (rec.conv_id, rec.turn_idx, col, f)
+            if w:
+                checked_nonempty += 1
+    assert checked_nonempty > 100  # the corpus genuinely exercises the rollup
+
+
+def test_hierarchy_links_into_extracted_words(spark):
+    """Cross-linkage: line child_ids use the extraction kernel's word-id
+    recipe, so every extracted word id appears in exactly one line."""
+    from ocr_mini_service_spark.pipeline import extract_fused
+
+    pdf = gen_transcripts(60, edge_cases=False)
+    sdf = spark.createDataFrame(pdf)
+    words = {
+        w["word_id"]
+        for r in extract_fused(sdf).collect()
+        for w in r["words"]
+    }
+    line_children = {
+        cid
+        for r in extract_hierarchy(sdf).collect()
+        for ln in r["lines"]
+        for cid in ln["child_ids"]
+    }
+    assert words <= line_children

@@ -1,0 +1,74 @@
+"""Physical-plan assertions — the scale-design claims (SURVEY.md §4.2) hold
+in the actual Catalyst output, not just in prose."""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+from ocr_mini_service_spark.manifest import bucket_expr
+from ocr_mini_service_spark.pipeline import extract_fused
+from ocr_mini_service_spark.plans import formatted_plan
+from ocr_mini_service_spark.synth import gen_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return spark.createDataFrame(gen_transcripts(200))
+
+
+def test_fused_hot_path_has_no_exchange(spark, transcripts):
+    plan = formatted_plan(extract_fused(transcripts))
+    assert "Exchange" not in plan, plan
+
+
+def test_batch_job_has_exactly_one_exchange(spark, transcripts):
+    job = extract_fused(
+        transcripts.withColumn("bucket", bucket_expr(64)).repartition(64, "bucket")
+    ).withColumn("bucket", bucket_expr(64)).sortWithinPartitions(
+        "bucket", "conv_id", "turn_idx"
+    )
+    plan = formatted_plan(job)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_admission_filter_pushes_predicates_and_prunes_columns(spark, sf_dir):
+    plan = formatted_plan(entry.queries()["admission_filter"](spark, sf_dir))
+    m = re.search(r"PushedFilters: (.*)", plan)
+    assert m and "IsNotNull" in m.group(1), plan
+    assert "GreaterThan(n_chars,50)" in m.group(1), plan
+    assert "StringStartsWith(source,c)" in m.group(1), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "text" in m.group(1), plan  # length(text) needs the column
+    # the scan does not read the full 5-column table for its own sake: every
+    # read column is used (doc_id, lang, source, n_chars projected; text filtered)
+    assert set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id", "text", "lang", "source", "n_chars"
+    }, plan
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = formatted_plan(entry.queries()["broadcast_region_customers"](spark, sf_dir))
+    # "(n) BroadcastHashJoin" = one tree node (names repeat in the details)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_overlap_anti_join_is_left_anti(spark, sf_dir):
+    plan = formatted_plan(entry.queries()["overlap_anti_join_geometric"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = formatted_plan(entry.queries()["topk_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q1_filter_pushdown_and_codegen(spark, sf_dir):
+    df = entry.queries()["q1_pricing_summary"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "IsNotNull(l_shipdate)" in plan, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan  # partial + final
+    # codegen spans live in the codegen explain mode (formatted mode under AQE
+    # prints isFinalPlan=false without codegen ids)
+    assert "WholeStageCodegen" in formatted_plan(df, mode="codegen")
