@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_stats": similarity.array_stats,
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
+        "embedding_cosine_dups": similarity.embedding_cosine_dups,
         # multimodal plumbing (SQL-checkable half; decode stub is pytest-only)
         "media_meta_sql": multimodal.media_meta_sql,
     }
@@ -507,6 +508,45 @@ SELECT query_id, rank, neighbor_id, score FROM (
                 ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
     FROM scored) t
 WHERE rank <= 5 ORDER BY query_id, rank""",
+        "embedding_cosine_dups": """
+WITH corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(generate_series(1, len(embedding)),
+                          i -> CAST(embedding[i] AS DOUBLE)
+                               + CASE WHEN i = 1 THEN 0.01 ELSE 0 END) AS embedding
+    FROM embeddings WHERE vec_id % 3 = 1
+),
+tagged AS (
+    SELECT vec_id, embedding,
+           CAST((CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+                 i -> CAST(round(embedding[i] * 1000) AS BIGINT)
+                    * (((i-1) * 17 + 3) % 97 - 48))) >= 0 THEN 1 ELSE 0 END)
+           + 2 * (CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+                 i -> CAST(round(embedding[i] * 1000) AS BIGINT)
+                    * (((i-1) * 29 + 11) % 97 - 48))) >= 0 THEN 1 ELSE 0 END)
+           + 4 * (CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+                 i -> CAST(round(embedding[i] * 1000) AS BIGINT)
+                    * (((i-1) * 41 + 23) % 97 - 48))) >= 0 THEN 1 ELSE 0 END)
+           + 8 * (CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+                 i -> CAST(round(embedding[i] * 1000) AS BIGINT)
+                    * (((i-1) * 53 + 31) % 97 - 48))) >= 0 THEN 1 ELSE 0 END) AS INT) AS bucket,
+           list_sum(list_transform(generate_series(1, len(embedding)),
+                    i -> CAST(round(embedding[i] * 1000) AS BIGINT)
+                       * CAST(round(embedding[i] * 1000) AS BIGINT))) AS n2
+    FROM corpus
+)
+SELECT vec_a, vec_b, cosine FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                 i -> CAST(round(a.embedding[i] * 1000) AS BIGINT)
+                    * CAST(round(b.embedding[i] * 1000) AS BIGINT)))
+                 / (sqrt(a.n2) * sqrt(b.n2)), 4) AS cosine
+    FROM tagged a JOIN tagged b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+WHERE cosine >= 0.99 ORDER BY vec_a, vec_b""",
         # ---------------- multimodal ----------------------------------------
         "media_meta_sql": """
 SELECT doc_id AS media_id,

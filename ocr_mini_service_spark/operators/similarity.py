@@ -117,3 +117,76 @@ def array_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         qsum.alias("qsum"),
     ).orderBy("vec_id")
+
+
+def _vecs_with_mutants(spark: SparkSession, sf: str) -> DataFrame:
+    """embeddings ∪ deterministic near-duplicate mutants (first component
+    nudged by +0.01, id offset 1_000_000) — guarantees real cosine-near-dup
+    positives on the synthetic corpus (mirrors dedup._docs_with_mutants)."""
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    mutants = emb.filter(F.col("vec_id") % 3 == 1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") + F.lit(0.01)).otherwise(
+                x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")).unionByName(mutants)
+
+
+def embedding_cosine_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (the training-pipeline dedup
+    modality): candidate pairs via sign-projection LSH buckets (never
+    all-pairs), scored by exact-integer quantized dot + norms, kept at
+    cosine ≥ 0.99.  LSH recall caveat applies by design — identical to the
+    production trade-off."""
+
+    def plane_dot(vec, p):
+        a, b = [(17, 3), (29, 11), (41, 23), (53, 31)][p]
+        prod = F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, i: F.round(x.cast("double") * 1000).cast("long")
+            * ((i * a + b) % 97 - 48),
+        )
+        return F.aggregate(prod, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    def bucket(vec):
+        bits = [F.when(plane_dot(vec, p) >= 0, F.lit(2**p)).otherwise(F.lit(0)) for p in range(4)]
+        out = bits[0]
+        for t in bits[1:]:
+            out = out + t
+        return out.cast("int")
+
+    qnorm = F.aggregate(
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    tagged = _vecs_with_mutants(spark, sf).select(
+        "vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"), qnorm.alias("n2")
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        _qdot(F.col("a.embedding"), F.col("b.embedding")).alias("dot"),
+        F.col("a.n2").alias("na2"),
+        F.col("b.n2").alias("nb2"),
+    )
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 4
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.99)
+        .transform(lambda df: ordered(df, "vec_a", "vec_b"))
+    )
