@@ -32,6 +32,10 @@ import os
 import shutil
 import time
 
+# 32 concurrent tasks writing nested parquet need heap headroom; the default
+# 8g driver heap (local mode = the whole JVM) GC-thrashes at local[32]
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
 BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "600000"))
@@ -98,6 +102,21 @@ def _session_runs(cores: int, n_timed: int) -> list[float]:
         spark.stop()
 
 
+def _paired_rounds(n_rounds: int = 3) -> tuple[list[float], list[float], list[float]]:
+    """Paired N/4N measurement: each round runs local[2] then local[8]
+    back-to-back so both sides see the same VM phase (this host's throughput
+    drifts ±3x on a minutes scale — unpaired maxima decorrelate and turn the
+    efficiency into a lottery).  Efficiency = median over round ratios / 4."""
+    thr2s, thr8s, ratios = [], [], []
+    for _ in range(n_rounds):
+        t2 = _session_runs(2, 1)[0]
+        t8 = _session_runs(8, 1)[0]
+        thr2s.append(t2)
+        thr8s.append(t8)
+        ratios.append(t8 / t2)
+    return thr2s, thr8s, ratios
+
+
 def main() -> None:
     from ocr_mini_service_spark.synth import write_transcripts_dataset
 
@@ -108,14 +127,14 @@ def main() -> None:
     busy_eff_2_8 = (busy[8] / busy[2]) / 4.0
     busy_eff_8_32 = (busy[32] / busy[8]) / 4.0
 
-    # ABBA around the headline pair, then the curve points
-    a1 = _session_runs(2, 2)
-    b = _session_runs(8, 3)
-    a2 = _session_runs(2, 2)
-    thr2, thr8 = max(a1 + a2), max(b)
+    # paired rounds for the headline pair, then the curve points
+    import statistics
+
+    thr2s, thr8s, ratios = _paired_rounds(3)
+    thr2, thr8 = max(thr2s), max(thr8s)
     thr16 = max(_session_runs(16, 2))
     thr32 = max(_session_runs(32, 2))
-    eff_2_8 = (thr8 / thr2) / 4.0
+    eff_2_8 = statistics.median(ratios) / 4.0
     eff_8_32 = (thr32 / thr8) / 4.0
 
     # --- driver queries at SF_DIR on local[CPUS] ---
@@ -141,6 +160,7 @@ def main() -> None:
         "bench_turns": BENCH_TURNS,
         "turns_per_sec": {"local2": round(thr2, 1), "local8": round(thr8, 1),
                           "local16": round(thr16, 1), "local32": round(thr32, 1)},
+        "paired_round_ratios_2_to_8": [round(r, 2) for r in ratios],
         "scaling_efficiency_2_to_8": round(eff_2_8, 3),
         "scaling_efficiency_8_to_32": round(eff_8_32, 3),
         "busyloop_ceiling_2_to_8": round(busy_eff_2_8, 3),
@@ -157,13 +177,14 @@ job — ``run_with_manifest`` (scan -> hash-bucket repartition with salt ->
 fused Arrow extraction kernel -> partitioned parquet commit + manifest) on
 the identical {BENCH_TURNS}-turn seeded input, fixed n_buckets={N_BUCKETS} —
 run at local[N] vs local[4N] on the 32-core build VM.  Protocol: per-session
-untimed warm-up job, ABBA-interleaved sessions for the headline pair,
-best-of-k (this VM drifts ±3x between back-to-back identical runs; see the
-busy-loop calibration).
+untimed warm-up job; the headline pair is measured in PAIRED rounds —
+local[2] then local[8] back-to-back per round so both sides see the same
+VM phase (this host drifts ±3x between identical back-to-back runs; see the
+busy-loop calibration) — efficiency = median over round ratios / 4.
 
-| pair | thr @ N (turns/s) | thr @ 4N (turns/s) | efficiency = (thr4N/thrN)/4 | busy-loop ceiling |
+| pair | thr @ N (turns/s) | thr @ 4N (turns/s) | efficiency | busy-loop ceiling |
 |---|---|---|---|---|
-| **N=2 -> 4N=8 (headline)** | {thr2:.0f} | {thr8:.0f} | **{eff_2_8:.3f}** | {busy_eff_2_8:.3f} |
+| **N=2 -> 4N=8 (headline)** | {thr2:.0f} | {thr8:.0f} | **{eff_2_8:.3f}** (median of paired ratios {", ".join(f"{r:.2f}" for r in ratios)}, /4) | {busy_eff_2_8:.3f} |
 | N=8 -> 4N=32 | {thr8:.0f} | {thr32:.0f} | {eff_8_32:.3f} | {busy_eff_8_32:.3f} |
 
 Full throughput curve: local[2] {thr2:.0f} / local[8] {thr8:.0f} /
