@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ocr_mini_service_spark.kernel import DESCENDER_REGEX
 from ocr_mini_service_spark.operators import dedup, multimodal, similarity, text, tpch, transcribe
 from ocr_mini_service_spark.operators.dedup import BASE, MINHASH_AB, MOD
+from ocr_mini_service_spark.operators.similarity import B_BANDS, K_CAP, R_BITS, plane_params
 from ocr_mini_service_spark.operators.text import BPE_ISH, DE_STOPWORDS, EN_STOPWORDS, FP_BASE, FP_MOD
 
 
@@ -113,6 +114,47 @@ hashed AS (
     FROM shingled
 )"""
 
+# ---- banded sign-LSH SQL generation (mirrors similarity._tag_bands:
+# plane p component i = ((i*a_p + b_p) mod 97) - 48, band t owns planes
+# [t*R_BITS, (t+1)*R_BITS), bucket id = Σ 2^j over non-negative plane dots) --
+
+
+def _sql_plane_dot(p: int, cast_double: bool) -> str:
+    a, b = plane_params(p)
+    x = "CAST(embedding[i] AS DOUBLE)" if cast_double else "embedding[i]"
+    return (
+        f"list_sum(list_transform(generate_series(1, len(embedding)), "
+        f"i -> CAST(round({x} * 1000) AS BIGINT) * (((i-1) * {a} + {b}) % 97 - 48)))"
+    )
+
+
+def _sql_band_bucket(t: int, cast_double: bool) -> str:
+    terms = [
+        f"{2**j} * (CASE WHEN {_sql_plane_dot(t * R_BITS + j, cast_double)} >= 0 "
+        f"THEN 1 ELSE 0 END)"
+        for j in range(R_BITS)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def _sql_bands_cte(source: str, cast_double: bool) -> str:
+    """tagged + unpivoted (vec_id, band, bucket) rows over ``source``."""
+    buckets = ",\n           ".join(
+        f"{_sql_band_bucket(t, cast_double)} AS b{t}" for t in range(B_BANDS)
+    )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {t} AS band, b{t} AS bucket FROM tagged_b"
+        for t in range(B_BANDS)
+    )
+    return f"""
+tagged_b AS (
+    SELECT vec_id,
+           {buckets}
+    FROM {source}),
+bands AS (
+    {unions})"""
+
+
 # word geometry of the constructed transcripts (mirrors
 # transcribe.build_transcripts: first 40 whitespace-normalized words,
 # col=p%10, line=p//10, left=col*100, top=100+line*100, w=90, h=20,
@@ -149,12 +191,17 @@ WITH {_EXTRACT_WORDS},
 agg AS (
     SELECT doc_id,
            string_agg(word, ' ' ORDER BY line, CASE WHEN has_desc THEN 0 ELSE 1 END, col) AS extracted_text,
+           -- doc confidence: quantized-integer mean of kept-word confidences
+           -- (conf/100 scale, quantum 1e-5) -> same two IEEE divisions as the
+           -- kernel's mean_confidence, bit-exact
+           (CAST(SUM(conf_raw) * 1000 AS BIGINT) / COUNT(*)) / 100000.0 AS confidence,
            COUNT(*) AS n_kept
     FROM kept GROUP BY doc_id
 ),
 tot AS (SELECT doc_id, COUNT(*) AS n_total FROM geom GROUP BY doc_id)
 SELECT d.doc_id,
        COALESCE(a.extracted_text, '') AS extracted_text,
+       a.confidence AS confidence,
        COALESCE(a.n_kept, 0) AS n_kept,
        COALESCE(t.n_total, 0) - COALESCE(a.n_kept, 0) AS n_dropped
 FROM documents d
@@ -404,9 +451,14 @@ sigs AS (
 bands AS (
     SELECT doc_id, 0 AS band_id, m0 AS h1, m1 AS h2 FROM sigs
     UNION ALL
-    SELECT doc_id, 1 AS band_id, m2 AS h1, m3 AS h2 FROM sigs)
+    SELECT doc_id, 1 AS band_id, m2 AS h1, m3 AS h2 FROM sigs),
+ranked AS (
+    SELECT doc_id, band_id, h1, h2,
+           ROW_NUMBER() OVER (PARTITION BY band_id, h1, h2 ORDER BY doc_id) AS rn
+    FROM bands),
+capped AS (SELECT doc_id, band_id, h1, h2 FROM ranked WHERE rn <= {dedup.DEDUP_CAP})
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM bands l JOIN bands r
+FROM capped l JOIN capped r
   ON l.band_id = r.band_id AND l.h1 = r.h1 AND l.h2 = r.h2 AND l.doc_id < r.doc_id
 ORDER BY doc_a, doc_b""",
         "ngram_jaccard_pairs": f"""
@@ -420,10 +472,14 @@ shingled AS (
 sh AS (
     SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shingled),
 sh2 AS (SELECT doc_id, s FROM sh WHERE s <> ''),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
+-- DF cutoff: shingles in > DF_MAX docs leave the representation entirely
+dfok AS (SELECT s FROM (SELECT s, COUNT(*) AS c FROM sh2 GROUP BY s) t
+         WHERE c <= {dedup.DF_MAX}),
+sh3 AS (SELECT doc_id, sh2.s FROM sh2 JOIN dfok ON sh2.s = dfok.s),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh3 GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-    FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+    FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id)
 SELECT doc_a, doc_b,
        round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
@@ -460,16 +516,16 @@ SELECT vec_id,
        CAST(list_min(embedding) AS DOUBLE) AS emb_min,
        CAST(list_max(embedding) AS DOUBLE) AS emb_max,
        CAST(len(embedding) AS INT) AS dim,
-       list_sum(list_transform(embedding,
-                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS qsum
+       CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS qsum
 FROM embeddings ORDER BY vec_id""",
         "ann_bruteforce_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
 scored AS (
     SELECT q.query_id, e.vec_id AS neighbor_id,
-           list_sum(list_transform(generate_series(1, len(q.qv)),
+           CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
                     i -> CAST(round(CAST(q.qv[i] AS DOUBLE) * 1000) AS BIGINT)
-                       * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS score
+                       * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS score
     FROM embeddings e CROSS JOIN q
     WHERE q.query_id <> e.vec_id)
 SELECT query_id, rank, neighbor_id, score FROM (
@@ -478,37 +534,28 @@ SELECT query_id, rank, neighbor_id, score FROM (
                 ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
     FROM scored) t
 WHERE rank <= 5 ORDER BY query_id, rank""",
-        "ann_lsh_buckets": """
-WITH planes AS (
-    SELECT vec_id, embedding,
-           CAST((CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
-                 i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-                    * (((i-1) * 17 + 3) % 97 - 48))) >= 0 THEN 1 ELSE 0 END)
-           + 2 * (CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
-                 i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-                    * (((i-1) * 29 + 11) % 97 - 48))) >= 0 THEN 1 ELSE 0 END)
-           + 4 * (CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
-                 i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-                    * (((i-1) * 41 + 23) % 97 - 48))) >= 0 THEN 1 ELSE 0 END)
-           + 8 * (CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
-                 i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-                    * (((i-1) * 53 + 31) % 97 - 48))) >= 0 THEN 1 ELSE 0 END) AS INT) AS bucket
-    FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM planes WHERE vec_id < 5),
+        "ann_lsh_buckets": f"""
+WITH {_sql_bands_cte("embeddings", cast_double=True)},
+q AS (SELECT vec_id AS query_id, band, bucket FROM bands WHERE vec_id < {similarity.N_QUERIES}),
+cand AS (
+    SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+    FROM bands c JOIN q ON c.band = q.band AND c.bucket = q.bucket
+    WHERE q.query_id <> c.vec_id),
 scored AS (
-    SELECT q.query_id, c.vec_id AS neighbor_id,
-           list_sum(list_transform(generate_series(1, len(q.qv)),
-                    i -> CAST(round(CAST(q.qv[i] AS DOUBLE) * 1000) AS BIGINT)
-                       * CAST(round(CAST(c.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS score
-    FROM planes c JOIN q ON c.bucket = q.bucket
-    WHERE q.query_id <> c.vec_id)
+    SELECT cand.query_id, cand.neighbor_id,
+           CAST(list_sum(list_transform(generate_series(1, len(qe.embedding)),
+                    i -> CAST(round(CAST(qe.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                       * CAST(round(CAST(ce.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS score
+    FROM cand
+    JOIN embeddings qe ON qe.vec_id = cand.query_id
+    JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
 SELECT query_id, rank, neighbor_id, score FROM (
     SELECT query_id, neighbor_id, score,
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
     FROM scored) t
-WHERE rank <= 5 ORDER BY query_id, rank""",
-        "embedding_cosine_dups": """
+WHERE rank <= {similarity.TOP_K} ORDER BY query_id, rank""",
+        "embedding_cosine_dups": f"""
 WITH corpus AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
     FROM embeddings
@@ -519,33 +566,32 @@ WITH corpus AS (
                                + CASE WHEN i = 1 THEN 0.01 ELSE 0 END) AS embedding
     FROM embeddings WHERE vec_id % 3 = 1
 ),
-tagged AS (
+norms AS (
     SELECT vec_id, embedding,
-           CAST((CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
-                 i -> CAST(round(embedding[i] * 1000) AS BIGINT)
-                    * (((i-1) * 17 + 3) % 97 - 48))) >= 0 THEN 1 ELSE 0 END)
-           + 2 * (CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
-                 i -> CAST(round(embedding[i] * 1000) AS BIGINT)
-                    * (((i-1) * 29 + 11) % 97 - 48))) >= 0 THEN 1 ELSE 0 END)
-           + 4 * (CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
-                 i -> CAST(round(embedding[i] * 1000) AS BIGINT)
-                    * (((i-1) * 41 + 23) % 97 - 48))) >= 0 THEN 1 ELSE 0 END)
-           + 8 * (CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
-                 i -> CAST(round(embedding[i] * 1000) AS BIGINT)
-                    * (((i-1) * 53 + 31) % 97 - 48))) >= 0 THEN 1 ELSE 0 END) AS INT) AS bucket,
-           list_sum(list_transform(generate_series(1, len(embedding)),
+           CAST(list_sum(list_transform(generate_series(1, len(embedding)),
                     i -> CAST(round(embedding[i] * 1000) AS BIGINT)
-                       * CAST(round(embedding[i] * 1000) AS BIGINT))) AS n2
+                       * CAST(round(embedding[i] * 1000) AS BIGINT))) AS BIGINT) AS n2
     FROM corpus
-)
+),
+{_sql_bands_cte("corpus", cast_double=False)},
+ranked AS (
+    SELECT vec_id, band, bucket,
+           ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
+    FROM bands),
+capped AS (SELECT vec_id, band, bucket FROM ranked WHERE rn <= {K_CAP}),
+pairs AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, cosine FROM (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_sum(list_transform(generate_series(1, len(a.embedding)),
-                 i -> CAST(round(a.embedding[i] * 1000) AS BIGINT)
-                    * CAST(round(b.embedding[i] * 1000) AS BIGINT)))
-                 / (sqrt(a.n2) * sqrt(b.n2)), 4) AS cosine
-    FROM tagged a JOIN tagged b
-      ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+    SELECT p.vec_a, p.vec_b,
+           round(list_sum(list_transform(generate_series(1, len(na.embedding)),
+                 i -> CAST(round(na.embedding[i] * 1000) AS BIGINT)
+                    * CAST(round(nb.embedding[i] * 1000) AS BIGINT)))
+                 / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+    FROM pairs p
+    JOIN norms na ON na.vec_id = p.vec_a
+    JOIN norms nb ON nb.vec_id = p.vec_b) t
 WHERE cosine >= 0.99 ORDER BY vec_a, vec_b""",
         # ---------------- multimodal ----------------------------------------
         "media_meta_sql": """

@@ -64,28 +64,52 @@ def _elements(raw: DataFrame, kind: str, level: float, keys: list[str]) -> DataF
 
 
 def _children(child_rows: DataFrame, parent_keys: list[str]) -> DataFrame:
-    """Ordered child-id lists per parent key (rank = TSV emission order —
-    childIds order is document order in the reference model)."""
+    """Ordered child-id lists + aggregated content per parent key (rank = TSV
+    emission order — childIds order is document order in the reference model;
+    ``OCRHierarchyElement extends DimensionData<StructureContent>`` carries
+    the element's text content, .kiro/steering/tech.md:96-98 — content =
+    document-order join of child contents, so line text is the space-joined
+    words of its children, paragraphs join their lines, blocks their
+    paragraphs)."""
     return (
         child_rows.groupBy("conv_id", "turn_idx", *parent_keys)
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("emit_ord"), F.col("id")))),
-                lambda s: s["id"],
-            ).alias("child_ids")
+            F.array_sort(
+                F.collect_list(F.struct(F.col("emit_ord"), F.col("id"), F.col("content")))
+            ).alias("kids")
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            *parent_keys,
+            F.transform("kids", lambda s: s["id"]).alias("child_ids"),
+            F.concat_ws(" ", F.transform("kids", lambda s: s["content"])).alias("content"),
         )
     )
 
 
-def extract_hierarchy(transcripts: DataFrame) -> DataFrame:
+def extract_hierarchy(
+    transcripts: DataFrame, _cache_out: list | None = None
+) -> DataFrame:
     """transcripts → one row per turn: blocks / paragraphs / lines arrays of
-    ``struct<id, left, top, width, height, child_ids>`` in document order."""
+    ``struct<id, content, left, top, width, height, child_ids>`` in document
+    order.  ``content`` is the element's aggregated text (line = space-joined
+    child words, paragraph = joined lines, block = joined paragraphs — the
+    ``StructureContent`` payload of ``OCRHierarchyElement``).
+
+    The shared block-emission pass is cached (four consumers); pass
+    ``_cache_out`` to receive the persisted handle for unpersisting after the
+    returned plan is materialized (``write_hierarchy`` does this), otherwise
+    the cache pins memory for the rest of the session."""
     raw = transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         _emit_blocks, schema=_RAW
-    ).persist()  # four consumers (words + 3 levels); at cluster scale use
-    # StorageLevel.MEMORY_AND_DISK or materialize the blocks table instead
+    ).persist()  # at cluster scale use StorageLevel.MEMORY_AND_DISK or
+    # materialize the blocks table instead
+    if _cache_out is not None:
+        _cache_out.append(raw)
 
-    # parse-stage words (level 5, trimmed non-blank) with kernel-compatible ids
+    # parse-stage words (level 5, trimmed non-blank) with kernel-compatible
+    # ids; content = the trimmed word text (the leaf of the rollup)
     words = raw.filter(
         (F.col("kind") == "b") & (F.col("level") == 5.0) & (F.trim("text") != "")
     ).select(
@@ -103,39 +127,61 @@ def extract_hierarchy(transcripts: DataFrame) -> DataFrame:
             F.col("line_num").cast("int"),
             F.col("word_num").cast("int"),
         ).alias("id"),
+        F.trim("text").alias("content"),
     )
 
+    # bottom-up so each level's aggregated content feeds its parent:
+    # words → lines → paragraphs → blocks
     per_level: dict[str, DataFrame] = {}
-    child_rows = {"word": words}
-    for kind, level, keys, _ in _LEVELS:
-        child_rows[kind] = _elements(raw, kind, level, keys)
-    for kind, level, keys, child_kind in _LEVELS:
-        elems = child_rows[kind]
-        kids = _children(child_rows[child_kind], keys)
+    enriched_child = words
+    for kind, level, keys, _child in reversed(_LEVELS):
+        elems = _elements(raw, kind, level, keys)
+        kids = _children(enriched_child, keys)
         enriched = elems.join(kids, ["conv_id", "turn_idx", *keys], "left").select(
             "conv_id",
             "turn_idx",
+            *keys,
             "emit_ord",
-            F.struct(
-                F.col("id"),
-                F.col("left"),
-                F.col("top"),
-                F.col("width"),
-                F.col("height"),
-                F.coalesce("child_ids", F.expr("CAST(array() AS array<string>)")).alias(
-                    "child_ids"
-                ),
-            ).alias("el"),
+            "id",
+            F.coalesce("content", F.lit("")).alias("content"),
+            "left",
+            "top",
+            "width",
+            "height",
+            F.coalesce("child_ids", F.expr("CAST(array() AS array<string>)")).alias(
+                "child_ids"
+            ),
         )
-        per_level[kind] = enriched.groupBy("conv_id", "turn_idx").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("emit_ord"), F.col("el")))),
-                lambda s: s["el"],
-            ).alias(f"{kind}s")
+        enriched_child = enriched
+        per_level[kind] = (
+            enriched.select(
+                "conv_id",
+                "turn_idx",
+                "emit_ord",
+                F.struct(
+                    F.col("id"),
+                    F.col("content"),
+                    F.col("left"),
+                    F.col("top"),
+                    F.col("width"),
+                    F.col("height"),
+                    F.col("child_ids"),
+                ).alias("el"),
+            )
+            .groupBy("conv_id", "turn_idx")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("emit_ord"), F.col("el")))),
+                    lambda s: s["el"],
+                ).alias(f"{kind}s")
+            )
         )
 
     spine = transcripts.select("conv_id", "turn_idx")
-    empty = "CAST(array() AS array<struct<id:string,left:double,top:double,width:double,height:double,child_ids:array<string>>>)"
+    empty = (
+        "CAST(array() AS array<struct<id:string,content:string,left:double,"
+        "top:double,width:double,height:double,child_ids:array<string>>>)"
+    )
     out = (
         spine.join(per_level["block"], ["conv_id", "turn_idx"], "left")
         .join(per_level["paragraph"], ["conv_id", "turn_idx"], "left")
@@ -149,3 +195,13 @@ def extract_hierarchy(transcripts: DataFrame) -> DataFrame:
         )
     )
     return out
+
+
+def write_hierarchy(transcripts: DataFrame, path: str) -> None:
+    """Materialize the rollup and release the shared block-emission cache
+    (the extract_hierarchy docstring's unpersist contract)."""
+    cache: list = []
+    df = extract_hierarchy(transcripts, _cache_out=cache)
+    df.write.mode("overwrite").parquet(path)
+    for c in cache:
+        c.unpersist()

@@ -49,6 +49,40 @@ BASELINE_TOLERANCE = 0.0025
 # pandas str.contains.  ']' '[' '(' ')' '{' '}' escaped for regex safety.
 DESCENDER_REGEX = "[gjpqyçģķļąęįųșț" "ŋɟʝɡɣʄȷ" ",;‚„¿" r"\(\)\[\]\{\}" "∫∮∂ƒ₍₎₤₺₥₰]"
 
+# Per-turn language option (ocr.service.ts:149-153: `language: string = 'deu'`,
+# passed to the engine as `-l <lang>`, '+'-combinable e.g. 'deu+eng';
+# ocr.service.ts:354-374 lists the installed set at runtime).  This is our
+# engine's installed-language analog: the traineddata set of the reference's
+# Docker image (docker/Dockerfile installs tesseract-ocr-data-deu/-eng plus
+# the osd default).  An unknown code makes tesseract exit non-zero
+# (ocr.service.ts:240-246) -> the OCR branch fails, the turn still completes
+# with empty words + error (image-recognition.service.ts:164-173, 205-224).
+SUPPORTED_LANGUAGES = frozenset({"deu", "eng", "osd"})
+DEFAULT_LANGUAGE = "deu"
+
+# Doc-level confidence (golden: example-ocr-response.json:4 carries a
+# document "confidence" = mean of the word confidences): mean over kept
+# words, computed as an exact integer sum of round(conf*1e5) then two fixed
+# divisions — order-independent, so the serial kernel, distributed Spark
+# aggregation, and SQL oracles agree bit-for-bit.
+CONF_QUANT = 100_000
+
+
+def validate_language(lang: str) -> bool:
+    """True iff every '+'-joined component is an installed language code
+    (tesseract accepts combos like 'deu+eng', ocr.service.ts:149)."""
+    parts = lang.split("+")
+    return all(p in SUPPORTED_LANGUAGES for p in parts) and bool(parts)
+
+
+def mean_confidence(confs: list[float]) -> float | None:
+    """Quantized-integer mean (see CONF_QUANT note): NaN confidences are
+    excluded; None when nothing remains."""
+    qs = [round(c * CONF_QUANT) for c in confs if not math.isnan(c)]
+    if not qs:
+        return None
+    return (sum(qs) / len(qs)) / float(CONF_QUANT)
+
 
 def js_parse_int(s: str) -> float:
     """Semantics of JS ``parseInt(s)`` (radix 10): skip leading whitespace,
@@ -308,7 +342,9 @@ def filter_overlapping(words: list[dict], codes: list[dict]) -> list[dict]:
     return [w for w in words if not any(rectangles_overlap(w, c) for c in codes)]
 
 
-def extract_turn(conv_id: str, turn_idx: int, text: str, tool: str) -> dict:
+def extract_turn(
+    conv_id: str, turn_idx: int, text: str, tool: str, lang: str | None = None
+) -> dict:
     """Full per-turn extraction ≅ one `_processImageAsync` unit
     (image-recognition.service.ts:148-243): two isolated branches, overlap
     anti-join, assembly into extracted text + character spans + metrics.
@@ -316,16 +352,30 @@ def extract_turn(conv_id: str, turn_idx: int, text: str, tool: str) -> dict:
     ``spans[i] = (start, end)`` — end-exclusive character offsets of kept word
     i within ``extracted_text`` (words are space-joined in reading order, so
     start(i+1) = end(i) + 1).
+
+    ``lang`` is the per-turn engine-options seam (the reference threads a
+    ``language`` option from the request body into the engine,
+    image-recognition.controller.ts:101-128 -> ocr.service.ts:153,214; default
+    'deu').  An unsupported code fails the OCR branch exactly like a non-zero
+    tesseract exit (empty words + error, turn completes); the codes branch
+    is language-independent (zbar takes no language).
     """
     errors: list[str] = []
+    resolved_lang = lang if lang else DEFAULT_LANGUAGE
 
-    try:
-        raw_words = parse_tsv_words(text)
-        ordered = reading_order(raw_words)
-    except Exception as e:  # branch isolation -> [] words, turn completes
+    if not validate_language(resolved_lang):
+        # tesseract: "Error opening data file .../<lang>.traineddata" + exit 1
         ordered = []
         raw_words = []
-        errors.append(f"ocr_failed: {e}")
+        errors.append(f"ocr_failed: unsupported language: {resolved_lang}")
+    else:
+        try:
+            raw_words = parse_tsv_words(text)
+            ordered = reading_order(raw_words)
+        except Exception as e:  # branch isolation -> [] words, turn completes
+            ordered = []
+            raw_words = []
+            errors.append(f"ocr_failed: {e}")
 
     try:
         codes = parse_codes(tool)
@@ -379,10 +429,12 @@ def extract_turn(conv_id: str, turn_idx: int, text: str, tool: str) -> dict:
         "conv_id": conv_id,
         "turn_idx": turn_idx,
         "extracted_text": extracted_text,
+        "confidence": mean_confidence([w["conf"] for w in kept]),
         "spans": spans,
         "words": out_words,
         "codes": out_codes,
         "n_blocks_kept": len(kept),
         "n_blocks_dropped": len(raw_words) - len(kept),
+        "lang": resolved_lang,
         "error": "; ".join(errors) if errors else None,
     }

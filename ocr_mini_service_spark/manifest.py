@@ -54,9 +54,13 @@ def bucket_expr(n_buckets: int, salt_factor: int = SALT_FACTOR):
 
 
 def read_manifest(spark: SparkSession, output: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(f"{output}/_manifest")
-    except Exception:
+    except AnalysisException:
+        # no manifest yet (fresh run); corruption raises a different error —
+        # it must surface, not silently reset resume bookkeeping
         return None
 
 
@@ -93,8 +97,24 @@ def _append_manifest(spark: SparkSession, output: str, rows, schema) -> None:
     arrow_schema = pa.schema(
         [pa.field(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
     )
-    table = pa.Table.from_pylist([r.asDict() for r in rows], schema=arrow_schema)
-    pq.write_table(table, f"{local}/part-{uuid.uuid4().hex}.parquet")
+    # Spark's collect() returns naive datetimes in the HOST's local timezone;
+    # the arrow fields are tz-aware (timestamp[us, UTC]) — attach the local
+    # tz explicitly so both write branches persist the same instant on a
+    # non-UTC host.
+    py_rows = []
+    for r in rows:
+        d = r.asDict()
+        for k, v in d.items():
+            if isinstance(v, datetime.datetime) and v.tzinfo is None:
+                d[k] = v.astimezone()
+        py_rows.append(d)
+    table = pa.Table.from_pylist(py_rows, schema=arrow_schema)
+    # temp-name + atomic rename: a crash mid-write must not leave a corrupt
+    # part visible to read_manifest (crash-atomicity per the module docstring)
+    final = f"{local}/part-{uuid.uuid4().hex}.parquet"
+    tmp = f"{local}/.{os.path.basename(final)}.tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
 
 
 def run_with_manifest(

@@ -28,6 +28,20 @@ BASE = 31
 MINHASH_AB = [(131, 7), (269, 89), (421, 241), (607, 389)]
 SHINGLE = 3
 
+# Hot-bucket guards (no unbounded per-bucket arrays at scale):
+# DEDUP_CAP — max docs considered per LSH band bucket (smallest doc_ids kept,
+#   deterministic; a mass-duplicated doc otherwise materializes its whole
+#   cluster in one row and explodes k² pairs in one task).  Drops are
+#   queryable via ``lsh_drop_stats`` — no silent caps.
+# DF_MAX — shingle document-frequency cutoff for the n-gram Jaccard
+#   representation (standard practice: a stop-phrase shingle shared by 10^6
+#   docs is pure pair-explosion noise).  Both are far above the synthetic
+#   corpus' observed maxima (bucket<=40, DF<=34 at sf0.1), so small-scale
+#   results are unchanged; tests/test_dedup_scale.py pins the adversarial
+#   hot-bucket behavior.
+DEDUP_CAP = 256
+DF_MAX = 256
+
 
 def _hash_one(s):
     """Rolling hash of one string column expression, in pure Catalyst
@@ -53,7 +67,11 @@ def _hash_shingles(sh: pd.Series) -> pd.Series:
     nested higher-order-function fold is interpreted per element by Catalyst,
     while this runs one Arrow batch per task (the UDF-only-when-built-ins-
     can't-win exception: same per-char fold, no per-row Python at the JVM
-    boundary)."""
+    boundary).  A numpy position-sweep variant was benchmarked and LOST to
+    this C-level-ord loop at shingle lengths (~20 chars): the per-position
+    mask/gather overhead exceeds the loop cost; the oracle-parity hash is not
+    the dedup bottleneck (see ``minhash_signatures_fast`` for the
+    xxhash64-based scale path)."""
     return sh.apply(lambda lst: None if lst is None else [_roll(x) for x in lst])
 
 
@@ -117,10 +135,9 @@ def _shingles(text_col: str = "text"):
     )
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH banding: 2 bands × 2 rows; candidate pair ⇔ equal band
-    hash in ≥1 band.  Self-equi-join on (band_id, h1, h2) — bucket join, not
-    an all-pairs product."""
+def _lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """(band_id, h1, h2) → sorted doc_id list with pre-cap size (building
+    block for pairs and for the drop-stats audit)."""
     sigs = _minhash_sigs(spark, sf)
     bands = sigs.select(
         "doc_id",
@@ -134,12 +151,37 @@ def lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # bucket-collect + in-array pair explosion: one shuffle on the band key
     # and ONE evaluation of the minhash pipeline (a self-join would
     # re-evaluate it per side); emitted pairs are identical (all a<b within
-    # a bucket, deduped across bands)
-    buckets = (
+    # a bucket, deduped across bands).  The hot-bucket cap bounds the array
+    # and the in-row k² explosion (smallest doc_ids kept — deterministic,
+    # mirrored by ROW_NUMBER <= cap in the SQL oracle).
+    return (
         bands.groupBy("band_id", "h1", "h2")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("all_ds"))
+        .select(
+            "band_id",
+            "h1",
+            "h2",
+            F.size("all_ds").alias("n_docs"),
+            F.slice("all_ds", 1, DEDUP_CAP).alias("ds"),
+        )
     )
+
+
+def lsh_drop_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """No-silent-caps audit for the MinHash-LSH bucket cap."""
+    b = _lsh_buckets(spark, sf)
+    return b.groupBy("band_id").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n_docs").alias("max_bucket"),
+        F.sum(F.greatest(F.col("n_docs") - DEDUP_CAP, F.lit(0))).alias("n_dropped"),
+    )
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH banding: 2 bands × 2 rows; candidate pair ⇔ equal band
+    hash in ≥1 band.  Self-equi-join on (band_id, h1, h2) — bucket join, not
+    an all-pairs product; buckets capped at DEDUP_CAP (see _lsh_buckets)."""
+    buckets = _lsh_buckets(spark, sf).filter(F.size("ds") > 1)
     pairs = buckets.select(
         F.explode(
             F.flatten(
@@ -160,22 +202,31 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """n-gram Jaccard near-dup: pairs sharing ≥1 distinct shingle, scored
     |A∩B| / |A∪B|, kept at ≥ 0.6.  Intersection via exploded-shingle
     equi-join (scalable formulation — pair generation bounded by shared
-    shingles, not |docs|²)."""
+    shingles, not |docs|²).
+
+    Shingles with document frequency > DF_MAX are dropped from the
+    REPRESENTATION (both intersection and sizes — standard stop-shingle
+    practice): a shingle shared by 10^6 docs is pure pair-explosion noise,
+    and without the cutoff its bucket materializes the whole cluster in one
+    row and explodes k² pairs in one task.  The sizes are derived from the
+    same DF-filtered buckets (one evaluation of the shingle pipeline feeds
+    both intersection and denominators)."""
     corpus = _docs_with_mutants(spark, sf)
     sh = (
         corpus.select("doc_id", F.explode(_shingles()).alias("s"))
         .filter(F.col("s") != "")
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # shared-shingle bucket collect + in-array pair explosion (one evaluation
-    # of the shingle pipeline instead of two self-join sides); |A∩B| = number
-    # of shingle buckets containing both docs
-    buckets = (
-        sh.groupBy("s")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+    # one groupBy on the shingle key yields DF counts, the denominators, and
+    # the intersection buckets; df > DF_MAX buckets are dropped wholesale
+    buckets_all = sh.groupBy("s").agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+    kept_b = buckets_all.filter(F.size("ds") <= DF_MAX)
+    sizes = (
+        kept_b.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
     )
+    buckets = kept_b.filter(F.size("ds") > 1)
     inter = (
         buckets.select(
             F.explode(

@@ -5,15 +5,41 @@ products are exact 64-bit integer sums — order-independent, so Spark and
 DuckDB (and any execution order) agree bit-for-bit, and top-k ranking is fully
 deterministic with the (score desc, vec_id asc) tiebreak.
 
-Scale path: brute force is O(Q·N) with Q broadcast — right up to ~10^5
-queries; beyond that the LSH-bucketed variant joins on sign-random-projection
-buckets so each query only scores its bucket collisions.
+Candidate generation is **banded multi-table sign-LSH** (the standard
+OR-construction): B_BANDS independent tables of R_BITS sign-random-projection
+bits each; a pair is a candidate iff it collides in >= 1 band.  Bucket count
+per band is 2^R_BITS — a tunable that grows with corpus size (R ≈
+log2(N / target_bucket_size)), unlike a fixed-plane scheme whose bucket count
+is a constant and whose per-bucket pair join degenerates to O(N²/const) at
+scale.  Each band-bucket's candidate list is capped at K_CAP ids (smallest
+vec_ids kept — deterministic); drops are queryable via ``lsh_bucket_stats``
+(no silent caps).  Recall math at cosine >= 0.99 (θ <= 8.1°, p_bit ≈ 0.955):
+per-band collide = p_bit^R ≈ 0.69, any-of-B = 1-(1-0.69)^4 ≈ 0.991.
+
+The hyperplanes are deterministic integer vectors (component i of plane p is
+((i*a_p + b_p) mod 97) - 48), so a SQL oracle reproduces every bucket id
+exactly; plane tagging runs as one numpy integer matmul per Arrow batch
+(a 2^R-bucket projection is a matrix product — the documented
+UDF-when-builtins-can't-win exception; exact integer math, no parity risk).
+
+Scale path notes: brute force is O(Q·N) with Q broadcast — right up to ~10^5
+queries; beyond that the banded LSH variant joins on (band, bucket) so each
+query only scores its bucket collisions.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 from . import ordered
@@ -22,9 +48,75 @@ from ..sources import load
 N_QUERIES = 5
 TOP_K = 5
 
+# banded sign-LSH config (see module docstring).  B*R hyperplanes total;
+# band t owns planes [t*R_BITS, (t+1)*R_BITS).
+B_BANDS = 4
+R_BITS = 8
+K_CAP = 256
+
+# the round-1 4-plane parameters stay the first four so plane identities are
+# stable across configs
+_LEGACY_PLANES = [(17, 3), (29, 11), (41, 23), (53, 31)]
+
+
+def plane_params(p: int) -> tuple[int, int]:
+    """Deterministic (a, b) for hyperplane p: component i = ((i*a + b) % 97) - 48."""
+    if p < len(_LEGACY_PLANES):
+        return _LEGACY_PLANES[p]
+    return (17 + 12 * p, 3 + 8 * p)
+
+
+_TAG = StructType(
+    [
+        StructField("bks", ArrayType(IntegerType()), False),
+        StructField("n2", LongType(), False),
+    ]
+)
+
+
+@pandas_udf(_TAG)
+def _tag_bands(emb: pd.Series) -> pd.DataFrame:
+    """Per-vector band buckets + quantized squared norm, one integer matmul
+    per Arrow batch: q (n×d int64) @ P (d×(B*R)) → sign bits → R-bit bucket id
+    per band.  Exact integer arithmetic end-to-end (mirrored by SQL oracles)."""
+    import numpy as np
+
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+    q = np.round(mat * 1000).astype(np.int64)
+    dim = q.shape[1]
+    i = np.arange(dim, dtype=np.int64)
+    planes = np.stack(
+        [
+            (i * a + b) % 97 - 48
+            for a, b in (plane_params(p) for p in range(B_BANDS * R_BITS))
+        ],
+        axis=1,
+    )  # d × (B*R)
+    bits = (q @ planes >= 0).astype(np.int64)  # n × (B*R)
+    weights = 1 << np.arange(R_BITS, dtype=np.int64)
+    buckets = np.stack(
+        [bits[:, t * R_BITS : (t + 1) * R_BITS] @ weights for t in range(B_BANDS)],
+        axis=1,
+    ).astype(np.int32)  # n × B
+    n2 = (q * q).sum(axis=1)
+    return pd.DataFrame({"bks": list(buckets), "n2": n2})
+
+
+@pandas_udf(LongType())
+def _pair_qdot(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact quantized integer dot product of two embedding columns,
+    vectorized over the batch (value-identical to the F.zip_with/F.aggregate
+    fold, which Catalyst interprets per element)."""
+    import numpy as np
+
+    qa = np.round(np.stack([np.asarray(v, dtype=np.float64) for v in a]) * 1000).astype(np.int64)
+    qb = np.round(np.stack([np.asarray(v, dtype=np.float64) for v in b]) * 1000).astype(np.int64)
+    return pd.Series((qa * qb).sum(axis=1))
+
 
 def _qdot(a, b):
-    """Exact integer dot product of two quantized float arrays."""
+    """Exact integer dot product of two quantized float arrays (native
+    Catalyst fold form — used where the pair count is small)."""
     prod = F.zip_with(
         a,
         b,
@@ -32,6 +124,65 @@ def _qdot(a, b):
         * F.round(y.cast("double") * 1000).cast("long"),
     )
     return F.aggregate(prod, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _tagged(vecs: DataFrame) -> DataFrame:
+    """vec_id, embedding, n2, exploded (band, bucket) rows."""
+    t = vecs.select("vec_id", "embedding", _tag_bands("embedding").alias("t")).select(
+        "vec_id", "embedding", F.col("t.bks").alias("bks"), F.col("t.n2").alias("n2")
+    )
+    return t
+
+
+def _band_rows(tagged: DataFrame) -> DataFrame:
+    return tagged.select(
+        "vec_id", F.posexplode("bks").alias("band", "bucket")
+    )
+
+
+def _capped_buckets(band_rows: DataFrame, cap: int = K_CAP) -> DataFrame:
+    """(band, bucket) → sorted candidate id list, capped at ``cap`` (smallest
+    ids kept — deterministic) with the pre-cap size retained for drop stats."""
+    return (
+        band_rows.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("all_ids"))
+        .select(
+            "band",
+            "bucket",
+            F.size("all_ids").alias("n_ids"),
+            F.slice("all_ids", 1, cap).alias("ids"),
+        )
+    )
+
+
+def lsh_bucket_stats(spark: SparkSession, sf: str, cap: int = K_CAP) -> DataFrame:
+    """No-silent-caps audit: per-band bucket count, max bucket size, and how
+    many candidate slots the K_CAP guard dropped."""
+    rows = _band_rows(_tagged(_vecs_with_mutants(spark, sf)))
+    b = _capped_buckets(rows, cap)
+    return b.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n_ids").alias("max_bucket"),
+        F.sum(F.greatest(F.col("n_ids") - cap, F.lit(0))).alias("n_dropped"),
+    )
+
+
+def _pairs_from_buckets(capped: DataFrame) -> DataFrame:
+    """All a<b pairs within each capped band bucket, deduped across bands."""
+    pairs = capped.filter(F.size("ids") > 1).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.vec_a", "p.vec_b").distinct()
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -45,7 +196,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         "query_id",
         "neighbor_id",
-        _qdot(F.col("q"), F.col("v")).alias("score"),
+        _pair_qdot(F.col("q"), F.col("v")).alias("score"),
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -57,40 +208,30 @@ def ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    """Sign-projection LSH bucketing (the ANN scale path): bucket id = sign
-    bits of 4 deterministic pseudo-random hyperplanes (components derived from
-    a rolling arithmetic sequence, so the oracle reproduces them); neighbors
-    are scored only within the query's bucket."""
-    emb = load(spark, sf, "embeddings")
-
-    def plane_dot(vec, p):
-        # hyperplane p component i = ((i*a_p + b_p) mod 97) - 48  (deterministic ints)
-        a, b = [(17, 3), (29, 11), (41, 23), (53, 31)][p]
-        prod = F.zip_with(
-            vec,
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda x, i: F.round(x.cast("double") * 1000).cast("long")
-            * ((i * a + b) % 97 - 48),
-        )
-        return F.aggregate(prod, F.lit(0).cast("long"), lambda acc, v: acc + v)
-
-    def bucket(vec):
-        bits = [F.when(plane_dot(vec, p) >= 0, F.lit(2**p)).otherwise(F.lit(0)) for p in range(4)]
-        out = bits[0]
-        for t in bits[1:]:
-            out = out + t
-        return out.cast("int")
-
-    tagged = emb.select("vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"))
-    queries = tagged.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"), "bucket"
+    """Banded sign-LSH ANN (the scale path): a neighbor is scored iff it
+    shares >= 1 of the query's B band buckets — bucket-join candidate
+    generation, never all-pairs, with the bucket space (B × 2^R) sized by
+    config rather than fixed."""
+    emb = load(spark, sf, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    scored = tagged.alias("c").join(F.broadcast(queries).alias("qq"), "bucket").filter(
-        F.col("query_id") != F.col("vec_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        _qdot(F.col("q"), F.col("embedding")).alias("score"),
+    tagged = _tagged(emb)
+    rows = _band_rows(tagged)
+    qrows = rows.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band", "bucket"
+    )
+    cands = (
+        rows.join(F.broadcast(qrows), ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qemb = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
+    cemb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v"))
+    scored = (
+        cands.join(F.broadcast(qemb), "query_id")
+        .join(cemb, "neighbor_id")
+        .select("query_id", "neighbor_id", _pair_qdot(F.col("q"), F.col("v")).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -123,7 +264,9 @@ def _vecs_with_mutants(spark: SparkSession, sf: str) -> DataFrame:
     """embeddings ∪ deterministic near-duplicate mutants (first component
     nudged by +0.01, id offset 1_000_000) — guarantees real cosine-near-dup
     positives on the synthetic corpus (mirrors dedup._docs_with_mutants)."""
-    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     mutants = emb.filter(F.col("vec_id") % 3 == 1).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform(
@@ -138,55 +281,33 @@ def _vecs_with_mutants(spark: SparkSession, sf: str) -> DataFrame:
 
 def embedding_cosine_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup detection (the training-pipeline dedup
-    modality): candidate pairs via sign-projection LSH buckets (never
-    all-pairs), scored by exact-integer quantized dot + norms, kept at
-    cosine ≥ 0.99.  LSH recall caveat applies by design — identical to the
-    production trade-off."""
-
-    def plane_dot(vec, p):
-        a, b = [(17, 3), (29, 11), (41, 23), (53, 31)][p]
-        prod = F.zip_with(
-            vec,
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda x, i: F.round(x.cast("double") * 1000).cast("long")
-            * ((i * a + b) % 97 - 48),
-        )
-        return F.aggregate(prod, F.lit(0).cast("long"), lambda acc, v: acc + v)
-
-    def bucket(vec):
-        bits = [F.when(plane_dot(vec, p) >= 0, F.lit(2**p)).otherwise(F.lit(0)) for p in range(4)]
-        out = bits[0]
-        for t in bits[1:]:
-            out = out + t
-        return out.cast("int")
-
-    qnorm = F.aggregate(
-        F.transform("embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v * v,
+    modality): candidate pairs via banded multi-table sign-LSH buckets (never
+    all-pairs; capped buckets, see module docstring), scored by exact-integer
+    quantized dot + norms, kept at cosine >= 0.99.  LSH recall caveat applies
+    by design — identical to the production trade-off."""
+    vecs = _vecs_with_mutants(spark, sf)
+    tagged = _tagged(vecs)
+    pairs = _pairs_from_buckets(_capped_buckets(_band_rows(tagged)))
+    a = tagged.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("n2").alias("na2")
     )
-    tagged = _vecs_with_mutants(spark, sf).select(
-        "vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"), qnorm.alias("n2")
+    b = tagged.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("n2").alias("nb2")
     )
-    a, b = tagged.alias("a"), tagged.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        _qdot(F.col("a.embedding"), F.col("b.embedding")).alias("dot"),
-        F.col("a.n2").alias("na2"),
-        F.col("b.n2").alias("nb2"),
-    )
-    return (
-        pairs.select(
+    scored = (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
             "vec_a",
             "vec_b",
             F.round(
-                F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 4
+                _pair_qdot(F.col("ea"), F.col("eb"))
+                / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+                4,
             ).alias("cosine"),
         )
-        .filter(F.col("cosine") >= 0.99)
+    )
+    return (
+        scored.filter(F.col("cosine") >= 0.99)
         .transform(lambda df: ordered(df, "vec_a", "vec_b"))
     )

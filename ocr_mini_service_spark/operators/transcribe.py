@@ -90,6 +90,9 @@ def extract_fulltext(spark: SparkSession, sf: str) -> DataFrame:
         ex.select(
             F.col("conv_id").cast("bigint").alias("doc_id"),
             "extracted_text",
+            # doc-level mean word confidence (golden example-ocr-response.json:4);
+            # quantized-integer mean -> bit-reproducible by SQL arithmetic
+            F.col("confidence"),
             F.col("n_blocks_kept").cast("bigint").alias("n_kept"),
             F.col("n_blocks_dropped").cast("bigint").alias("n_dropped"),
         ),

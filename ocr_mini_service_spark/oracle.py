@@ -15,7 +15,7 @@ from .kernel import extract_turn
 
 def golden_extracted(transcripts: pd.DataFrame) -> pd.DataFrame:
     rows = [
-        extract_turn(r.conv_id, int(r.turn_idx), r.text, r.tool)
+        extract_turn(r.conv_id, int(r.turn_idx), r.text, r.tool, getattr(r, "lang", None))
         for r in transcripts.itertuples(index=False)
     ]
     out = pd.DataFrame(rows)

@@ -59,47 +59,55 @@ def _fused_arrow_batches(batches):
     Emitting the result directly as pyarrow arrays (typed, columnar) bypasses
     the pandas→Arrow serializer, which dominates wall-clock for this nested
     output schema (arrays of word/span/code structs) — measured 2-3× the
-    kernel cost itself on the 32-core build machine."""
+    kernel cost itself on the 32-core build machine.  The pass-through key
+    columns (conv_id, turn_idx) are reused from the input batch zero-copy
+    instead of being rebuilt from Python values."""
     import pyarrow as pa
 
     schema = _arrow_extracted_schema()
     types = [f.type for f in schema]
     for batch in batches:
+        in_names = set(batch.schema.names)
+        conv_col, turn_col = batch.column("conv_id"), batch.column("turn_idx")
+        langs = (
+            batch.column("lang").to_pylist()
+            if "lang" in in_names
+            else [None] * batch.num_rows
+        )
         rows = [
-            kernel.extract_turn(c, t, x, tl)
-            for c, t, x, tl in zip(
-                batch.column("conv_id").to_pylist(),
-                batch.column("turn_idx").to_pylist(),
+            kernel.extract_turn(c, t, x, tl, lg)
+            for c, t, x, tl, lg in zip(
+                conv_col.to_pylist(),
+                turn_col.to_pylist(),
                 batch.column("text").to_pylist(),
                 batch.column("tool").to_pylist(),
+                langs,
             )
         ]
-        arrays = [
-            pa.array([r[name] for r in rows], type=typ)
-            for name, typ in zip(_EXTRACTED_COLS, types)
-        ]
+        arrays = []
+        for name, typ in zip(_EXTRACTED_COLS, types):
+            if name == "conv_id" and conv_col.type == typ:
+                arrays.append(conv_col)
+            elif name == "turn_idx" and turn_col.type == typ:
+                arrays.append(turn_col)
+            else:
+                arrays.append(pa.array([r[name] for r in rows], type=typ))
         yield pa.RecordBatch.from_arrays(arrays, schema=schema)
-
-
-def _fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows = [
-            kernel.extract_turn(c, int(t), x, tl)
-            for c, t, x, tl in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"], pdf["tool"]
-            )
-        ]
-        yield pd.DataFrame(rows, columns=_EXTRACTED_COLS)
 
 
 def extract_fused(transcripts: DataFrame) -> DataFrame:
     """transcripts → extracted, one Arrow-batched pass (mapInArrow).
 
     Input columns are pruned manually to (conv_id, turn_idx, text, tool)
+    plus the optional per-turn ``lang`` options column (the reference's
+    request-body ``language`` option, controller:101-128) when present,
     because Catalyst cannot prune inside an arrow/pandas UDF (SURVEY.md §4.1).
     Row order within each partition is preserved (narrow, order-stable op), so
     an input-side sort survives to the output files."""
-    pruned = transcripts.select("conv_id", "turn_idx", "text", "tool")
+    cols = ["conv_id", "turn_idx", "text", "tool"]
+    if "lang" in transcripts.columns:
+        cols.append("lang")
+    pruned = transcripts.select(*cols)
     return pruned.mapInArrow(_fused_arrow_batches, schema=EXTRACTED)
 
 
@@ -129,6 +137,7 @@ _RAW = StructType(
         StructField("text", StringType(), True),
         StructField("page_w", DoubleType(), True),
         StructField("page_h", DoubleType(), True),
+        StructField("lang", StringType(), True),
         StructField("ocr_error", StringType(), True),
     ]
 )
@@ -139,16 +148,27 @@ _RAW_COLS = [f.name for f in _RAW.fields]
 def _emit_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: list[dict] = []
-        for c, t, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+        langs = (
+            pdf["lang"]
+            if "lang" in pdf.columns
+            else [None] * len(pdf)
+        )
+        for c, t, text, lg in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"], langs):
             t = int(t)
-            try:
-                pw, ph, rows = kernel.parse_tsv_blocks(text)
-                err = None
-            except Exception as e:  # branch isolation (image-recognition.service.ts:165-168)
-                pw, ph, rows, err = None, None, [], f"ocr_failed: {e}"
+            resolved = lg if isinstance(lg, str) and lg else kernel.DEFAULT_LANGUAGE
+            if not kernel.validate_language(resolved):
+                # unsupported language ≅ tesseract non-zero exit
+                # (ocr.service.ts:240-246) — OCR branch fails, turn completes
+                pw, ph, rows, err = None, None, [], f"ocr_failed: unsupported language: {resolved}"
+            else:
+                try:
+                    pw, ph, rows = kernel.parse_tsv_blocks(text)
+                    err = None
+                except Exception as e:  # branch isolation (image-recognition.service.ts:165-168)
+                    pw, ph, rows, err = None, None, [], f"ocr_failed: {e}"
             out.append(
                 {"conv_id": c, "turn_idx": t, "kind": "m", "page_w": pw,
-                 "page_h": ph, "ocr_error": err}
+                 "page_h": ph, "lang": resolved, "ocr_error": err}
             )
             for r in rows:
                 out.append({"conv_id": c, "turn_idx": t, "kind": "b", **r})
@@ -266,23 +286,26 @@ def extract_relational(transcripts: DataFrame) -> DataFrame:
     materialization at all."""
     spine = transcripts.select("conv_id", "turn_idx")
 
-    raw = transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+    in_cols = ["conv_id", "turn_idx", "text"]
+    if "lang" in transcripts.columns:
+        in_cols.append("lang")
+    raw = transcripts.select(*in_cols).mapInPandas(
         _emit_blocks, schema=_RAW
     ).persist()
 
     dims = raw.filter(F.col("kind") == "m").select(
-        "conv_id", "turn_idx", "page_w", "page_h", "ocr_error"
+        "conv_id", "turn_idx", "page_w", "page_h", "lang", "ocr_error"
     )
 
     # P2/P5/P6: level-5 + non-blank filter (native, codegen'd)
     words_px = raw.filter(
         (F.col("kind") == "b") & (F.col("level") == 5.0) & (F.trim("text") != "")
-    ).drop("kind", "page_w", "page_h", "ocr_error")
+    ).drop("kind", "page_w", "page_h", "lang", "ocr_error")
 
     # J3: page-dims enrichment join (equi on the turn key; the reference's
     # level-1 lookup applied to every row of the page,
     # parse-tsv-output.function.ts:144-167)
-    wj = words_px.join(dims.drop("ocr_error"), ["conv_id", "turn_idx"])
+    wj = words_px.join(dims.drop("lang", "ocr_error"), ["conv_id", "turn_idx"])
 
     # P3/P4: typed projection + normalization (Java double division gives the
     # reference's IEEE inf/nan zero semantics)
@@ -354,12 +377,28 @@ def extract_relational(transcripts: DataFrame) -> DataFrame:
         F.col("height"),
         F.col("baseline"),
     )
+    # A5 doc-level confidence: quantized-integer mean over kept words
+    # (kernel.mean_confidence's exact distributed twin — integer sum is
+    # order-independent, so the shuffle cannot perturb the value; NaN
+    # confidences are excluded on both sides)
+    qconf = F.when(
+        ~F.isnan(F.col("confidence")),
+        F.round(F.col("confidence") * F.lit(kernel.CONF_QUANT)).cast("long"),
+    )
     wagg = (
         kept.groupBy("conv_id", "turn_idx")
-        .agg(F.array_sort(F.collect_list(word_struct)).alias("ws"))
+        .agg(
+            F.array_sort(F.collect_list(word_struct)).alias("ws"),
+            F.sum(qconf).alias("qsum"),
+            F.count(qconf).alias("qn"),
+        )
         .select(
             "conv_id",
             "turn_idx",
+            F.when(
+                F.col("qn") > 0,
+                (F.col("qsum").cast("double") / F.col("qn")) / F.lit(float(kernel.CONF_QUANT)),
+            ).alias("confidence"),
             F.transform(
                 "ws",
                 lambda s: F.struct(
@@ -379,6 +418,7 @@ def extract_relational(transcripts: DataFrame) -> DataFrame:
         .select(
             "conv_id",
             "turn_idx",
+            "confidence",
             "words",
             "n_kept",
             F.concat_ws(" ", F.col("texts")).alias("extracted_text"),
@@ -447,12 +487,17 @@ def extract_relational(transcripts: DataFrame) -> DataFrame:
         spine.join(wagg, ["conv_id", "turn_idx"], "left")
         .join(cagg, ["conv_id", "turn_idx"], "left")
         .join(totals, ["conv_id", "turn_idx"], "left")
-        .join(dims.select("conv_id", "turn_idx", "ocr_error"), ["conv_id", "turn_idx"], "left")
+        .join(
+            dims.select("conv_id", "turn_idx", "lang", "ocr_error"),
+            ["conv_id", "turn_idx"],
+            "left",
+        )
         .join(code_errs, ["conv_id", "turn_idx"], "left")
         .select(
             "conv_id",
             "turn_idx",
             F.coalesce("extracted_text", F.lit("")).alias("extracted_text"),
+            F.col("confidence"),
             F.coalesce(
                 "spans", F.expr("CAST(array() AS array<struct<start:int,end:int>>)")
             ).alias("spans"),
@@ -468,6 +513,7 @@ def extract_relational(transcripts: DataFrame) -> DataFrame:
             (F.coalesce("n_total", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
             .cast("int")
             .alias("n_blocks_dropped"),
+            F.col("lang"),
             F.nullif(
                 F.concat_ws("; ", F.col("ocr_error"), F.col("codes_error")), F.lit("")
             ).alias("error"),

@@ -80,17 +80,21 @@ CODE = StructType(
 )
 
 # Golden output, one row per turn ≅ OcrProcessResult
-# (/root/reference/src/types/ocr.types.ts:22-25) + extraction metrics
+# (/root/reference/src/types/ocr.types.ts:22-25) + the doc-level mean word
+# confidence the golden response carries (example-ocr-response.json:4) +
+# the per-turn language option (ocr.service.ts:153) + extraction metrics
 EXTRACTED = StructType(
     [
         StructField("conv_id", StringType(), False),
         StructField("turn_idx", IntegerType(), False),
         StructField("extracted_text", StringType(), True),
+        StructField("confidence", DoubleType(), True),
         StructField("spans", ArrayType(SPAN), True),
         StructField("words", ArrayType(WORD), True),
         StructField("codes", ArrayType(CODE), True),
         StructField("n_blocks_kept", IntegerType(), True),
         StructField("n_blocks_dropped", IntegerType(), True),
+        StructField("lang", StringType(), True),
         StructField("error", StringType(), True),
     ]
 )

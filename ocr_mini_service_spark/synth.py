@@ -258,17 +258,30 @@ def write_transcripts_dataset(dirpath: str, n_turns: int, seed: int = 42,
     disjoint conv_id namespace, so the dataset is reproducible regardless of
     worker scheduling; chunk 0 carries the edge-case turns and the
     pathologically long skew conversation."""
+    import glob
     import multiprocessing as mp
     import os
 
-    if os.path.exists(f"{dirpath}/_SUCCESS_GEN"):
-        return dirpath
-    os.makedirs(dirpath, exist_ok=True)
     if n_chunks is None:
         n_chunks = max(1, min(16, (os.cpu_count() or 8) // 2))
+    marker = f"{dirpath}/_SUCCESS_GEN"
+    stamp = f"n_turns={n_turns} n_chunks={n_chunks} seed={seed}\n"
+    if os.path.exists(marker):
+        # the marker must describe THIS request, and the part files must be
+        # exactly the recorded set — a crashed earlier attempt (or a different
+        # n_turns/seed) would otherwise be silently reused / over-included
+        with open(marker) as f:
+            if f.read() == stamp and len(glob.glob(f"{dirpath}/part-*.parquet")) == n_chunks:
+                return dirpath
+        for p in glob.glob(f"{dirpath}/part-*.parquet"):
+            os.unlink(p)
+        os.unlink(marker)
+    os.makedirs(dirpath, exist_ok=True)
+    for p in glob.glob(f"{dirpath}/part-*.parquet"):  # orphans from a crash
+        os.unlink(p)
     chunk_turns = -(-n_turns // n_chunks)
     with mp.get_context("spawn").Pool(n_chunks) as pool:
         pool.map(_gen_chunk, [(dirpath, i, chunk_turns, seed) for i in range(n_chunks)])
-    with open(f"{dirpath}/_SUCCESS_GEN", "w") as f:
-        f.write(f"n_turns={n_turns} n_chunks={n_chunks} seed={seed}\n")
+    with open(marker, "w") as f:
+        f.write(stamp)
     return dirpath

@@ -56,11 +56,9 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.hierarchy:
-        from ocr_mini_service_spark.hierarchy import extract_hierarchy
+        from ocr_mini_service_spark.hierarchy import write_hierarchy
 
-        extract_hierarchy(transcripts).write.mode("overwrite").parquet(
-            f"{args.output}_hierarchy"
-        )
+        write_hierarchy(transcripts, f"{args.output}_hierarchy")
 
     wall = time.time() - t0
     n = stats["n_turns"]

@@ -1,0 +1,78 @@
+"""Hot-bucket scale guards: a mass-duplicated document (10³ identical copies)
+must NOT materialize an unbounded bucket array or a quadratic in-row pair
+explosion.  Pins the DEDUP_CAP / DF_MAX / K_CAP behavior and the no-silent-
+caps audit surfaces (drop stats report exactly what the caps removed)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocr_mini_service_spark.operators import dedup, similarity
+
+N_DOCS = 1000
+TEXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def _n_mutants(n: int) -> int:
+    # dedup._docs_with_mutants keeps ids where (doc_id + 1_000_000) % 3 == 1
+    return sum(1 for i in range(n) if (i + 1_000_000) % 3 == 1)
+
+
+@pytest.fixture(scope="module")
+def hot_docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hotdocs")
+    pd.DataFrame({"doc_id": range(N_DOCS), "text": [TEXT] * N_DOCS}).to_parquet(
+        d / "documents.parquet"
+    )
+    rng = np.random.default_rng(7)
+    vec = rng.uniform(-0.5, 0.5, 64).astype("float32")
+    pd.DataFrame(
+        {"vec_id": range(N_DOCS), "embedding": [vec.tolist()] * N_DOCS}
+    ).to_parquet(d / "embeddings.parquet")
+    return str(d)
+
+
+def test_lsh_hot_bucket_capped(spark, hot_docs_dir):
+    cap = dedup.DEDUP_CAP
+    pairs = dedup.lsh_candidate_pairs(spark, hot_docs_dir).count()
+    # identical originals form one capped bucket; identical mutants another
+    per_bucket = cap * (cap - 1) // 2
+    assert pairs == 2 * per_bucket, pairs
+    stats = {r["band_id"]: r for r in dedup.lsh_drop_stats(spark, hot_docs_dir).collect()}
+    n_mut = _n_mutants(N_DOCS)
+    for band in (0, 1):
+        s = stats[band]
+        # originals (1000 identical) and mutants (334 identical) form hot
+        # buckets; depending on minhash coincidences on the tiny shingle sets
+        # they may merge within a band, so assert bounds, not exact layout
+        assert N_DOCS <= s["max_bucket"] <= N_DOCS + n_mut
+        assert s["n_dropped"] >= N_DOCS - cap
+
+
+def test_ngram_df_cutoff_drops_stop_shingles(spark, hot_docs_dir):
+    # every shingle appears in 1000 (or 334) docs > DF_MAX -> representation
+    # empties out; no quadratic intersection join happens at all
+    assert dedup.ngram_jaccard_pairs(spark, hot_docs_dir).count() == 0
+
+
+def test_embedding_hot_bucket_capped(spark, hot_docs_dir):
+    cap = similarity.K_CAP
+    # identical vectors all collide in every band; mutants (+0.01 on c0)
+    # share the same sign buckets, but the cap keeps only the smallest
+    # K_CAP vec_ids (= originals), so pairs are C(K_CAP, 2), all cosine 1.0
+    got = similarity.embedding_cosine_dups(spark, hot_docs_dir)
+    rows = got.collect()
+    assert len(rows) == cap * (cap - 1) // 2
+    assert all(r["cosine"] >= 0.99 for r in rows)
+    stats = similarity.lsh_bucket_stats(spark, hot_docs_dir).collect()
+    assert all(r["n_dropped"] > 0 for r in stats)
+
+
+def test_caps_above_testdata_maxima(spark, sf_dir):
+    """The guards must be dead code on the synthetic corpus (oracle results
+    unchanged): loudly fail if a testdata regeneration ever crosses them."""
+    lsh = dedup.lsh_drop_stats(spark, sf_dir).collect()
+    assert all(r["n_dropped"] == 0 for r in lsh)
+    assert all(r["max_bucket"] <= dedup.DEDUP_CAP for r in lsh)
+    emb = similarity.lsh_bucket_stats(spark, sf_dir).collect()
+    assert all(r["n_dropped"] == 0 for r in emb)

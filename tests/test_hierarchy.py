@@ -29,6 +29,7 @@ def _oracle_turn(conv_id: str, turn_idx: int, text: str) -> dict:
 
     words = [r for r in rows if int(r["level"]) == 5 and r["text"].strip()]
     word_ids = {}
+    word_texts: dict[tuple, list] = {}
     for r in words:
         k = (int(r["block_num"]), int(r["par_num"]), int(r["line_num"]))
         word_ids.setdefault(k, []).append(
@@ -36,6 +37,7 @@ def _oracle_turn(conv_id: str, turn_idx: int, text: str) -> dict:
                                          int(r["par_num"]), int(r["line_num"]),
                                          int(r["word_num"])))
         )
+        word_texts.setdefault(k, []).append((r["line_no"], r["text"].strip()))
 
     out = {}
     level_ids: dict[str, dict[tuple, list]] = {"word": {k: v for k, v in word_ids.items()}}
@@ -48,6 +50,23 @@ def _oracle_turn(conv_id: str, turn_idx: int, text: str) -> dict:
             level_ids[kind].setdefault(k, []).append(
                 (r["line_no"], kernel.det_id(conv_id, turn_idx, kind, *k))
             )
+    # bottom-up content rollup mirroring the engine: an element's content is
+    # the emit-order join of its children's contents (line = its words)
+    ent: dict[str, list] = {
+        "word": [(o, t, k) for k, lst in word_texts.items() for o, t in lst]
+    }
+    contents: dict[str, dict[int, str]] = {}
+    for kind, lvl, keys, child_kind in reversed(_LEVELS):
+        ent[kind] = []
+        contents[kind] = {}
+        for r in rows:
+            if int(r["level"]) != lvl:
+                continue
+            k = keyed(r, keys)
+            kids = sorted((o, t) for o, t, ck in ent[child_kind] if ck[: len(k)] == k)
+            content = " ".join(t for _, t in kids)
+            ent[kind].append((r["line_no"], content, k))
+            contents[kind][r["line_no"]] = content
     for kind, lvl, keys, child_kind in _LEVELS:
         elems = []
         for r in rows:
@@ -64,6 +83,7 @@ def _oracle_turn(conv_id: str, turn_idx: int, text: str) -> dict:
                     r["line_no"],
                     {
                         "id": kernel.det_id(conv_id, turn_idx, kind, *k),
+                        "content": contents[kind][r["line_no"]],
                         "left": r["left_px"] / pw,
                         "top": r["top_px"] / ph,
                         "width": r["width_px"] / pw,
@@ -97,6 +117,7 @@ def test_hierarchy_matches_oracle(spark, n_turns):
             for he, we in zip(h, w):
                 assert he["id"] == we["id"], (rec.conv_id, rec.turn_idx, col)
                 assert he["child_ids"] == we["child_ids"], (rec.conv_id, rec.turn_idx, col)
+                assert he["content"] == we["content"], (rec.conv_id, rec.turn_idx, col)
                 for f in ("left", "top", "width", "height"):
                     assert repr(he[f]) == repr(we[f]), (rec.conv_id, rec.turn_idx, col, f)
             if w:

@@ -31,6 +31,13 @@ def canon(df: pd.DataFrame) -> list[tuple]:
                 r["conv_id"],
                 int(r["turn_idx"]),
                 r["extracted_text"],
+                # null confidence round-trips as NaN through pandas; the
+                # kernel never emits a genuine NaN (NaN confs are excluded)
+                None
+                if r["confidence"] is None
+                or (isinstance(r["confidence"], float) and math.isnan(r["confidence"]))
+                else _f(float(r["confidence"])),
+                r["lang"],
                 tuple((int(s["start"]), int(s["end"])) for s in r["spans"]),
                 tuple(
                     (w["word_id"], w["text"], _f(float(w["confidence"])),
