@@ -67,6 +67,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_docs": dedup.simhash_docs,
+        # dedup production variants (seeded xxhash64, JVM-side end to end);
+        # deliberately NO oracle_sql twin — the hash values are
+        # engine-specific, so the driver records the weaker rows-only check
+        "minhash_signatures_fast": dedup.minhash_signatures_fast,
+        "lsh_candidate_pairs_fast": dedup.lsh_candidate_pairs_fast,
+        "simhash_docs_fast": dedup.simhash_docs_fast,
         # similarity search
         "array_stats": similarity.array_stats,
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,

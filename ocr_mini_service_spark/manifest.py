@@ -26,7 +26,10 @@ duplicates).
 
 from __future__ import annotations
 
+import contextlib
 import datetime
+import json
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +37,7 @@ from pyspark.sql import functions as F
 
 from .pipeline import extract_fused
 from .schema import EXTRACTED, TRANSCRIPTS
+from .sources import DEFAULT_IO, TableIO
 
 SALT_FACTOR = 32
 
@@ -53,37 +57,41 @@ def bucket_expr(n_buckets: int, salt_factor: int = SALT_FACTOR):
     return F.pmod(F.xxhash64(F.col("conv_id"), salt), F.lit(n_buckets)).cast("int")
 
 
-def read_manifest(spark: SparkSession, output: str) -> DataFrame | None:
+def read_manifest(
+    spark: SparkSession, output: str, io: TableIO = DEFAULT_IO
+) -> DataFrame | None:
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(f"{output}/_manifest")
+        return io.read(spark, f"{output}/_manifest")
     except AnalysisException:
         # no manifest yet (fresh run); corruption raises a different error —
         # it must surface, not silently reset resume bookkeeping
         return None
 
 
-def committed_buckets(spark: SparkSession, output: str) -> set[int]:
-    m = read_manifest(spark, output)
+def committed_buckets(
+    spark: SparkSession, output: str, io: TableIO = DEFAULT_IO
+) -> set[int]:
+    m = read_manifest(spark, output, io=io)
     if m is None:
         return set()
     rows = m.filter(F.col("status") == "completed").select("bucket").distinct().collect()
     return {r["bucket"] for r in rows}
 
 
-def _append_manifest(spark: SparkSession, output: str, rows, schema) -> None:
+def _append_manifest(
+    spark: SparkSession, output: str, rows, schema, io: TableIO = DEFAULT_IO
+) -> None:
     """Append the (one-row-per-bucket, already-collected) manifest delta.
 
     The manifest is driver-sized by construction — one row per bucket — so a
     local filesystem gets a direct pyarrow append (no Spark job for 64 rows);
-    remote filesystems (s3://, hdfs://) go through a single-partition Spark
-    write, which handles the object-store commit."""
+    remote filesystems (s3://, hdfs://) go through a single-partition append
+    via the TableIO seam, which handles the object-store/catalog commit."""
     path = f"{output}/_manifest"
     if "://" in output and not output.startswith("file://"):
-        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
-            "append"
-        ).parquet(path)
+        io.append(spark.createDataFrame(rows, schema=schema).coalesce(1), path)
         return
     import os
     import uuid
@@ -117,6 +125,64 @@ def _append_manifest(spark: SparkSession, output: str, rows, schema) -> None:
     os.replace(tmp, final)
 
 
+@contextlib.contextmanager
+def _emit_progress(spark: SparkSession, output: str, interval: float = 0.5):
+    """Mid-job progress events riding the write action (the SSE
+    ``{type: 'progress', progress, message}`` stream analog,
+    /root/reference/docs/api.md:127-144): a driver-side poller samples the
+    SparkListener-backed status tracker and appends JSON lines to
+    ``_manifest/_progress.jsonl`` (underscore-prefixed → invisible to
+    parquet readers of the manifest).  Local filesystems only — an external
+    monitor on a real cluster reads the Spark UI / event log instead."""
+    if "://" in output and not output.startswith("file://"):
+        yield
+        return
+    local = output[len("file://"):] if output.startswith("file://") else output
+    import os
+
+    os.makedirs(f"{local}/_manifest", exist_ok=True)
+    path = f"{local}/_manifest/_progress.jsonl"
+
+    def _write(payload: dict) -> None:
+        payload["ts"] = time.time()
+        with open(path, "a") as f:
+            f.write(json.dumps(payload) + "\n")
+
+    stop = threading.Event()
+
+    def _poll() -> None:
+        st = spark.sparkContext.statusTracker()
+        while not stop.wait(interval):
+            try:
+                ids = st.getActiveStageIds()
+                done = total = 0
+                for sid in ids:
+                    info = st.getStageInfo(sid)
+                    if info is not None:
+                        done += info.numCompletedTasks
+                        total += info.numTasks
+                _write(
+                    {
+                        "type": "progress",
+                        "active_stages": len(ids),
+                        "tasks_done": done,
+                        "tasks_total": total,
+                        "message": f"{done}/{total} tasks in {len(ids)} active stages",
+                    }
+                )
+            except Exception:
+                return  # context torn down mid-poll
+
+    t = threading.Thread(target=_poll, daemon=True)
+    t.start()
+    try:
+        yield
+    finally:
+        stop.set()
+        t.join(timeout=2)
+        _write({"type": "complete"})
+
+
 def run_with_manifest(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -124,6 +190,7 @@ def run_with_manifest(
     n_buckets: int | None = None,
     resume: bool = False,
     salt_factor: int = SALT_FACTOR,
+    io: TableIO = DEFAULT_IO,
 ) -> dict:
     """Extract all not-yet-committed buckets in one Spark job; append manifest
     rows per bucket after the data commit.  Returns run stats."""
@@ -135,7 +202,7 @@ def run_with_manifest(
     df = transcripts.withColumn("bucket", bucket_expr(n_buckets, salt_factor))
     skipped: set[int] = set()
     if resume:
-        skipped = committed_buckets(spark, output)
+        skipped = committed_buckets(spark, output, io=io)
         if skipped:
             df = df.filter(~F.col("bucket").isin(*[int(b) for b in skipped]))
 
@@ -160,20 +227,21 @@ def run_with_manifest(
         F.sum("n_blocks_dropped").alias("n_words_dropped"),
         F.count("error").alias("n_errors"),
     )
-    (
-        observed.sortWithinPartitions("bucket", "conv_id", "turn_idx")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(output)
-    )
+    with _emit_progress(spark, output):
+        io.write(
+            observed.sortWithinPartitions("bucket", "conv_id", "turn_idx"),
+            output,
+            partition_by=("bucket",),
+            mode="overwrite",
+            dynamic=True,
+        )
     observed_metrics = obs.get
     t_write = time.time() - t0
 
     # Metrics from the committed files (lineage-true), column-pruned scan.
     committed_at = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
     t0 = time.time()
-    back = spark.read.schema(_EXTRACTED_BUCKETED).parquet(output)
+    back = io.read(spark, output, schema=_EXTRACTED_BUCKETED)
     if skipped:
         back = back.filter(~F.col("bucket").isin(*[int(b) for b in skipped]))
     metrics = (
@@ -201,7 +269,7 @@ def run_with_manifest(
     rows = metrics.collect()
     t_metrics = time.time() - t0
     t0 = time.time()
-    _append_manifest(spark, output, rows, metrics.schema)
+    _append_manifest(spark, output, rows, metrics.schema, io=io)
     return {
         "n_turns": int(sum(r["n_turns"] for r in rows)),
         "buckets_done": len({r["bucket"] for r in rows}),
@@ -214,5 +282,7 @@ def run_with_manifest(
     }
 
 
-def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.schema(TRANSCRIPTS).parquet(path)
+def load_transcripts(
+    spark: SparkSession, path: str, io: TableIO = DEFAULT_IO
+) -> DataFrame:
+    return io.read(spark, path, schema=TRANSCRIPTS)

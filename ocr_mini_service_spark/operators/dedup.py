@@ -94,8 +94,18 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 def _docs_with_mutants(spark: SparkSession, sf: str) -> DataFrame:
     """documents ∪ deterministic near-duplicate mutants (first 12 chars
     dropped, id+1_000_000) — guarantees the near-dup operators have real work
-    and real positives to find on the synthetic corpus."""
-    docs = load(spark, sf, "documents").select("doc_id", "text")
+    and real positives to find on the synthetic corpus.
+
+    The input repartition fans the scan out to full parallelism: the small
+    single-file testdata scan yields only 1-2 splits, which would otherwise
+    cap every downstream narrow stage (shingling, hashing) at 2 tasks; at
+    real scale the table has enough splits and the exchange is cheap noise
+    relative to the shingle stages it parallelizes."""
+    docs = (
+        load(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     mutants = docs.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.substring("text", 13, 1_000_000).alias("text"),
@@ -106,11 +116,19 @@ def _docs_with_mutants(spark: SparkSession, sf: str) -> DataFrame:
 def _minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
     """Unordered minhash core (building block).  No orderBy here: a sort
     means a RangePartitioner sampling pass that re-evaluates this whole
-    (shingle+hash) pipeline a second time."""
+    (shingle+hash) pipeline a second time.
+
+    The has-shingles guard is expressed on the RAW text (>= SHINGLE words ⇔
+    non-empty shingle array) rather than as ``size(sh) > 0``: Catalyst pushes
+    filters through exchanges by substituting projection aliases, so a filter
+    on the UDF output would clone the entire shingle+hash evaluation BELOW
+    the input repartition — running it once per row on the unparallelized
+    scan side and again above (measured 2× wall-clock on sf0.1)."""
     corpus = _docs_with_mutants(spark, sf)
-    hashed = corpus.select(
+    has_shingles = F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE
+    hashed = corpus.filter(has_shingles).select(
         "doc_id", _hash_shingles(_shingles()).alias("sh")
-    ).filter(F.size("sh") > 0)
+    )
     cols = [
         F.array_min(
             F.transform("sh", lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MOD)))
@@ -259,6 +277,91 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.6)
         .transform(lambda df: ordered(df, "doc_a", "doc_b"))
     )
+
+
+# ---------------------------------------------------------------------------
+# xxhash64 production variants — the scale path.  The rolling-hash pandas UDF
+# above exists for DuckDB-oracle bit-parity; these keep the identical
+# banding/bucketing architecture but hash shingles with F.xxhash64 (JVM-side,
+# vectorized, zero Python workers in the whole query).  Exposed as rows-only
+# driver queries (hash values are engine-specific by construction, so there
+# is no cross-engine oracle to match — architecture is pinned by the shared
+# capped-bucket machinery and tests/test_dedup_scale.py).
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sigs_fast(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _docs_with_mutants(spark, sf)
+    has_shingles = F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE
+    sh = corpus.filter(has_shingles).select("doc_id", _shingles().alias("sh"))
+    cols = [
+        F.array_min(
+            F.transform("sh", lambda s: F.xxhash64(F.lit(i), s))
+        ).alias(f"m{i}")
+        for i in range(len(MINHASH_AB))
+    ]
+    return sh.select("doc_id", *cols)
+
+
+def minhash_signatures_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures with seeded xxhash64 per hash function — no Python
+    worker anywhere in the plan."""
+    return ordered(_minhash_sigs_fast(spark, sf), "doc_id")
+
+
+def lsh_candidate_pairs_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH banding over the xxhash64 signatures; identical band /
+    capped-bucket / pair-explosion machinery as the oracle-parity variant."""
+    sigs = _minhash_sigs_fast(spark, sf)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_id"), F.col("m0").alias("h1"), F.col("m1").alias("h2")),
+                F.struct(F.lit(1).alias("band_id"), F.col("m2").alias("h1"), F.col("m3").alias("h2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.h1", "b.h2")
+    buckets = (
+        bands.groupBy("band_id", "h1", "h2")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("all_ds"))
+        .select(F.slice("all_ds", 1, DEDUP_CAP).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size("ds")),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return ordered(pairs.select("p.doc_a", "p.doc_b").distinct(), "doc_a", "doc_b")
+
+
+def simhash_docs_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash over xxhash64 shingle hashes (JVM-side end to end)."""
+    corpus = _docs_with_mutants(spark, sf)
+    sh = corpus.select("doc_id", F.explode(_shingles()).alias("s")).filter(F.col("s") != "")
+    h = sh.select("doc_id", F.xxhash64("s").alias("h"))
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(16)
+        ]
+    )
+    fp = None
+    for j in range(16):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return ordered(bit_sums.select("doc_id", fp.cast("long").alias("simhash")), "doc_id")
 
 
 def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:

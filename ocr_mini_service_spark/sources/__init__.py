@@ -1,15 +1,21 @@
-"""Table IO helpers.
+"""Table IO — the storage seam (SURVEY.md §7.1(7)).
 
-Batch scans of the driver testdata star schema (SURVEY.md §2.1 S1): one
-``spark.read.parquet`` per table — an Iceberg catalog slots in here
-(``spark.read.format('iceberg').load(...)``) when its runtime jar is present
-on the cluster; none is bundled with local pyspark, so parquet is the tested
-fallback.
+All scans and table writes in the engine go through a ``TableIO``
+implementation so a catalog-backed format slots in without touching call
+sites.  ``ParquetIO`` is the tested default (plain paths); ``IcebergIO``
+carries the Iceberg call shapes (`spark.read.format('iceberg')`, `writeTo`
+with dynamic partition overwrite) but cannot run here — the
+iceberg-spark-runtime jar is not bundled with local pyspark (verified), so
+it is exercised only as an interface, honestly documented.
+
+The driver testdata star schema (SURVEY.md §2.1 S1) loads through the same
+seam via ``load``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 TABLES = [
     "region",
@@ -25,5 +31,90 @@ TABLES = [
 ]
 
 
+class TableIO:
+    """Read/write seam.  ``location`` is impl-defined: a filesystem path for
+    ParquetIO, a catalog table identifier for IcebergIO."""
+
+    def read(
+        self, spark: SparkSession, location: str, schema: StructType | None = None
+    ) -> DataFrame:
+        raise NotImplementedError
+
+    def write(
+        self,
+        df: DataFrame,
+        location: str,
+        partition_by: tuple[str, ...] = (),
+        mode: str = "overwrite",
+        dynamic: bool = False,
+    ) -> None:
+        raise NotImplementedError
+
+    def append(self, df: DataFrame, location: str) -> None:
+        raise NotImplementedError
+
+
+class ParquetIO(TableIO):
+    """Plain-parquet emulation of an Iceberg table: hive partition dirs +
+    dynamic partition overwrite give the same idempotent-recommit semantics
+    the manifest layer needs."""
+
+    def read(
+        self, spark: SparkSession, location: str, schema: StructType | None = None
+    ) -> DataFrame:
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)  # no inference on the hot path
+        return r.parquet(location)
+
+    def write(
+        self,
+        df: DataFrame,
+        location: str,
+        partition_by: tuple[str, ...] = (),
+        mode: str = "overwrite",
+        dynamic: bool = False,
+    ) -> None:
+        w = df.write.mode(mode)
+        if dynamic:
+            w = w.option("partitionOverwriteMode", "dynamic")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(location)
+
+    def append(self, df: DataFrame, location: str) -> None:
+        df.write.mode("append").parquet(location)
+
+
+class IcebergIO(TableIO):
+    """Iceberg catalog binding (requires iceberg-spark-runtime on the
+    cluster + a configured catalog; NOT runnable in this container — kept as
+    the documented slot-in, same seam, zero call-site changes)."""
+
+    def read(
+        self, spark: SparkSession, location: str, schema: StructType | None = None
+    ) -> DataFrame:
+        return spark.read.format("iceberg").load(location)
+
+    def write(
+        self,
+        df: DataFrame,
+        location: str,
+        partition_by: tuple[str, ...] = (),
+        mode: str = "overwrite",
+        dynamic: bool = False,
+    ) -> None:
+        if dynamic:
+            df.writeTo(location).overwritePartitions()
+        else:
+            df.writeTo(location).using("iceberg").createOrReplace()
+
+    def append(self, df: DataFrame, location: str) -> None:
+        df.writeTo(location).append()
+
+
+DEFAULT_IO: TableIO = ParquetIO()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return DEFAULT_IO.read(spark, f"{sf_dir}/{name}.parquet")

@@ -1,13 +1,25 @@
 """Incremental extraction via Structured Streaming.
 
 The reference is a continuously running service with per-job progress events
-(SSE subjects, /root/reference/src/ocr/image-recognition.service.ts:24,
-310-326).  The Spark re-expression (SURVEY.md §2.8): new transcript files
-arrive in a directory → ``readStream`` → the same fused extraction →
-``foreachBatch`` writes through the batch writer; ``Trigger.AvailableNow``
-drains what exists and stops (resumable drain ≅ the job lifecycle;
-checkpointLocation ≅ the job-status map; StreamingQueryListener/progress ≅
-the SSE progress events).
+and three result-delivery strategies (SSE / webhook / polling —
+/root/reference/src/ocr/image-recognition.service.ts:24, 310-326, 352-385,
+445-482).  The Spark re-expressions (SURVEY.md §2.8):
+
+- new transcript files arrive in a directory → ``readStream`` → the same
+  fused extraction → sink; ``Trigger.AvailableNow`` drains what exists and
+  stops (resumable drain ≅ the job lifecycle; checkpointLocation ≅ the
+  job-status map).
+- **webhook (S8)**: ``on_batch`` plugs an external per-batch callback into a
+  ``foreachBatch`` sink — after each micro-batch's data write, the callback
+  receives ``{batch_id, status, n_turns, n_words_kept, n_words_dropped,
+  n_errors}`` (the ``WebhookPayload`` analog,
+  return-strategy.types.ts:19-25).  Delivery is at-least-once per batch —
+  the same contract as an HTTP POST retry loop; the checkpoint guarantees a
+  completed batch is never re-posted on resume.
+- **SSE (S7)**: ``attach_progress_listener`` registers a
+  ``StreamingQueryListener`` that appends one JSON progress line per
+  micro-batch to a file — the SSE ``{type: 'progress', ...}`` event stream
+  analog (docs/api.md:127-144).
 
 There are no event-time windows or watermarks here because the reference has
 none (jobs are independent units); idempotent per-batch commits are the
@@ -16,7 +28,12 @@ late/duplicate story.
 
 from __future__ import annotations
 
+import json
+import time
+from collections.abc import Callable
+
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..pipeline import extract_fused
 from ..schema import TRANSCRIPTS
@@ -28,24 +45,106 @@ def run_incremental(
     output_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    on_batch: Callable[[dict], None] | None = None,
 ):
     """Drain all unprocessed transcript files into the extracted table.
-    Returns the StreamingQuery (already awaited when available_now)."""
+    Returns the StreamingQuery (already awaited when available_now).
+
+    Without ``on_batch``, the exactly-once parquet file sink is used.  With
+    it, a ``foreachBatch`` sink writes each micro-batch then invokes the
+    callback with the batch's status + metrics (S8 webhook analog; the write
+    itself is append-mode, so the end-to-end guarantee is the documented
+    at-least-once of foreachBatch)."""
     stream = (
         spark.readStream.schema(TRANSCRIPTS)
         .option("maxFilesPerTrigger", 16)
         .parquet(input_dir)
     )
 
-    writer = (
-        extract_fused(stream)
-        .writeStream.option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .format("parquet")
-        .option("path", output_dir)
-    )
+    extracted = extract_fused(stream)
+    if on_batch is None:
+        writer = (
+            extracted.writeStream.option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .format("parquet")
+            .option("path", output_dir)
+        )
+    else:
+
+        def _sink(bdf, batch_id: int) -> None:
+            # one pass for the write, one driver-sized agg for the payload
+            # metrics (mirrors the batch manifest row / webhook body)
+            bdf.persist()
+            try:
+                bdf.write.mode("append").parquet(output_dir)
+                m = bdf.agg(
+                    F.count(F.lit(1)).alias("n_turns"),
+                    F.sum("n_blocks_kept").alias("n_words_kept"),
+                    F.sum("n_blocks_dropped").alias("n_words_dropped"),
+                    F.count("error").alias("n_errors"),
+                ).collect()[0]
+                on_batch(
+                    {
+                        "batch_id": int(batch_id),
+                        "status": "completed",
+                        "n_turns": int(m["n_turns"]),
+                        "n_words_kept": int(m["n_words_kept"] or 0),
+                        "n_words_dropped": int(m["n_words_dropped"] or 0),
+                        "n_errors": int(m["n_errors"]),
+                    }
+                )
+            except Exception as e:  # failure path ≅ webhook status='failed'
+                on_batch({"batch_id": int(batch_id), "status": "failed", "error": str(e)})
+                raise
+            finally:
+                bdf.unpersist()
+
+        writer = (
+            extracted.writeStream.option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .foreachBatch(_sink)
+        )
+
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
         return q
     return writer.trigger(processingTime="10 seconds").start()
+
+
+def attach_progress_listener(spark: SparkSession, progress_path: str):
+    """Register a StreamingQueryListener appending one JSON line per
+    micro-batch progress event (the SSE progress-stream analog).  Returns the
+    listener; pass it to ``spark.streams.removeListener`` when done."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Progress(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:
+            self._emit({"type": "start", "query_id": str(event.id)})
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            self._emit(
+                {
+                    "type": "progress",
+                    "query_id": str(p.id),
+                    "batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "message": f"batch {p.batchId}: {p.numInputRows} rows",
+                }
+            )
+
+        def onQueryTerminated(self, event) -> None:
+            self._emit({"type": "complete", "query_id": str(event.id)})
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def _emit(self, payload: dict) -> None:
+            payload["ts"] = time.time()
+            with open(progress_path, "a") as f:
+                f.write(json.dumps(payload) + "\n")
+
+    listener = _Progress()
+    spark.streams.addListener(listener)
+    return listener

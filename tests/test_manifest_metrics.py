@@ -25,3 +25,14 @@ def test_observed_metrics_match_committed(spark, tmp_path):
     assert man[1] == obs["n_words_kept"]
     assert man[2] == obs["n_words_dropped"]
     assert man[3] == obs["n_errors"]
+
+    # mid-job progress events (SSE analog) rode the write action: at least
+    # one sampled progress row plus the terminal complete row, and the
+    # underscore-prefixed file did not confuse the parquet manifest readers
+    # (the read above succeeded)
+    import json
+
+    with open(f"{out}/_manifest/_progress.jsonl") as f:
+        events = [json.loads(line) for line in f]
+    assert events[-1]["type"] == "complete"
+    assert any(e["type"] == "progress" for e in events)

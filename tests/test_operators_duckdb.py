@@ -47,8 +47,20 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame, name: str):
             assert eq.all(), f"{name}.{col}: mismatch\n{a[~eq].head()}\n{b[~eq].head()}"
 
 
+# engine-specific-hash production variants: no cross-engine oracle exists by
+# construction (seeded xxhash64 values), so the driver records rows-only for
+# these; everything else MUST carry an oracle twin
+ROWS_ONLY = {"minhash_signatures_fast", "lsh_candidate_pairs_fast", "simhash_docs_fast"}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES.keys()))
 def test_query_matches_oracle(spark, sf_dir, name):
+    if name in ROWS_ONLY:
+        assert name not in ORACLES
+        df = QUERIES[name](spark, sf_dir)
+        assert df.count() > 0  # runs, produces rows, stable schema
+        assert df.schema.fieldNames()[0].startswith("doc")
+        return
     assert name in ORACLES, f"{name} missing oracle_sql entry"
     got = QUERIES[name](spark, sf_dir).toPandas()
     want = _duck(sf_dir, ORACLES[name])

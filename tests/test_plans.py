@@ -59,6 +59,18 @@ def test_overlap_anti_join_is_left_anti(spark, sf_dir):
     assert "LeftAnti" in plan, plan
 
 
+def test_cosine_dups_has_no_cross_join_and_scaled_bucket_space(spark, sf_dir):
+    """The near-dup candidate stage must be bucket-grouped, never a product
+    join, and the sign-LSH bucket space must be a config that grows (banded
+    multi-table), not a hard-wired constant."""
+    from ocr_mini_service_spark.operators.similarity import B_BANDS, R_BITS
+
+    plan = formatted_plan(entry.queries()["embedding_cosine_dups"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert B_BANDS * 2**R_BITS >= 1024  # vs the 16-bucket constant of round 1
+
+
 def test_topk_is_take_ordered(spark, sf_dir):
     plan = formatted_plan(entry.queries()["topk_orders"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan

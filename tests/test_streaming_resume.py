@@ -40,6 +40,77 @@ def test_streaming_availablenow_resume(spark, tmp_path, pdfs):
     assert got.select("conv_id", "turn_idx").distinct().count() == len(first) + len(second)
 
 
+def test_foreachbatch_external_sink_and_no_duplicate_posts(spark, tmp_path, pdfs):
+    """S8 webhook analog: the foreachBatch sink posts {batch_id, status,
+    metrics} to a pluggable callback after each batch's data write
+    (image-recognition.service.ts:445-482).  At-least-once delivery, and a
+    checkpoint resume never re-posts a completed batch."""
+    import json
+
+    first, second = pdfs
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spy = tmp_path / "posts.jsonl"
+    os.makedirs(inp)
+
+    def post(payload: dict) -> None:  # local HTTP-POST stand-in (file spy)
+        with open(spy, "a") as f:
+            f.write(json.dumps(payload) + "\n")
+
+    pq.write_table(pa.Table.from_pandas(first, preserve_index=False), f"{inp}/a.parquet")
+    run_incremental(spark, inp, out, ckpt, on_batch=post)
+    posts = [json.loads(line) for line in open(spy)]
+    assert len(posts) >= 1
+    assert all(p["status"] == "completed" for p in posts)
+    assert sum(p["n_turns"] for p in posts) == len(first)
+    assert {"batch_id", "status", "n_turns", "n_words_kept", "n_words_dropped",
+            "n_errors"} <= set(posts[0])
+
+    # drained checkpoint, no new data -> resume must not re-post anything
+    run_incremental(spark, inp, out, ckpt, on_batch=post)
+    assert [json.loads(line) for line in open(spy)] == posts
+
+    # new file -> exactly the delta is posted, rows land in the output
+    pq.write_table(pa.Table.from_pandas(second, preserve_index=False), f"{inp}/b.parquet")
+    run_incremental(spark, inp, out, ckpt, on_batch=post)
+    posts2 = [json.loads(line) for line in open(spy)]
+    assert sum(p["n_turns"] for p in posts2) == len(first) + len(second)
+    got = spark.read.parquet(out)
+    assert got.select("conv_id", "turn_idx").distinct().count() == len(first) + len(second)
+
+
+def test_streaming_progress_listener(spark, tmp_path, pdfs):
+    """S7 SSE analog: a StreamingQueryListener appends one JSON progress
+    event per micro-batch (docs/api.md:127-144 event grammar)."""
+    import json
+
+    from ocr_mini_service_spark.streaming import attach_progress_listener
+
+    first, _ = pdfs
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    progress = str(tmp_path / "events.jsonl")
+    os.makedirs(inp)
+    pq.write_table(pa.Table.from_pandas(first, preserve_index=False), f"{inp}/a.parquet")
+
+    listener = attach_progress_listener(spark, progress)
+    try:
+        run_incremental(spark, inp, out, ckpt)
+        # listener events are delivered asynchronously on the listener bus
+        import time as _t
+
+        for _ in range(40):
+            if os.path.exists(progress) and any(
+                json.loads(line)["type"] == "progress" for line in open(progress)
+            ):
+                break
+            _t.sleep(0.25)
+        events = [json.loads(line) for line in open(progress)]
+        assert any(e["type"] == "start" for e in events)
+        prog = [e for e in events if e["type"] == "progress"]
+        assert prog and prog[0]["num_input_rows"] > 0
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_manifest_partial_then_resume(spark, tmp_path, pdfs):
     """Simulated crash: first run covers only half the buckets (input
     pre-filtered), second run with resume completes the rest; the final table
