@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_docs": dedup.simhash_docs,
+        "dedup_clusters": dedup.dedup_clusters,
         # dedup production variants (seeded xxhash64, JVM-side end to end);
         # deliberately NO oracle_sql twin — the hash values are
         # engine-specific, so the driver records the weaker rows-only check
@@ -119,6 +120,32 @@ hashed AS (
            ) AS sh
     FROM shingled
 )"""
+
+# MinHash-LSH candidate pairs as reusable CTEs (consumed standalone by
+# lsh_candidate_pairs and as the edge list of dedup_clusters' recursive
+# connected-components closure); mirrors dedup._lsh_buckets/_lsh_pairs
+# including the DEDUP_CAP hot-bucket guard (ROW_NUMBER <= cap ≡ sorted slice)
+from ocr_mini_service_spark.operators.dedup import DEDUP_CAP as _DEDUP_CAP
+
+_LSH_PAIR_CTES = f"""
+sigs AS (
+    SELECT doc_id,
+           {", ".join(f"list_min(list_transform(sh, h -> (h * {a} + {b}) % {MOD})) AS m{i}" for i, (a, b) in enumerate(MINHASH_AB))}
+    FROM hashed WHERE len(sh) > 0),
+bands AS (
+    SELECT doc_id, 0 AS band_id, m0 AS h1, m1 AS h2 FROM sigs
+    UNION ALL
+    SELECT doc_id, 1 AS band_id, m2 AS h1, m3 AS h2 FROM sigs),
+ranked AS (
+    SELECT doc_id, band_id, h1, h2,
+           ROW_NUMBER() OVER (PARTITION BY band_id, h1, h2 ORDER BY doc_id) AS rn
+    FROM bands),
+capped AS (SELECT doc_id, band_id, h1, h2 FROM ranked WHERE rn <= {_DEDUP_CAP}),
+lsh_pairs AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM capped l JOIN capped r
+      ON l.band_id = r.band_id AND l.h1 = r.h1 AND l.h2 = r.h2 AND l.doc_id < r.doc_id)"""
+
 
 # ---- banded sign-LSH SQL generation (mirrors similarity._tag_bands:
 # plane p component i = ((i*a_p + b_p) mod 97) - 48, band t owns planes
@@ -367,7 +394,9 @@ SELECT event_id, k FROM (
 WHERE k > 50 ORDER BY event_id""",
         "unbase64_roundtrip": """
 SELECT doc_id,
-       CAST(octet_length(from_base64(to_base64(encode(text)))) AS INT) AS n_bytes
+       CAST(octet_length(from_base64(to_base64(encode(text)))) AS INT) AS n_bytes,
+       substr(decode(from_base64(to_base64(encode(text)))), 1, 12) AS decoded_prefix,
+       CAST(decode(from_base64(to_base64(encode(text)))) = text AS INT) AS roundtrip_ok
 FROM documents ORDER BY doc_id""",
         "hash_key_lineitem": """
 SELECT l_orderkey, l_linenumber,
@@ -449,24 +478,25 @@ SELECT doc_id,
        {", ".join(f"list_min(list_transform(sh, h -> (h * {a} + {b}) % {MOD})) AS m{i}" for i, (a, b) in enumerate(MINHASH_AB))}
 FROM hashed WHERE len(sh) > 0 ORDER BY doc_id""",
         "lsh_candidate_pairs": f"""
-WITH {_CORPUS}, {_SHINGLE_HASHES},
-sigs AS (
-    SELECT doc_id,
-           {", ".join(f"list_min(list_transform(sh, h -> (h * {a} + {b}) % {MOD})) AS m{i}" for i, (a, b) in enumerate(MINHASH_AB))}
-    FROM hashed WHERE len(sh) > 0),
-bands AS (
-    SELECT doc_id, 0 AS band_id, m0 AS h1, m1 AS h2 FROM sigs
+WITH {_CORPUS}, {_SHINGLE_HASHES}, {_LSH_PAIR_CTES}
+SELECT doc_a, doc_b FROM lsh_pairs ORDER BY doc_a, doc_b""",
+        "dedup_clusters": f"""
+WITH RECURSIVE {_CORPUS}, {_SHINGLE_HASHES}, {_LSH_PAIR_CTES},
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
     UNION ALL
-    SELECT doc_id, 1 AS band_id, m2 AS h1, m3 AS h2 FROM sigs),
-ranked AS (
-    SELECT doc_id, band_id, h1, h2,
-           ROW_NUMBER() OVER (PARTITION BY band_id, h1, h2 ORDER BY doc_id) AS rn
-    FROM bands),
-capped AS (SELECT doc_id, band_id, h1, h2 FROM ranked WHERE rn <= {dedup.DEDUP_CAP})
-SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM capped l JOIN capped r
-  ON l.band_id = r.band_id AND l.h1 = r.h1 AND l.h2 = r.h2 AND l.doc_id < r.doc_id
-ORDER BY doc_a, doc_b""",
+    SELECT doc_b AS s, doc_a AS d FROM lsh_pairs),
+-- min-label transitive closure: the component minimum reaches every member
+cc(id, label) AS (
+    SELECT doc_id, doc_id FROM corpus
+    UNION
+    SELECT e.d, cc.label FROM cc JOIN edges e ON e.s = cc.id WHERE cc.label < e.d
+),
+final AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM final GROUP BY cluster_id)
+SELECT f.doc_id, f.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM final f JOIN sizes s USING (cluster_id)
+ORDER BY f.doc_id""",
         "ngram_jaccard_pairs": f"""
 WITH {_CORPUS},
 shingled AS (

@@ -102,7 +102,7 @@ def _session_runs(cores: int, n_timed: int) -> list[float]:
         spark.stop()
 
 
-def _paired_rounds(n_rounds: int = 3) -> tuple[list[float], list[float], list[float]]:
+def _paired_rounds(n_rounds: int = 5) -> tuple[list[float], list[float], list[float]]:
     """Paired N/4N measurement: each round runs local[2] then local[8]
     back-to-back so both sides see the same VM phase (this host's throughput
     drifts ±3x on a minutes scale — unpaired maxima decorrelate and turn the
@@ -130,7 +130,7 @@ def main() -> None:
     # paired rounds for the headline pair, then the curve points
     import statistics
 
-    thr2s, thr8s, ratios = _paired_rounds(3)
+    thr2s, thr8s, ratios = _paired_rounds(5)
     thr2, thr8 = max(thr2s), max(thr8s)
     thr16 = max(_session_runs(16, 2))
     thr32 = max(_session_runs(32, 2))

@@ -195,10 +195,9 @@ def lsh_drop_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH banding: 2 bands × 2 rows; candidate pair ⇔ equal band
-    hash in ≥1 band.  Self-equi-join on (band_id, h1, h2) — bucket join, not
-    an all-pairs product; buckets capped at DEDUP_CAP (see _lsh_buckets)."""
+def _lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Unordered distinct candidate pairs (building block — also the edge
+    list for ``dedup_clusters``)."""
     buckets = _lsh_buckets(spark, sf).filter(F.size("ds") > 1)
     pairs = buckets.select(
         F.explode(
@@ -213,7 +212,62 @@ def lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("p")
     )
-    return ordered(pairs.select("p.doc_a", "p.doc_b").distinct(), "doc_a", "doc_b")
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH banding: 2 bands × 2 rows; candidate pair ⇔ equal band
+    hash in ≥1 band.  Self-equi-join on (band_id, h1, h2) — bucket join, not
+    an all-pairs product; buckets capped at DEDUP_CAP (see _lsh_buckets)."""
+    return ordered(_lsh_pairs(spark, sf), "doc_a", "doc_b")
+
+
+def dedup_clusters(spark: SparkSession, sf: str, max_iter: int = 20) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the LSH
+    candidate-pair graph by iterative min-label propagation (the standard
+    distributed CC shape — each round is one hash join + min-aggregate, all
+    JVM-side; rounds ≈ graph diameter, which for near-dup clusters is tiny).
+    cluster_id = min doc_id of the component; singletons map to themselves.
+
+    The driver-side loop is a fixpoint coordinator, not a data path: per
+    round it reads ONE aggregated long (sum of labels, strictly decreasing
+    until convergence).  ``localCheckpoint`` truncates the iterative lineage
+    so the plan does not double each round.  At 10^12-doc scale swap the
+    propagation for the large-star/small-star variant (fewer rounds on
+    high-diameter graphs); the join/agg skeleton is unchanged."""
+    corpus = _docs_with_mutants(spark, sf)
+    pairs = _lsh_pairs(spark, sf)
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    labels = corpus.select(
+        F.col("doc_id").alias("id"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), "label"
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:  # labels only decrease -> exact fixpoint test
+            break
+        prev_sum = cur_sum
+
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    out = labels.join(sizes, "label").select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+    return ordered(out, "doc_id")
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:

@@ -259,11 +259,16 @@ def from_json_events(spark: SparkSession, sf: str) -> DataFrame:
 
 def unbase64_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """S2 base64 buffer ingest (Buffer.from(image,'base64'),
-    image-recognition.controller.ts:172): decode + byte length."""
+    image-recognition.controller.ts:172) + P10 binary→UTF-8 decode
+    (TextDecoder().decode(symbol.data), code-reader.service.ts:74-77):
+    encode → base64 → unbase64 → decode must round-trip the text."""
     docs = load(spark, sf, "documents")
+    payload = F.unbase64(F.base64(F.encode("text", "utf-8")))
     return docs.select(
         "doc_id",
-        F.octet_length(F.unbase64(F.base64(F.encode("text", "utf-8")))).alias("n_bytes"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.decode(payload, "utf-8").substr(1, 12).alias("decoded_prefix"),
+        (F.decode(payload, "utf-8") == F.col("text")).cast("int").alias("roundtrip_ok"),
     ).orderBy("doc_id")
 
 

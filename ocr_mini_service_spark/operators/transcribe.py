@@ -45,8 +45,15 @@ CODE_TOOL = (
 
 def build_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     """documents → transcripts(conv_id, turn_idx, role, text, tool, ts),
-    one turn per document, fully deterministic, all-native construction."""
-    docs = load(spark, sf, "documents")
+    one turn per document, fully deterministic, all-native construction.
+
+    The repartition fans the single-file testdata scan (1-2 splits) out to
+    full parallelism before the row-fattening TSV construction and the Arrow
+    extraction kernel that consume it; at real scale the input table has
+    enough splits and the thin pre-fattening exchange is noise."""
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     words = F.slice(
         F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " "), 1, MAX_WORDS
     )

@@ -51,3 +51,34 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def env_report(spark: SparkSession) -> dict:
+    """Environment/debug introspection — the ``GET /ocr/debug`` analog
+    (/root/reference/src/ocr/ocr.service.ts:23-92 reports temp dir, engine
+    version, installed languages; here: engine versions, parallelism, the
+    scale-critical confs, and the supported language set)."""
+    import pandas
+    import pyarrow
+
+    from .kernel import SUPPORTED_LANGUAGES
+
+    sc = spark.sparkContext
+    conf_keys = [
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.session.timeZone",
+    ]
+    return {
+        "spark_version": spark.version,
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "python_worker": "arrow",  # no row-at-a-time UDFs anywhere (SURVEY §2.9)
+        "pyarrow_version": pyarrow.__version__,
+        "pandas_version": pandas.__version__,
+        "conf": {k: spark.conf.get(k, None) for k in conf_keys},
+        "languages": sorted(SUPPORTED_LANGUAGES),
+    }

@@ -49,6 +49,19 @@ def test_lsh_hot_bucket_capped(spark, hot_docs_dir):
         assert s["n_dropped"] >= N_DOCS - cap
 
 
+def test_dedup_clusters_hot_bucket_converges(spark, hot_docs_dir):
+    """Connected components over the capped pair graph: the 10³ identical
+    docs resolve to one capped cluster (min-id canonical) in a couple of
+    label-propagation rounds; everything outside the caps stays singleton."""
+    cap = dedup.DEDUP_CAP
+    rows = dedup.dedup_clusters(spark, hot_docs_dir).collect()
+    assert len(rows) == N_DOCS + _n_mutants(N_DOCS)
+    c0 = [r for r in rows if r["cluster_id"] == 0]
+    assert len(c0) == cap and all(r["cluster_size"] == cap for r in c0)
+    singles = [r for r in rows if r["cluster_size"] == 1]
+    assert all(r["cluster_id"] == r["doc_id"] for r in singles)
+
+
 def test_ngram_df_cutoff_drops_stop_shingles(spark, hot_docs_dir):
     # every shingle appears in 1000 (or 334) docs > DF_MAX -> representation
     # empties out; no quadratic intersection join happens at all
