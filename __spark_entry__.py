@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_stats": similarity.array_stats,
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_cosine_dups": similarity.embedding_cosine_dups,
         # multimodal plumbing (SQL-checkable half; decode stub is pytest-only)
         "media_meta_sql": multimodal.media_meta_sql,
@@ -577,6 +578,43 @@ cand AS (
     SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
     FROM bands c JOIN q ON c.band = q.band AND c.bucket = q.bucket
     WHERE q.query_id <> c.vec_id),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           CAST(list_sum(list_transform(generate_series(1, len(qe.embedding)),
+                    i -> CAST(round(CAST(qe.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                       * CAST(round(CAST(ce.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS score
+    FROM cand
+    JOIN embeddings qe ON qe.vec_id = cand.query_id
+    JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+SELECT query_id, rank, neighbor_id, score FROM (
+    SELECT query_id, neighbor_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored) t
+WHERE rank <= {similarity.TOP_K} ORDER BY query_id, rank""",
+        "ann_ivf_topk": f"""
+WITH cent AS (
+    SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+    WHERE vec_id < {similarity.N_CENTROIDS}),
+assign AS (
+    SELECT e.vec_id, c.cid,
+           CAST(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                i -> (CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                    - CAST(round(CAST(c.cemb[i] AS DOUBLE) * 1000) AS BIGINT))
+                   * (CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                    - CAST(round(CAST(c.cemb[i] AS DOUBLE) * 1000) AS BIGINT)))) AS BIGINT) AS d
+    FROM embeddings e CROSS JOIN cent c),
+ranked AS (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM assign),
+lists AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM ranked
+           WHERE vec_id < {similarity.N_QUERIES} AND rn <= {similarity.N_PROBE}),
+cand AS (
+    SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id
+    FROM probes p JOIN lists l ON l.cid = p.cid
+    WHERE l.vec_id <> p.query_id),
 scored AS (
     SELECT cand.query_id, cand.neighbor_id,
            CAST(list_sum(list_transform(generate_series(1, len(qe.embedding)),

@@ -114,6 +114,17 @@ def _pair_qdot(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series((qa * qb).sum(axis=1))
 
 
+@pandas_udf(LongType())
+def _pair_qdist(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact quantized integer squared L2 distance (IVF assignment metric)."""
+    import numpy as np
+
+    qa = np.round(np.stack([np.asarray(v, dtype=np.float64) for v in a]) * 1000).astype(np.int64)
+    qb = np.round(np.stack([np.asarray(v, dtype=np.float64) for v in b]) * 1000).astype(np.int64)
+    d = qa - qb
+    return pd.Series((d * d).sum(axis=1))
+
+
 def _qdot(a, b):
     """Exact integer dot product of two quantized float arrays (native
     Catalyst fold form — used where the pair count is small)."""
@@ -226,11 +237,75 @@ def ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    qemb = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
+    qemb = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
     cemb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v"))
     scored = (
         cands.join(F.broadcast(qemb), "query_id")
         .join(cemb, "neighbor_id")
+        .select("query_id", "neighbor_id", _pair_qdot(F.col("q"), F.col("v")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "score")
+        .transform(lambda df: ordered(df, "query_id", "rank"))
+    )
+
+
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat ANN (the second scale-path family, complementing the banded
+    LSH): a small coarse-quantizer codebook partitions the corpus into
+    inverted lists; a query scores only the lists of its N_PROBE nearest
+    centroids.  At scale the codebook is k-means-trained and broadcast —
+    here the centroids are a deterministic seed subset (vec_id < N_CENTROIDS)
+    so a SQL oracle reproduces the whole structure; the join shapes
+    (broadcast codebook -> assignment, equi-join on list id -> probe) are
+    exactly the production ones.  Assignment metric: exact quantized integer
+    squared L2, tie -> smaller centroid id; scoring: exact integer dot."""
+    emb = load(spark, sf, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    ranked = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            _pair_qdist(F.col("embedding"), F.col("cemb")).alias("d"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+            ),
+        )
+    )
+    lists = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    cands = (
+        lists.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qemb = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    cemb2 = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v"))
+    scored = (
+        cands.join(F.broadcast(qemb), "query_id")
+        .join(cemb2, "neighbor_id")
         .select("query_id", "neighbor_id", _pair_qdot(F.col("q"), F.col("v")).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())

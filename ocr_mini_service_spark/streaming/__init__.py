@@ -91,10 +91,18 @@ def run_incremental(
                         "n_words_kept": int(m["n_words_kept"] or 0),
                         "n_words_dropped": int(m["n_words_dropped"] or 0),
                         "n_errors": int(m["n_errors"]),
+                        "timestamp": time.time(),  # WebhookPayload.timestamp
                     }
                 )
             except Exception as e:  # failure path ≅ webhook status='failed'
-                on_batch({"batch_id": int(batch_id), "status": "failed", "error": str(e)})
+                on_batch(
+                    {
+                        "batch_id": int(batch_id),
+                        "status": "failed",
+                        "error": str(e),
+                        "timestamp": time.time(),
+                    }
+                )
                 raise
             finally:
                 bdf.unpersist()
