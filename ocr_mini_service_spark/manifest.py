@@ -32,7 +32,8 @@ import json
 import threading
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.accumulators import AccumulatorParam
+from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from .pipeline import extract_fused
@@ -42,10 +43,31 @@ from .sources import DEFAULT_IO, TableIO
 SALT_FACTOR = 32
 
 # extracted table + the hive partition column, for inference-free read-back
-from pyspark.sql.types import IntegerType, StructField, StructType  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 _EXTRACTED_BUCKETED = StructType(
     EXTRACTED.fields + [StructField("bucket", IntegerType(), True)]
+)
+
+_MANIFEST_SCHEMA = StructType(
+    [
+        StructField("bucket", IntegerType(), True),
+        StructField("status", StringType(), False),
+        StructField("n_turns", LongType(), False),
+        StructField("n_words_kept", LongType(), True),
+        StructField("n_words_dropped", LongType(), True),
+        StructField("n_errors", LongType(), False),
+        StructField("error", StringType(), True),
+        StructField("started_at", TimestampType(), False),
+        StructField("committed_at", TimestampType(), False),
+    ]
 )
 
 
@@ -183,6 +205,20 @@ def _emit_progress(spark: SparkSession, output: str, interval: float = 0.5):
         _write({"type": "complete"})
 
 
+class _BucketMetricsParam(AccumulatorParam):
+    """dict[bucket -> (n_turns, n_words_kept, n_words_dropped, n_errors)]
+    merged by element-wise sum."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, t in b.items():
+            cur = a.get(k)
+            a[k] = t if cur is None else tuple(x + y for x, y in zip(cur, t))
+        return a
+
+
 def run_with_manifest(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -191,11 +227,26 @@ def run_with_manifest(
     resume: bool = False,
     salt_factor: int = SALT_FACTOR,
     io: TableIO = DEFAULT_IO,
+    metrics_source: str = "accumulator",
 ) -> dict:
     """Extract all not-yet-committed buckets in one Spark job; append manifest
-    rows per bucket after the data commit.  Returns run stats."""
+    rows per bucket after the data commit.  Returns run stats.
+
+    ``metrics_source`` selects how per-bucket manifest metrics are obtained:
+
+    - ``"accumulator"`` (default, the 100 TB path): tallied task-side inside
+      the extraction kernel and merged on the driver — zero extra Spark jobs,
+      nothing re-read.  Exactly-once: the updates ride the one write action,
+      and Spark applies each successful task's accumulator contribution once
+      (restarted tasks don't double-count within an action).
+    - ``"readback"``: aggregated from the committed files themselves
+      (column-pruned second scan) — lineage-true cross-check; at 100 TB the
+      re-scan is the cost.  tests/test_manifest_metrics.py asserts both
+      derivations agree with the observed metrics and with each other."""
     if n_buckets is None:
         n_buckets = 2 * spark.sparkContext.defaultParallelism
+    if metrics_source not in ("accumulator", "readback"):
+        raise ValueError(f"unknown metrics_source: {metrics_source!r}")
 
     started_at = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
 
@@ -213,7 +264,14 @@ def run_with_manifest(
     # writer does not insert its own partition-column sort).
     t0 = time.time()
     df = df.repartition(n_buckets, "bucket")
-    extracted = extract_fused(df).withColumn("bucket", bucket_expr(n_buckets, salt_factor))
+    accum = (
+        spark.sparkContext.accumulator({}, _BucketMetricsParam())
+        if metrics_source == "accumulator"
+        else None
+    )
+    extracted = extract_fused(df, bucket_accum=accum).withColumn(
+        "bucket", bucket_expr(n_buckets, salt_factor)
+    )
     # task-side observed metrics riding the write action (zero extra jobs) —
     # the analog of the reference's SSE progress events
     # (image-recognition.service.ts:310-312; SURVEY.md §2.1 S7 / §2.4 A3)
@@ -238,38 +296,60 @@ def run_with_manifest(
     observed_metrics = obs.get
     t_write = time.time() - t0
 
-    # Metrics from the committed files (lineage-true), column-pruned scan.
     committed_at = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
     t0 = time.time()
-    back = io.read(spark, output, schema=_EXTRACTED_BUCKETED)
-    if skipped:
-        back = back.filter(~F.col("bucket").isin(*[int(b) for b in skipped]))
-    metrics = (
-        back.groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_turns"),
-            F.sum("n_blocks_kept").cast("long").alias("n_words_kept"),
-            F.sum("n_blocks_dropped").cast("long").alias("n_words_dropped"),
-            F.count("error").alias("n_errors"),
+    if accum is not None:
+        # Task-side tallies, merged driver-side by the accumulator — zero
+        # extra jobs, nothing re-read (the 100 TB path).
+        rows = [
+            Row(
+                bucket=int(b),
+                status="completed",
+                n_turns=int(m[0]),
+                n_words_kept=int(m[1]),
+                n_words_dropped=int(m[2]),
+                n_errors=int(m[3]),
+                error=None,
+                # tz-aware: _append_manifest treats NAIVE stamps as host-local
+                # (the collect() convention); these are UTC instants
+                started_at=started_at.replace(tzinfo=datetime.timezone.utc),
+                committed_at=committed_at.replace(tzinfo=datetime.timezone.utc),
+            )
+            for b, m in sorted(accum.value.items())
+        ]
+        manifest_schema = _MANIFEST_SCHEMA
+    else:
+        # Metrics from the committed files (lineage-true), column-pruned scan.
+        back = io.read(spark, output, schema=_EXTRACTED_BUCKETED)
+        if skipped:
+            back = back.filter(~F.col("bucket").isin(*[int(b) for b in skipped]))
+        metrics = (
+            back.groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_turns"),
+                F.sum("n_blocks_kept").cast("long").alias("n_words_kept"),
+                F.sum("n_blocks_dropped").cast("long").alias("n_words_dropped"),
+                F.count("error").alias("n_errors"),
+            )
+            .select(
+                "bucket",
+                F.lit("completed").alias("status"),
+                "n_turns",
+                "n_words_kept",
+                "n_words_dropped",
+                "n_errors",
+                F.lit(None).cast("string").alias("error"),
+                F.lit(started_at).alias("started_at"),
+                F.lit(committed_at).alias("committed_at"),
+            )
         )
-        .select(
-            "bucket",
-            F.lit("completed").alias("status"),
-            "n_turns",
-            "n_words_kept",
-            "n_words_dropped",
-            "n_errors",
-            F.lit(None).cast("string").alias("error"),
-            F.lit(started_at).alias("started_at"),
-            F.lit(committed_at).alias("committed_at"),
-        )
-    )
-    # collect the (tiny: one row per bucket) metrics once, then append them
-    # from the driver — one metrics job total, no re-read of the manifest
-    rows = metrics.collect()
+        # collect the (tiny: one row per bucket) metrics once, then append
+        # them from the driver — one metrics job total, no manifest re-read
+        rows = metrics.collect()
+        manifest_schema = metrics.schema
     t_metrics = time.time() - t0
     t0 = time.time()
-    _append_manifest(spark, output, rows, metrics.schema, io=io)
+    _append_manifest(spark, output, rows, manifest_schema, io=io)
     return {
         "n_turns": int(sum(r["n_turns"] for r in rows)),
         "buckets_done": len({r["bucket"] for r in rows}),

@@ -53,7 +53,7 @@ def _arrow_extracted_schema():
                       for f in EXTRACTED.fields])
 
 
-def _fused_arrow_batches(batches):
+def _fused_arrow_batches(batches, bucket_accum=None):
     """Arrow-native kernel driver: RecordBatch in → RecordBatch out.
 
     Emitting the result directly as pyarrow arrays (typed, columnar) bypasses
@@ -61,7 +61,11 @@ def _fused_arrow_batches(batches):
     output schema (arrays of word/span/code structs) — measured 2-3× the
     kernel cost itself on the 32-core build machine.  The pass-through key
     columns (conv_id, turn_idx) are reused from the input batch zero-copy
-    instead of being rebuilt from Python values."""
+    instead of being rebuilt from Python values.
+
+    When ``bucket_accum`` is given (and the input batch carries a ``bucket``
+    column), per-bucket extraction metrics are tallied task-side into the
+    accumulator — see ``extract_fused``."""
     import pyarrow as pa
 
     schema = _arrow_extracted_schema()
@@ -84,6 +88,17 @@ def _fused_arrow_batches(batches):
                 langs,
             )
         ]
+        if bucket_accum is not None and "bucket" in in_names:
+            agg: dict[int, list] = {}
+            for b, r in zip(batch.column("bucket").to_pylist(), rows):
+                m = agg.get(b)
+                if m is None:
+                    m = agg[b] = [0, 0, 0, 0]
+                m[0] += 1
+                m[1] += r["n_blocks_kept"]
+                m[2] += r["n_blocks_dropped"]
+                m[3] += 1 if r["error"] is not None else 0
+            bucket_accum.add({b: tuple(m) for b, m in agg.items()})
         arrays = []
         for name, typ in zip(_EXTRACTED_COLS, types):
             if name == "conv_id" and conv_col.type == typ:
@@ -95,7 +110,7 @@ def _fused_arrow_batches(batches):
         yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 
-def extract_fused(transcripts: DataFrame) -> DataFrame:
+def extract_fused(transcripts: DataFrame, bucket_accum=None) -> DataFrame:
     """transcripts → extracted, one Arrow-batched pass (mapInArrow).
 
     Input columns are pruned manually to (conv_id, turn_idx, text, tool)
@@ -103,12 +118,26 @@ def extract_fused(transcripts: DataFrame) -> DataFrame:
     request-body ``language`` option, controller:101-128) when present,
     because Catalyst cannot prune inside an arrow/pandas UDF (SURVEY.md §4.1).
     Row order within each partition is preserved (narrow, order-stable op), so
-    an input-side sort survives to the output files."""
+    an input-side sort survives to the output files.
+
+    ``bucket_accum`` (optional): a dict-valued Spark accumulator; when given
+    and the input has a ``bucket`` column, each task adds
+    ``{bucket: (n_turns, n_words_kept, n_words_dropped, n_errors)}`` as it
+    extracts — per-bucket manifest metrics with NO second scan of the
+    committed output (the 100 TB path; see manifest.run_with_manifest).
+    Updates ride the single write action, so Spark applies each successful
+    task's contribution exactly once (restarted tasks do not double-count)."""
     cols = ["conv_id", "turn_idx", "text", "tool"]
     if "lang" in transcripts.columns:
         cols.append("lang")
+    if bucket_accum is not None and "bucket" in transcripts.columns:
+        cols.append("bucket")
     pruned = transcripts.select(*cols)
-    return pruned.mapInArrow(_fused_arrow_batches, schema=EXTRACTED)
+
+    def fn(batches):
+        return _fused_arrow_batches(batches, bucket_accum=bucket_accum)
+
+    return pruned.mapInArrow(fn, schema=EXTRACTED)
 
 
 # ---------------------------------------------------------------------------

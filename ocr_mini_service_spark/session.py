@@ -26,9 +26,14 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] → N; local[*] → cpu count
+        # local[N] → N; local[*] → cpu count;
+        # local-cluster[workers,cores,mem] → workers*cores
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
-        shuffle_partitions = cpus if inner in ("*", "") else int(inner)
+        if "," in inner:
+            workers, cores_per, _ = inner.split(",")
+            shuffle_partitions = int(workers) * int(cores_per)
+        else:
+            shuffle_partitions = cpus if inner in ("*", "") else int(inner)
 
     b = (
         SparkSession.builder.appName(app_name)
