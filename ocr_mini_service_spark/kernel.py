@@ -90,9 +90,11 @@ def js_parse_int(s: str) -> float:
 
     Fast path: CPython's int() accepts exactly the sign+digits(+surrounding
     whitespace) inputs on which it agrees with parseInt — except numeric
-    underscores ("1_0" → 10 vs parseInt 1), so those take the slow path."""
+    underscores ("1_0" → 10 vs parseInt 1) and non-ASCII digits
+    (int("١٢") == 12 where parseInt gives NaN), so those take the slow
+    path."""
     try:
-        if "_" not in s:
+        if "_" not in s and s.isascii():
             return float(int(s))
     except ValueError:
         pass
@@ -226,29 +228,31 @@ def parse_tsv_words(tsv_content: str) -> list[dict]:
         page_w, page_h = 0.0, 0.0
 
     words: list[dict] = []
+    jpi, jdiv = js_parse_int, js_div  # local binds — hot loop
     for line in data_lines:
         columns = line.split("\t")
         if len(columns) < 12:  # parse-tsv-output.function.ts:151-154
             continue
-        if js_parse_int(columns[0]) != 5:
+        # canonical "5" short-circuit (jpi("5") == 5.0 exactly)
+        if columns[0] != "5" and jpi(columns[0]) != 5:
             continue
         text = columns[11]
         t = text.strip()
         if not t:  # level-5 + non-blank filter (:173)
             continue
-        top = js_div(js_parse_int(columns[7]), page_h)
-        height = js_div(js_parse_int(columns[9]), page_h)
+        top = jdiv(jpi(columns[7]), page_h)
+        height = jdiv(jpi(columns[9]), page_h)
         words.append(
             {
-                "block_num": int(js_parse_int(columns[2])),
-                "par_num": int(js_parse_int(columns[3])),
-                "line_num": int(js_parse_int(columns[4])),
-                "word_num": int(js_parse_int(columns[5])),
-                "left": js_div(js_parse_int(columns[6]), page_w),
+                "block_num": int(jpi(columns[2])),
+                "par_num": int(jpi(columns[3])),
+                "line_num": int(jpi(columns[4])),
+                "word_num": int(jpi(columns[5])),
+                "left": jdiv(jpi(columns[6]), page_w),
                 "top": top,
-                "width": js_div(js_parse_int(columns[8]), page_w),
+                "width": jdiv(jpi(columns[8]), page_w),
                 "height": height,
-                "conf": js_parse_int(columns[10]) / 100.0,
+                "conf": jpi(columns[10]) / 100.0,
                 "text": t,
                 "baseline": calculate_baseline(t, top, height),
             }
@@ -397,21 +401,28 @@ def extract_turn(
         pos += len(t)
     extracted_text = " ".join(parts)
 
-    out_words = [
-        {
-            "word_id": det_id(
-                conv_id, turn_idx, w["block_num"], w["par_num"], w["line_num"], w["word_num"]
-            ),
-            "text": w["text"],
-            "confidence": w["conf"],
-            "left": w["left"],
-            "top": w["top"],
-            "width": w["width"],
-            "height": w["height"],
-            "baseline": w["baseline"],
-        }
-        for w in kept
-    ]
+    # det_id fast path: sha256 of the shared "conv|turn|" prefix is hashed
+    # once and copy()d per word — identical digests to det_id(conv_id,
+    # turn_idx, block, par, line, word), one hash-update over the same bytes
+    base_h = hashlib.sha256(f"{conv_id}|{turn_idx}|".encode("utf-8"))
+    out_words = []
+    for w in kept:
+        h = base_h.copy()
+        h.update(
+            f"{w['block_num']}|{w['par_num']}|{w['line_num']}|{w['word_num']}".encode("utf-8")
+        )
+        out_words.append(
+            {
+                "word_id": h.hexdigest()[:16],
+                "text": w["text"],
+                "confidence": w["conf"],
+                "left": w["left"],
+                "top": w["top"],
+                "width": w["width"],
+                "height": w["height"],
+                "baseline": w["baseline"],
+            }
+        )
     out_codes = [
         {
             "code_id": det_id(conv_id, turn_idx, "code", i),

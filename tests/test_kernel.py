@@ -44,6 +44,12 @@ def test_js_parse_int():
     assert math.isnan(js_parse_int(""))
     assert math.isnan(js_parse_int("abc"))
     assert js_parse_int("12.9") == 12  # parseInt truncates at '.'
+    # JS parseInt only consumes ASCII digits; CPython's int() accepts
+    # unicode digits ("١٢" == 12) and underscores ("1_0" == 10) — both must
+    # take the slow path and match parseInt
+    assert math.isnan(js_parse_int("١٢"))
+    assert js_parse_int("1_0") == 1
+    assert js_parse_int("3٢") == 3  # ASCII prefix then non-ASCII digit stops
 
 
 def test_js_div():
