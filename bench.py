@@ -46,8 +46,11 @@ os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
-BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "600000"))
-WARM_TURNS = 100_000
+# 400k turns: ~100 s per 1-executor timed run — long enough that the ~2 s
+# per-run fixed cost is noise, short enough that a 3-round ABBA protocol
+# (6 one-executor sessions) fits the per-round bench budget
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "400000"))
+WARM_TURNS = 40_000
 DATA = os.environ.get(
     "SPARK_GRAFT_BENCH_DATA", f"/tmp/spark_graft_bench/ds{BENCH_TURNS}"
 )

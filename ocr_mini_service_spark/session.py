@@ -16,6 +16,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+def infer_shuffle_partitions(master: str, cpus: int) -> int:
+    """Total task slots implied by a master URL: local[N] → N; local[*] →
+    cpu count; local-cluster[workers,cores,mem] → workers*cores; anything
+    else (a real cluster URL) → cpus (overridden per-job via spark-submit)."""
+    inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+    if "," in inner:
+        workers, cores_per, _ = inner.split(",")
+        return int(workers) * int(cores_per)
+    if inner in ("*", "") or not inner.isdigit():
+        return cpus
+    return int(inner)
+
+
 def get_spark(
     app_name: str = "ocr-mini-service-spark",
     master: str | None = None,
@@ -26,14 +39,7 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] → N; local[*] → cpu count;
-        # local-cluster[workers,cores,mem] → workers*cores
-        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
-        if "," in inner:
-            workers, cores_per, _ = inner.split(",")
-            shuffle_partitions = int(workers) * int(cores_per)
-        else:
-            shuffle_partitions = cpus if inner in ("*", "") else int(inner)
+        shuffle_partitions = infer_shuffle_partitions(master, cpus)
 
     b = (
         SparkSession.builder.appName(app_name)
