@@ -232,9 +232,16 @@ def dedup_clusters(spark: SparkSession, sf: str, max_iter: int = 20) -> DataFram
     The driver-side loop is a fixpoint coordinator, not a data path: per
     round it reads ONE aggregated long (sum of labels, strictly decreasing
     until convergence).  ``localCheckpoint`` truncates the iterative lineage
-    so the plan does not double each round.  At 10^12-doc scale swap the
-    propagation for the large-star/small-star variant (fewer rounds on
-    high-diameter graphs); the join/agg skeleton is unchanged."""
+    so the plan does not double each round.
+
+    Scale shape: the iteration runs over the EDGE-INCIDENT subgraph only —
+    a node with no candidate pair can never change label, so singletons
+    (the overwhelming majority of a deduped corpus) never ride through the
+    per-round shuffles; they are joined back once at the end with
+    cluster_id = doc_id, size = 1.  Per-round cost is O(E), not O(V).  At
+    10^12-doc scale swap the propagation for the large-star/small-star
+    variant (fewer rounds on high-diameter graphs); the join/agg skeleton
+    is unchanged."""
     corpus = _docs_with_mutants(spark, sf)
     pairs = _lsh_pairs(spark, sf)
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -242,9 +249,12 @@ def dedup_clusters(spark: SparkSession, sf: str, max_iter: int = 20) -> DataFram
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
 
-    labels = corpus.select(
-        F.col("doc_id").alias("id"), F.col("doc_id").alias("label")
-    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         prop = edges.join(labels, edges.src == labels.id).select(
@@ -262,10 +272,15 @@ def dedup_clusters(spark: SparkSession, sf: str, max_iter: int = 20) -> DataFram
         prev_sum = cur_sum
 
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    out = labels.join(sizes, "label").select(
+    clustered = labels.join(sizes, "label").select(
         F.col("id").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        "cluster_size",
+        F.col("label").alias("cid"),
+        F.col("cluster_size").alias("csz"),
+    )
+    out = corpus.select("doc_id").join(clustered, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cid", F.col("doc_id")).alias("cluster_id"),
+        F.coalesce("csz", F.lit(1)).cast("long").alias("cluster_size"),
     )
     return ordered(out, "doc_id")
 
