@@ -16,7 +16,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ocr_mini_service_spark.kernel import DESCENDER_REGEX
-from ocr_mini_service_spark.operators import dedup, multimodal, similarity, text, tpch, transcribe
+from ocr_mini_service_spark.operators import (
+    corpus,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+    tpch,
+    transcribe,
+)
 from ocr_mini_service_spark.operators.dedup import BASE, MINHASH_AB, MOD
 from ocr_mini_service_spark.operators.similarity import B_BANDS, K_CAP, R_BITS, plane_params
 from ocr_mini_service_spark.operators.text import BPE_ISH, DE_STOPWORDS, EN_STOPWORDS, FP_BASE, FP_MOD
@@ -61,6 +69,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": text.quality_score,
         "token_count": text.token_count,
         "doc_fingerprint": text.doc_fingerprint,
+        # corpus curation
+        "repetition_stats": corpus.repetition_stats,
+        "heavy_hitters": corpus.heavy_hitters,
+        "tfidf_topterms": corpus.tfidf_topterms,
+        "sample_split": corpus.sample_split,
+        "stratified_sample": corpus.stratified_sample,
+        "pii_redact": corpus.pii_redact,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
@@ -469,6 +484,94 @@ SELECT doc_id,
                           i -> CAST(ascii(text[i]) AS BIGINT)),
            (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD}) AS fp
 FROM documents ORDER BY doc_id""",
+        # ---------------- corpus curation ----------------------------------
+        "repetition_stats": """
+WITH base AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+stats AS (
+    SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct,
+           list_transform(generate_series(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1]) AS grams
+    FROM base),
+gc AS (
+    SELECT doc_id, unnest(grams) AS gram FROM stats),
+counts AS (
+    SELECT doc_id, gram, COUNT(*) AS n FROM gc GROUP BY doc_id, gram),
+top AS (
+    SELECT doc_id, gram, n FROM (
+        SELECT doc_id, gram, n,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, gram ASC) AS rn
+        FROM counts) t WHERE rn = 1)
+SELECT s.doc_id,
+       CAST(s.n_words AS INT) AS n_words,
+       round(1 - CAST(s.n_distinct AS DOUBLE) / s.n_words, 4) AS dup_word_frac,
+       t.gram AS top_2gram,
+       round(CAST(t.n AS DOUBLE) / (s.n_words - 1), 4) AS top_2gram_frac
+FROM stats s JOIN top t ON s.doc_id = t.doc_id
+ORDER BY s.doc_id""",
+        "heavy_hitters": f"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+counts AS (
+    SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY token)
+SELECT token, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS rank
+FROM counts ORDER BY n DESC, token ASC LIMIT {corpus.N_HITTERS}""",
+        "tfidf_topterms": f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+    FROM documents),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM toks
+    WHERE token <> '' GROUP BY doc_id, token),
+df AS (
+    SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+    WHERE token <> '' GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           round(CAST(tf.tf * n.n_docs AS DOUBLE) / df.df, 4) AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+SELECT doc_id, rank, token, tf, df, tfidf FROM (
+    SELECT doc_id, token, tf, df, tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, token ASC) AS INT) AS rank
+    FROM scored) t
+WHERE rank <= {corpus.TOP_TERMS} ORDER BY doc_id, rank""",
+        "sample_split": f"""
+WITH b AS (
+    SELECT doc_id,
+           CAST((instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text)), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text)), 2, 1)) - 1)
+              AS INT) AS bucket
+    FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {corpus.TRAIN_UPTO} THEN 'train'
+            WHEN bucket < {corpus.VAL_UPTO} THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id""",
+        "stratified_sample": f"""
+SELECT lang, source, doc_id, CAST(rn AS INT) AS rn FROM (
+    SELECT lang, source, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang, source
+                              ORDER BY md5(text), doc_id) AS rn
+    FROM documents) t
+WHERE rn <= {corpus.STRATUM_K} ORDER BY lang, source, rn""",
+        "pii_redact": f"""
+WITH dec AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS decorated
+    FROM documents),
+red AS (
+    SELECT doc_id, decorated,
+           regexp_replace(regexp_replace(decorated, '{corpus.EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{corpus.PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM dec)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(decorated, '{corpus.EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(length(regexp_extract_all(decorated, '{corpus.PHONE_RE}')) AS INT) AS n_phones,
+       substr(redacted, length(redacted) - 39, 40) AS redacted_tail
+FROM red ORDER BY doc_id""",
         # ---------------- dedup --------------------------------------------
         "dedup_exact": """
 SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

@@ -1,0 +1,212 @@
+"""Corpus-curation operators for a large-scale training-data pipeline:
+repetition filtering signals, vocabulary heavy hitters, TF-IDF key terms,
+deterministic train/val/test splitting, stratified sampling, and PII
+redaction.  All JVM-side (built-in functions, whole-stage codegen) — no
+Python anywhere; every operator has a DuckDB oracle.
+
+Scale notes: every groupBy here is keyed (token / doc_id / stratum) with
+map-side partial aggregation; per-doc top-k goes through a window on the
+doc_id shuffle key, global top-k through TakeOrderedAndProject.  Nothing
+collects to the driver and nothing is quadratic in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import ordered
+from ..sources import load
+
+# train/val/test thresholds over the 256 md5-derived buckets (~80/10/10)
+TRAIN_UPTO = 205
+VAL_UPTO = 230
+STRATUM_K = 5  # docs kept per (lang, source) stratum
+TOP_TERMS = 3  # TF-IDF terms kept per doc
+N_HITTERS = 20  # global heavy-hitter vocabulary size
+
+# synthetic-PII decoration + redaction patterns (kept to constructs with
+# identical semantics in Java regex and RE2 so the oracle matches exactly)
+EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def _words(col: str = "text"):
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of word
+    occurrences that are repeats (1 - distinct/total) and the share of the
+    most frequent 2-gram — the standard duplicate-content quality gates for
+    training corpora.  Ties on the top 2-gram break to the lexicographically
+    smallest (deterministic)."""
+    docs = load(spark, sf, "documents")
+    w = _words()
+    base = docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ).alias("grams"),
+    )
+    gram_counts = (
+        base.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("n"))
+    )
+    top = gram_counts.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("gram"))
+        ),
+    ).filter(F.col("rn") == 1)
+    out = base.join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.round(1 - F.col("n_distinct") / F.col("n_words"), 4).alias("dup_word_frac"),
+        F.col("gram").alias("top_2gram"),
+        F.round(F.col("n") / (F.col("n_words") - 1), 4).alias("top_2gram_frac"),
+    )
+    return ordered(out, "doc_id")
+
+
+def heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-N vocabulary tokens by occurrence count (two-stage
+    aggregation: map-side partial counts per token, one shuffle on the token
+    key, then TakeOrderedAndProject for the top N — no global sort)."""
+    docs = load(spark, sf, "documents")
+    counts = (
+        docs.select(F.explode(_words()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(N_HITTERS)
+    return ordered(
+        top.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))),
+        ),
+        "rank",
+    )
+
+
+def tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-K terms by TF·IDF with the linear idf variant
+    N/df (rational arithmetic — one IEEE division on exact integers, so the
+    DuckDB oracle matches bit-for-bit; ln-based idf would hinge on libm).
+    tf and df come from two keyed aggregations; N rides in as a broadcast
+    scalar (no driver round-trip)."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_words())).alias("token")
+    ).filter(F.col("token") != "")
+    all_toks = docs.select("doc_id", F.explode(_words()).alias("token")).filter(
+        F.col("token") != ""
+    )
+    tf = all_toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.col("n_docs") / F.col("df"), 4).alias("tfidf"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.desc("tfidf"), F.asc("token")
+            )
+        ),
+    ).filter(F.col("rank") <= TOP_TERMS)
+    return ordered(
+        ranked.select("doc_id", "rank", "token", "tf", "df", "tfidf"),
+        "doc_id",
+        "rank",
+    )
+
+
+def _md5_bucket(expr):
+    """First md5 byte as an int in [0, 256) via hex-digit position — the
+    only content-hash-to-int construction expressible identically in Spark
+    SQL and DuckDB (no conv/from_hex dependency)."""
+    h = F.md5(expr)
+    hexd = F.lit("0123456789abcdef")
+    d1 = F.instr(hexd, F.substring(h, 1, 1)) - 1
+    d2 = F.instr(hexd, F.substring(h, 2, 1)) - 1
+    return (d1 * 16 + d2).cast("int")
+
+
+def sample_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic content-hash train/val/test assignment (~80/10/10):
+    bucket = first md5 byte of 'doc_id:text'.  Reproducible across runs,
+    clusters, and engines — the property a training pipeline needs so a
+    re-run never migrates documents between splits."""
+    docs = load(spark, sf, "documents")
+    bucket = _md5_bucket(F.concat_ws(":", F.col("doc_id"), F.col("text")))
+    out = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_UPTO, "train")
+        .when(bucket < VAL_UPTO, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return ordered(out, "doc_id")
+
+
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: the K docs with the smallest
+    content hash per (lang, source) stratum — one window over the stratum
+    shuffle key; every stratum is represented regardless of its share of
+    the corpus (uniform hash sampling would starve small strata)."""
+    docs = load(spark, sf, "documents")
+    ranked = docs.select(
+        "lang", "source", "doc_id", F.md5("text").alias("h")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang", "source").orderBy("h", "doc_id")
+        ),
+    )
+    out = ranked.filter(F.col("rn") <= STRATUM_K).select(
+        "lang", "source", "doc_id", "rn"
+    )
+    return ordered(out, "lang", "source", "rn")
+
+
+def pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over a deterministically decorated corpus: each doc
+    gets a synthetic email + phone appended (the testdata carries none), then
+    both are regex-redacted and counted.  Patterns are restricted to
+    constructs with identical Java-regex/RE2 semantics so the oracle matches
+    the redacted text exactly."""
+    docs = load(spark, sf, "documents")
+    decorated = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(decorated, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    out = docs.select(
+        "doc_id",
+        F.regexp_count(decorated, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(decorated, F.lit(PHONE_RE)).alias("n_phones"),
+        F.substring(redacted, F.length(redacted) - 39, 40).alias("redacted_tail"),
+    )
+    return ordered(out, "doc_id")
