@@ -43,20 +43,37 @@ def repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     training corpora.  Ties on the top 2-gram break to the lexicographically
     smallest (deterministic)."""
     docs = load(spark, sf, "documents")
-    w = _words()
-    base = docs.select(
+    # staged projections, deliberately: (1) materialize the words array —
+    # referencing the split() EXPRESSION from inside the gram lambda would
+    # inline a full re-split per element_at call (O(words²) per doc,
+    # measured 4×); (2) compute the per-doc scalars BEFORE the explode —
+    # selected next to a generator they would re-evaluate once per gram
+    # row, not once per doc.  CollapseProject leaves both stages alone
+    # (multi-use non-cheap aliases).  The scalars then ride through the
+    # explode as extra groupBy keys (constant per doc_id — no new groups).
+    wdocs = docs.select("doc_id", _words().alias("w"))
+    scalars = wdocs.select(
         "doc_id",
-        F.size(w).alias("n_words"),
-        F.size(F.array_distinct(w)).alias("n_distinct"),
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-        ).alias("grams"),
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        "w",
     )
-    gram_counts = (
-        base.select("doc_id", F.explode("grams").alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("n"))
+    wc = F.col("w")
+    exploded = scalars.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(wc) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(wc, i), F.element_at(wc, i + 1)
+                ),
+            )
+        ).alias("gram"),
+    )
+    gram_counts = exploded.groupBy("doc_id", "n_words", "n_distinct", "gram").agg(
+        F.count("*").alias("n")
     )
     top = gram_counts.withColumn(
         "rn",
@@ -64,7 +81,7 @@ def repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
             Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("gram"))
         ),
     ).filter(F.col("rn") == 1)
-    out = base.join(top, "doc_id").select(
+    out = top.select(
         "doc_id",
         "n_words",
         F.round(1 - F.col("n_distinct") / F.col("n_words"), 4).alias("dup_word_frac"),

@@ -126,7 +126,7 @@ def _minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
     scan side and again above (measured 2× wall-clock on sf0.1)."""
     corpus = _docs_with_mutants(spark, sf)
     has_shingles = F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE
-    hashed = corpus.filter(has_shingles).select(
+    hashed = _with_words(corpus.filter(has_shingles)).select(
         "doc_id", _hash_shingles(_shingles()).alias("sh")
     )
     cols = [
@@ -143,8 +143,17 @@ def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(_minhash_sigs(spark, sf), "doc_id")
 
 
-def _shingles(text_col: str = "text"):
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+def _with_words(corpus: DataFrame) -> DataFrame:
+    """Materialize the split words array in its own projection.  Building
+    shingles directly over the split() EXPRESSION would inline a full
+    re-split into every element_at call inside the transform lambda —
+    O(words²) per doc (measured 3-4× on sf0.1); as a multi-use non-cheap
+    alias the array survives CollapseProject and each element_at is O(1)."""
+    return corpus.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+
+
+def _shingles(words_col: str = "w"):
+    words = F.col(words_col)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - (SHINGLE - 1), F.lit(0))),
         lambda i: F.concat_ws(
@@ -300,7 +309,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     both intersection and denominators)."""
     corpus = _docs_with_mutants(spark, sf)
     sh = (
-        corpus.select("doc_id", F.explode(_shingles()).alias("s"))
+        _with_words(corpus).select("doc_id", F.explode(_shingles()).alias("s"))
         .filter(F.col("s") != "")
         .distinct()
     )
@@ -362,7 +371,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 def _minhash_sigs_fast(spark: SparkSession, sf: str) -> DataFrame:
     corpus = _docs_with_mutants(spark, sf)
     has_shingles = F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE
-    sh = corpus.filter(has_shingles).select("doc_id", _shingles().alias("sh"))
+    sh = _with_words(corpus.filter(has_shingles)).select(
+        "doc_id", _shingles().alias("sh")
+    )
     cols = [
         F.array_min(
             F.transform("sh", lambda s: F.xxhash64(F.lit(i), s))
@@ -416,7 +427,9 @@ def lsh_candidate_pairs_fast(spark: SparkSession, sf: str) -> DataFrame:
 def simhash_docs_fast(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash over xxhash64 shingle hashes (JVM-side end to end)."""
     corpus = _docs_with_mutants(spark, sf)
-    sh = corpus.select("doc_id", F.explode(_shingles()).alias("s")).filter(F.col("s") != "")
+    sh = _with_words(corpus).select("doc_id", F.explode(_shingles()).alias("s")).filter(
+        F.col("s") != ""
+    )
     h = sh.select("doc_id", F.xxhash64("s").alias("h"))
     bit_sums = h.groupBy("doc_id").agg(
         *[
@@ -437,7 +450,9 @@ def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash over shingle hashes: bit_j = sign(Σ ±1 by bit j of each
     shingle hash); fingerprint = Σ 2^j over positive bits."""
     corpus = _docs_with_mutants(spark, sf)
-    sh = corpus.select("doc_id", F.explode(_shingles()).alias("s")).filter(F.col("s") != "")
+    sh = _with_words(corpus).select("doc_id", F.explode(_shingles()).alias("s")).filter(
+        F.col("s") != ""
+    )
     h = sh.select("doc_id", _hash_string(F.col("s")).alias("h"))
     bit_sums = h.groupBy("doc_id").agg(
         *[
