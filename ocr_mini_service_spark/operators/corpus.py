@@ -103,6 +103,8 @@ def heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     top = counts.orderBy(F.desc("n"), F.asc("token")).limit(N_HITTERS)
+    # the unpartitioned window runs AFTER the limit — ≤ N_HITTERS rows by
+    # construction, so the single-partition WindowExec is driver-sized
     return ordered(
         top.withColumn(
             "rank",

@@ -98,6 +98,20 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "buckets capped at DEDUP_CAP.",
             formatted_plan(q["lsh_candidate_pairs"](spark, sf_dir)),
         ),
+        "heavy_hitters": (
+            "global vocabulary top-N: map-side partial HashAggregate → one "
+            "Exchange on the token key → final HashAggregate → "
+            "TakeOrderedAndProject; the vocabulary is never globally sorted.",
+            formatted_plan(q["heavy_hitters"](spark, sf_dir)),
+        ),
+        "repetition_stats": (
+            "staged projections: split(trim(text)) appears EXACTLY ONCE — "
+            "materialized as an array alias before the gram lambda (an inline "
+            "expression would re-split per element_at, O(words²) per doc) — "
+            "and the per-doc scalars are computed before the Generate so they "
+            "aren't re-evaluated per gram row.",
+            formatted_plan(q["repetition_stats"](spark, sf_dir)),
+        ),
         "embedding_cosine_dups": (
             "banded multi-table sign-LSH: candidates come from capped "
             "(band, bucket) groups — no CartesianProduct / nested-loop join "

@@ -76,6 +76,32 @@ def test_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_heavy_hitters_is_two_stage_agg_plus_take_ordered(spark, sf_dir):
+    """Global top-N = map-side partial count + one token-key Exchange +
+    TakeOrderedAndProject — never a global sort of the vocabulary."""
+    plan = formatted_plan(entry.queries()["heavy_hitters"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+
+
+def test_repetition_stats_splits_text_exactly_once(spark, sf_dir):
+    """Pins the staged-projection fix: referencing the split() expression
+    from inside the gram lambda would inline a re-split per element_at call
+    (O(words²) per doc); the words array must be materialized so the plan
+    contains exactly one split over the text column."""
+    plan = formatted_plan(entry.queries()["repetition_stats"](spark, sf_dir))
+    assert len(re.findall(r"split\(trim\(text", plan)) == 1, plan
+
+
+def test_sample_split_prunes_scan_columns(spark, sf_dir):
+    plan = formatted_plan(entry.queries()["sample_split"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    assert set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id", "text"
+    }, plan
+
+
 def test_q1_filter_pushdown_and_codegen(spark, sf_dir):
     df = entry.queries()["q1_pricing_summary"](spark, sf_dir)
     plan = formatted_plan(df)
