@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ocr_mini_service_spark.kernel import DESCENDER_REGEX
 from ocr_mini_service_spark.operators import (
+    asof,
     corpus,
     dedup,
     multimodal,
@@ -69,6 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": text.quality_score,
         "token_count": text.token_count,
         "doc_fingerprint": text.doc_fingerprint,
+        # time-series
+        "asof_join_events": asof.asof_join_events,
         # corpus curation
         "repetition_stats": corpus.repetition_stats,
         "heavy_hitters": corpus.heavy_hitters,
@@ -484,6 +487,34 @@ SELECT doc_id,
                           i -> CAST(ascii(text[i]) AS BIGINT)),
            (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD}) AS fp
 FROM documents ORDER BY doc_id""",
+        # ---------------- time-series --------------------------------------
+        "asof_join_events": """
+WITH clicks AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+views AS (
+    SELECT user_id, ts, event_id, event_id AS view_id, value AS view_value,
+           ts AS view_ts
+    FROM events WHERE event_type = 'view'),
+tagged AS (
+    SELECT user_id, ts, event_id, 1 AS kind,
+           CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS DOUBLE) AS view_value,
+           CAST(NULL AS TIMESTAMP) AS view_ts
+    FROM clicks
+    UNION ALL
+    SELECT user_id, ts, event_id, 0 AS kind, view_id, view_value, view_ts
+    FROM views),
+carried AS (
+    SELECT user_id, ts, event_id, kind,
+           last_value(view_id IGNORE NULLS) OVER w AS a_view_id,
+           last_value(view_value IGNORE NULLS) OVER w AS a_view_value,
+           last_value(view_ts IGNORE NULLS) OVER w AS a_view_ts
+    FROM tagged
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id, a_view_id AS view_id,
+       round(a_view_value, 4) AS view_value,
+       epoch_us(ts) - epoch_us(a_view_ts) AS lag_us
+FROM carried WHERE kind = 1 ORDER BY user_id, event_id""",
         # ---------------- corpus curation ----------------------------------
         "repetition_stats": """
 WITH base AS (
