@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": text.doc_fingerprint,
         # time-series
         "asof_join_events": asof.asof_join_events,
+        "window_hourly_events": tpch.window_hourly_events,
         # corpus curation
         "repetition_stats": corpus.repetition_stats,
         "heavy_hitters": corpus.heavy_hitters,
@@ -98,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_cosine_dups": similarity.embedding_cosine_dups,
+        "label_centroids": similarity.label_centroids,
         # multimodal plumbing (SQL-checkable half; decode stub is pytest-only)
         "media_meta_sql": multimodal.media_meta_sql,
     }
@@ -515,6 +517,14 @@ SELECT user_id, event_id, a_view_id AS view_id,
        round(a_view_value, 4) AS view_value,
        epoch_us(ts) - epoch_us(a_view_ts) AS lag_us
 FROM carried WHERE kind = 1 ORDER BY user_id, event_id""",
+        "window_hourly_events": """
+SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts, TIMESTAMP '1970-01-01')) AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100
+FROM events
+GROUP BY window_start_us, event_type
+ORDER BY window_start_us, event_type""",
         # ---------------- corpus curation ----------------------------------
         "repetition_stats": """
 WITH base AS (
@@ -801,6 +811,15 @@ SELECT vec_a, vec_b, cosine FROM (
     JOIN norms na ON na.vec_id = p.vec_a
     JOIN norms nb ON nb.vec_id = p.vec_b) t
 WHERE cosine >= 0.99 ORDER BY vec_a, vec_b""",
+        "label_centroids": """
+WITH comp AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) - 1 AS pos,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+    FROM embeddings)
+SELECT label, CAST(pos AS INT) AS pos, COUNT(*) AS n_vectors,
+       round(SUM(q) / COUNT(*) / 1000.0, 6) AS centroid
+FROM comp GROUP BY label, pos ORDER BY label, pos""",
         # ---------------- multimodal ----------------------------------------
         "media_meta_sql": """
 SELECT doc_id AS media_id,

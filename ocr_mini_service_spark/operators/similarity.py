@@ -386,3 +386,33 @@ def embedding_cosine_dups(spark: SparkSession, sf: str) -> DataFrame:
         scored.filter(F.col("cosine") >= 0.99)
         .transform(lambda df: ordered(df, "vec_a", "vec_b"))
     )
+
+
+def label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroid — the vector aggregation a training
+    pipeline runs for cluster summaries / class prototypes.  posexplode
+    fans each vector into (label, pos, component) rows; one keyed groupBy
+    (label, pos) with map-side partial sums does the reduction — narrow,
+    skew-free, and dim-parallel at any corpus size.  Components are summed
+    as quantized ints (round(x*1000)) so the result is order-independent
+    and exact across engines; the centroid divides back to a double."""
+    emb = load(spark, sf, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+            )
+        ).alias("pos", "q"),
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("q").alias("qsum"),
+    )
+    out = cent.select(
+        "label",
+        "pos",
+        "n_vectors",
+        F.round(F.col("qsum") / F.col("n_vectors") / 1000.0, 6).alias("centroid"),
+    )
+    return ordered(out, "label", "pos")

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import ordered
 from ..sources import load
 
 
@@ -361,3 +362,28 @@ def to_json_assembly(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+def window_hourly_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling event-time windows (6 h) per event type — the batch twin of
+    the streaming windowed aggregation (SURVEY §2.8): ``F.window`` compiles
+    to a plain projection of the bucket start (epoch-aligned), so the whole
+    query is one keyed groupBy with map-side partial aggregation.  The value
+    sum is quantized (round(v*100) cents) for order-independent exactness;
+    the window start is emitted as epoch micros (engine-portable)."""
+    ev = load(spark, sf, "events")
+    w = F.window(F.col("ts"), "6 hours")
+    out = (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_x100"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value_x100",
+        )
+    )
+    return ordered(out, "window_start_us", "event_type")
