@@ -72,7 +72,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": text.doc_fingerprint,
         # time-series
         "asof_join_events": asof.asof_join_events,
+        "range_join_events": asof.range_join_events,
         "window_hourly_events": tpch.window_hourly_events,
+        # wide-shape / ordered-statistics / map surface
+        "pivot_event_matrix": tpch.pivot_event_matrix,
+        "value_percentiles": tpch.value_percentiles,
+        "map_headers": tpch.map_headers,
         # corpus curation
         "repetition_stats": corpus.repetition_stats,
         "heavy_hitters": corpus.heavy_hitters,
@@ -517,6 +522,43 @@ SELECT user_id, event_id, a_view_id AS view_id,
        round(a_view_value, 4) AS view_value,
        epoch_us(ts) - epoch_us(a_view_ts) AS lag_us
 FROM carried WHERE kind = 1 ORDER BY user_id, event_id""",
+        "range_join_events": f"""
+WITH c AS (
+    SELECT user_id, ts, event_id AS click_id FROM events
+    WHERE event_type = 'click'),
+v AS (
+    SELECT user_id, ts AS view_ts, event_id AS view_id FROM events
+    WHERE event_type = 'view')
+SELECT c.user_id, c.click_id, v.view_id,
+       epoch_us(c.ts) - epoch_us(v.view_ts) AS lag_us
+FROM c JOIN v
+  ON c.user_id = v.user_id
+ AND v.view_ts > c.ts - INTERVAL {asof.RANGE_WINDOW_S} SECOND
+ AND v.view_ts <= c.ts
+ORDER BY c.user_id, c.click_id, v.view_id""",
+        "pivot_event_matrix": f"""
+SELECT user_id,
+       {", ".join(
+           f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}_n, "
+           f"COALESCE(SUM(CAST(round(value * 100) AS BIGINT)) "
+           f"FILTER (WHERE event_type = '{t}'), 0) AS {t}_sx100"
+           for t in tpch.EVENT_TYPES)}
+FROM events GROUP BY user_id ORDER BY user_id""",
+        "value_percentiles": """
+SELECT event_type, COUNT(*) AS n,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99,
+       round(MIN(value), 4) AS vmin,
+       round(MAX(value), 4) AS vmax
+FROM events GROUP BY event_type ORDER BY event_type""",
+        "map_headers": """
+SELECT doc_id,
+       '{"content-type":"application/json","x-lang":"' || lang ||
+       '","x-source":"' || source || '"}' AS headers_json,
+       lang AS lang_header,
+       3 AS n_headers
+FROM documents ORDER BY doc_id""",
         "window_hourly_events": """
 SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts, TIMESTAMP '1970-01-01')) AS window_start_us,
        event_type,

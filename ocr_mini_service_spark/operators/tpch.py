@@ -387,3 +387,75 @@ def window_hourly_events(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return ordered(out, "window_start_us", "event_type")
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: long event rows → one wide row per user with per-type count
+    and quantized value sum.  The type list is EXPLICIT — at scale, pivot
+    without values runs an extra distinct-scan job over the full input just
+    to discover the column set; pinning it keeps the query one pass.  Nulls
+    from absent (user, type) cells are canonicalized to 0 so the result is
+    engine-portable."""
+    ev = load(spark, sf, "events")
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sx100"),
+        )
+    )
+    cols = [F.col("user_id")]
+    for t in EVENT_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"{t}_n"))
+        cols.append(
+            F.coalesce(F.col(f"{t}_sx100"), F.lit(0)).cast("long").alias(f"{t}_sx100")
+        )
+    return ordered(p.select(*cols), "user_id")
+
+
+def value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact ordered statistics per event type: percentile_disc picks an
+    actual input value (no interpolation), so Spark and any ANSI engine
+    agree bit-for-bit on doubles — the safe exact-percentile choice for
+    cross-engine checks.  One hash aggregate; the per-group sort is
+    Spark-internal (UnsafeExternalSorter, spills)."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99"),
+            F.round(F.min("value"), 4).alias("vmin"),
+            F.round(F.max("value"), 4).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def map_headers(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 map surface: the reference's single map-typed value is the
+    webhook ``callbackHeaders`` spread (``{...defaults, ...custom}``,
+    image-recognition.service.ts:464-467; Record<string,string>,
+    return-strategy.types.ts:6) — here as create_map + map_concat with the
+    merged map serialized to JSON (stable insertion order) and one key
+    probed via element_at."""
+    docs = load(spark, sf, "documents")
+    base = F.create_map(
+        F.lit("content-type"), F.lit("application/json"),
+        F.lit("x-lang"), F.col("lang"),
+    )
+    extra = F.create_map(F.lit("x-source"), F.col("source"))
+    merged = F.map_concat(base, extra)
+    out = docs.select(
+        "doc_id",
+        F.to_json(merged).alias("headers_json"),
+        F.element_at(merged, F.lit("x-lang")).alias("lang_header"),
+        F.size(F.map_keys(merged)).alias("n_headers"),
+    )
+    return ordered(out, "doc_id")

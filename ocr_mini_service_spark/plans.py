@@ -119,6 +119,20 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "config instead of being a constant.",
             formatted_plan(q["embedding_cosine_dups"](spark, sf_dir)),
         ),
+        "range_join_events": (
+            "trailing-window interval join as a time-bucket equi-join "
+            "(left explodes into its two covering buckets, range predicate "
+            "is an in-bucket residual) — pair fan-out bounded by bucket "
+            "population, never a key-only join that goes quadratic in the "
+            "hottest key, and no nested-loop join.",
+            formatted_plan(q["range_join_events"](spark, sf_dir)),
+        ),
+        "pivot_event_matrix": (
+            "pivot with an explicit value list: one scan + two agg pairs "
+            "(groupBy(user,type) then pivotfirst by user) — no hidden "
+            "distinct-scan job to discover the pivot columns.",
+            formatted_plan(q["pivot_event_matrix"](spark, sf_dir)),
+        ),
     }
 
 

@@ -110,3 +110,23 @@ def test_q1_filter_pushdown_and_codegen(spark, sf_dir):
     # codegen spans live in the codegen explain mode (formatted mode under AQE
     # prints isFinalPlan=false without codegen ids)
     assert "WholeStageCodegen" in formatted_plan(df, mode="codegen")
+
+
+def test_range_join_is_bucketed_equi_join(spark, sf_dir):
+    """The trailing-window join must run as an equi-join on (key, time
+    bucket) with the range predicate as an in-bucket residual — a key-only
+    join with a range filter (or a pure theta join) degrades to
+    nested-loop / all-pairs-per-key at scale."""
+    plan = formatted_plan(entry.queries()["range_join_events"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # join keys include the synthetic _bucket column on both sides
+    assert re.search(r"Join.*_bucket", plan) or "_bucket" in plan, plan
+
+
+def test_pivot_is_single_pass_aggregate(spark, sf_dir):
+    """Pivot with an explicit value list compiles to one partial+final
+    aggregate pair — no extra distinct-scan job to discover columns."""
+    plan = formatted_plan(entry.queries()["pivot_event_matrix"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
