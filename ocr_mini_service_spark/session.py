@@ -37,13 +37,21 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    master = master or f"local[{cpus}]"
+    # Under spark-submit the gateway JVM already carries --master / --conf
+    # (PythonRunner exports PYSPARK_GATEWAY_PORT); forcing a master here
+    # would fight the submit-time cluster URL, so inherit it instead.
+    under_submit = master is None and "PYSPARK_GATEWAY_PORT" in os.environ
+    if not under_submit:
+        master = master or f"local[{cpus}]"
+    infer_width_from_cluster = under_submit and shuffle_partitions is None
     if shuffle_partitions is None:
-        shuffle_partitions = infer_shuffle_partitions(master, cpus)
+        shuffle_partitions = infer_shuffle_partitions(master or "", cpus)
 
+    b = SparkSession.builder.appName(app_name)
+    if not under_submit:
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -61,7 +69,15 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    if infer_width_from_cluster:
+        # size the shuffle width to the actual submitted cluster once the
+        # master URL is known (runtime conf, safe post-start)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(infer_shuffle_partitions(spark.sparkContext.master, cpus)),
+        )
+    return spark
 
 
 def env_report(spark: SparkSession) -> dict:
