@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_docs": dedup.simhash_docs,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_survivors": dedup.dedup_survivors,
         # dedup production variants (seeded xxhash64, JVM-side end to end);
         # deliberately NO oracle_sql twin — the hash values are
         # engine-specific, so the driver records the weaker rows-only check
@@ -171,6 +172,22 @@ lsh_pairs AS (
     SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
     FROM capped l JOIN capped r
       ON l.band_id = r.band_id AND l.h1 = r.h1 AND l.h2 = r.h2 AND l.doc_id < r.doc_id)"""
+
+# connected components over the candidate-pair graph as a recursive min-label
+# transitive closure (the component minimum reaches every member); shared by
+# dedup_clusters (full membership) and dedup_survivors (canonical-only)
+_CC_CTES = """
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM lsh_pairs),
+cc(id, label) AS (
+    SELECT doc_id, doc_id FROM corpus
+    UNION
+    SELECT e.d, cc.label FROM cc JOIN edges e ON e.s = cc.id WHERE cc.label < e.d
+),
+final AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM final GROUP BY cluster_id)"""
 
 
 # ---- banded sign-LSH SQL generation (mirrors similarity._tag_bands:
@@ -668,21 +685,15 @@ FROM hashed WHERE len(sh) > 0 ORDER BY doc_id""",
 WITH {_CORPUS}, {_SHINGLE_HASHES}, {_LSH_PAIR_CTES}
 SELECT doc_a, doc_b FROM lsh_pairs ORDER BY doc_a, doc_b""",
         "dedup_clusters": f"""
-WITH RECURSIVE {_CORPUS}, {_SHINGLE_HASHES}, {_LSH_PAIR_CTES},
-edges AS (
-    SELECT doc_a AS s, doc_b AS d FROM lsh_pairs
-    UNION ALL
-    SELECT doc_b AS s, doc_a AS d FROM lsh_pairs),
--- min-label transitive closure: the component minimum reaches every member
-cc(id, label) AS (
-    SELECT doc_id, doc_id FROM corpus
-    UNION
-    SELECT e.d, cc.label FROM cc JOIN edges e ON e.s = cc.id WHERE cc.label < e.d
-),
-final AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id),
-sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM final GROUP BY cluster_id)
+WITH RECURSIVE {_CORPUS}, {_SHINGLE_HASHES}, {_LSH_PAIR_CTES}, {_CC_CTES}
 SELECT f.doc_id, f.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
 FROM final f JOIN sizes s USING (cluster_id)
+ORDER BY f.doc_id""",
+        "dedup_survivors": f"""
+WITH RECURSIVE {_CORPUS}, {_SHINGLE_HASHES}, {_LSH_PAIR_CTES}, {_CC_CTES}
+SELECT f.doc_id, CAST(s.cluster_size - 1 AS BIGINT) AS n_dupes_removed
+FROM final f JOIN sizes s USING (cluster_id)
+WHERE f.doc_id = f.cluster_id
 ORDER BY f.doc_id""",
         "ngram_jaccard_pairs": f"""
 WITH {_CORPUS},

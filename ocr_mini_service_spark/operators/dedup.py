@@ -467,3 +467,20 @@ def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
         term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return ordered(bit_sums.select("doc_id", fp.cast("long").alias("simhash")), "doc_id")
+
+
+def dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """End of the dedup pipeline: collapse every duplicate cluster to its
+    canonical member and report how many near-duplicates were dropped.
+
+    The canonical doc IS the cluster label (min doc_id of the component),
+    so survivorship is a narrow ``doc_id == cluster_id`` filter over
+    ``dedup_clusters`` — no shuffle beyond the clustering itself.  This is
+    the step a training-data curation run actually materializes: the kept
+    corpus plus an audit count of removals (no silent drops)."""
+    cl = dedup_clusters(spark, sf)
+    out = cl.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id",
+        (F.col("cluster_size") - 1).cast("long").alias("n_dupes_removed"),
+    )
+    return ordered(out, "doc_id")

@@ -89,3 +89,14 @@ def test_caps_above_testdata_maxima(spark, sf_dir):
     assert all(r["max_bucket"] <= dedup.DEDUP_CAP for r in lsh)
     emb = similarity.lsh_bucket_stats(spark, sf_dir).collect()
     assert all(r["n_dropped"] == 0 for r in emb)
+
+
+def test_dedup_survivors_partitions_the_corpus(spark, hot_docs_dir):
+    """Survivors are exactly the cluster canonicals, and kept + removed
+    accounts for every corpus doc (no silent drops)."""
+    n_corpus = N_DOCS + _n_mutants(N_DOCS)
+    rows = dedup.dedup_survivors(spark, hot_docs_dir).collect()
+    clusters = dedup.dedup_clusters(spark, hot_docs_dir).collect()
+    canonicals = {r["doc_id"] for r in clusters if r["doc_id"] == r["cluster_id"]}
+    assert {r["doc_id"] for r in rows} == canonicals
+    assert sum(r["n_dupes_removed"] for r in rows) + len(rows) == n_corpus
