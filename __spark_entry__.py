@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": corpus.sample_split,
         "stratified_sample": corpus.stratified_sample,
         "pii_redact": corpus.pii_redact,
+        "chunk_documents": corpus.chunk_documents,
+        "pack_shards": corpus.pack_shards,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
@@ -656,6 +658,34 @@ SELECT lang, source, doc_id, CAST(rn AS INT) AS rn FROM (
                               ORDER BY md5(text), doc_id) AS rn
     FROM documents) t
 WHERE rn <= {corpus.STRATUM_K} ORDER BY lang, source, rn""",
+        "chunk_documents": f"""
+WITH ws AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+st AS (
+    SELECT doc_id, w,
+           generate_series(1, greatest(len(w), 1), {corpus.CHUNK_STRIDE}) AS starts
+    FROM ws),
+ex AS (SELECT doc_id, w, unnest(starts) AS sw FROM st)
+SELECT doc_id,
+       CAST((sw - 1) // {corpus.CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       CAST(sw AS INTEGER) AS start_word,
+       CAST(least({corpus.CHUNK_SIZE}, len(w) - sw + 1) AS INTEGER) AS n_tokens,
+       array_to_string(list_slice(w, sw, sw + {corpus.CHUNK_SIZE} - 1), ' ') AS chunk_text
+FROM ex ORDER BY doc_id, chunk_idx""",
+        "pack_shards": f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents),
+c AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                - n_tokens AS BIGINT) AS tokens_before
+    FROM t)
+SELECT doc_id, lang, n_tokens,
+       tokens_before // {corpus.PACK_BUDGET} AS shard_id,
+       tokens_before
+FROM c ORDER BY doc_id""",
         "pii_redact": f"""
 WITH dec AS (
     SELECT doc_id,

@@ -229,3 +229,70 @@ def pii_redact(spark: SparkSession, sf: str) -> DataFrame:
         F.substring(redacted, F.length(redacted) - 39, 40).alias("redacted_tail"),
     )
     return ordered(out, "doc_id")
+
+
+CHUNK_SIZE = 64  # words per training chunk
+CHUNK_STRIDE = 48  # chunk start stride (CHUNK_SIZE - CHUNK_STRIDE overlap)
+PACK_BUDGET = 256  # token budget per packed training shard
+
+
+def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    word-window chunks (size CHUNK_SIZE, stride CHUNK_STRIDE) — the step
+    that turns curated documents into training-context-sized samples.
+
+    Shape: one narrow projection chain — materialize the words array ONCE
+    (same staged-projection rule as repetition_stats), compute the start
+    offsets as a ``sequence``, then a single posexplode.  Fan-out is
+    ~n_words/stride per doc, linear in corpus size; no shuffle at all
+    before the presentation sort."""
+    docs = load(spark, sf, "documents")
+    wdocs = docs.select("doc_id", _words().alias("w"))
+    staged = wdocs.select(
+        "doc_id", "w",
+        F.expr(f"sequence(1, greatest(size(w), 1), {CHUNK_STRIDE})").alias("starts"),
+    )
+    exploded = staged.select(
+        "doc_id", "w",
+        F.posexplode("starts").alias("chunk_idx", "start_word"),
+    )
+    out = exploded.select(
+        "doc_id",
+        "chunk_idx",
+        "start_word",
+        F.least(
+            F.lit(CHUNK_SIZE), F.size("w") - F.col("start_word") + 1
+        ).cast("int").alias("n_tokens"),
+        F.array_join(F.slice("w", F.col("start_word"), CHUNK_SIZE), " ").alias(
+            "chunk_text"
+        ),
+    )
+    return ordered(out, "doc_id", "chunk_idx")
+
+
+def pack_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy sequential sample packing: documents are packed in doc_id
+    order into training shards of ~PACK_BUDGET tokens; a doc joins the
+    current shard if any budget remains, else starts the next one
+    (equivalently shard_id = floor(tokens_before_doc / budget) — docs are
+    never split, shards may overflow by at most one doc's tail).
+
+    Scale shape: the running sum is a window PARTITIONED BY the shard
+    group (lang here) — packing parallelism is per-group, never a global
+    single-partition window; the only shuffle is the keyed window
+    exchange."""
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.size(_words()).cast("long").alias("n_tokens"),
+    )
+    win = Window.partitionBy("lang").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(win)
+    out = toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(PACK_BUDGET)).alias("shard_id"),
+        (cum - F.col("n_tokens")).alias("tokens_before"),
+    )
+    return ordered(out, "doc_id")

@@ -52,3 +52,39 @@ def test_tfidf_ranks_rare_terms_above_stopwords(spark, sf_dir):
     for _, g in df.groupby("doc_id"):
         srt = g.sort_values("rank")
         assert (srt["tfidf"].diff().dropna() <= 1e-12).all()
+
+
+def test_chunk_documents_cover_and_overlap(spark, sf_dir):
+    """Chunks tile every document: chunk 0 starts at word 1, starts advance
+    by exactly CHUNK_STRIDE (so consecutive full chunks overlap by
+    CHUNK_SIZE - CHUNK_STRIDE words), and the last chunk reaches the final
+    word."""
+    df = corpus.chunk_documents(spark, sf_dir).toPandas()
+    assert (df["n_tokens"] >= 1).all()
+    assert (df["start_word"] == df["chunk_idx"] * corpus.CHUNK_STRIDE + 1).all()
+    per = df.groupby("doc_id")
+    assert (per["chunk_idx"].min() == 0).all()
+    # contiguous chunk numbering
+    assert (per["chunk_idx"].max() + 1 == per.size()).all()
+    # the final chunk covers through the last word
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    n_words = docs.set_index("doc_id")["text"].str.strip().str.split().str.len()
+    last = df.loc[per["chunk_idx"].idxmax()].set_index("doc_id")
+    covered = last["start_word"] + last["n_tokens"] - 1
+    assert (covered == n_words.reindex(covered.index).clip(lower=1)).all()
+
+
+def test_pack_shards_greedy_budget(spark, sf_dir):
+    """Packing is order-preserving and budget-sane: shard ids are
+    nondecreasing in doc order within a group, a new shard only opens once
+    the running total crosses the budget, and docs are never split."""
+    df = corpus.pack_shards(spark, sf_dir).toPandas()
+    for _, g in df.sort_values("doc_id").groupby("lang"):
+        assert g["shard_id"].is_monotonic_increasing
+        assert (g["tokens_before"].diff().dropna() == g["n_tokens"].shift()[1:]).all()
+        assert (g["shard_id"] == g["tokens_before"] // corpus.PACK_BUDGET).all()
+        # every non-final shard spans its full budget window
+        cum_end = g.groupby("shard_id")["tokens_before"].max() + g.groupby(
+            "shard_id"
+        )["n_tokens"].last()
+        assert (cum_end.iloc[:-1] >= (cum_end.index[:-1] + 1) * corpus.PACK_BUDGET).all()
