@@ -87,6 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": corpus.pii_redact,
         "chunk_documents": corpus.chunk_documents,
         "pack_shards": corpus.pack_shards,
+        "decontaminate": corpus.decontaminate,
+        "source_mixture": corpus.source_mixture,
+        "mixture_stats": corpus.mixture_stats,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
@@ -702,6 +705,60 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(decorated, '{corpus.PHONE_RE}')) AS INT) AS n_phones,
        substr(redacted, length(redacted) - 39, 40) AS redacted_tail
 FROM red ORDER BY doc_id""",
+        "decontaminate": f"""
+WITH lab AS (
+    SELECT doc_id, text,
+           CASE WHEN bucket < {corpus.TRAIN_UPTO} THEN 'train'
+                WHEN bucket < {corpus.VAL_UPTO} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, text,
+               CAST((instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text)), 1, 1)) - 1) * 16
+                  + (instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text)), 2, 1)) - 1)
+                  AS INT) AS bucket
+        FROM documents)),
+w AS (SELECT doc_id, split, string_split_regex(trim(text), '\\s+') AS ws FROM lab),
+g AS (
+    SELECT DISTINCT doc_id, split,
+           array_to_string(list_slice(ws, i, i + {corpus.DECON_N - 1}), ' ') AS gram
+    FROM w, unnest(generate_series(1, greatest(len(ws) - {corpus.DECON_N - 1}, 0))) AS t(i)),
+bench AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+cnt AS (
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM bench)) AS n_shared
+    FROM g WHERE split = 'train' GROUP BY doc_id)
+SELECT lab.doc_id,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(COALESCE(n_shared, 0) > 0 AS INT) AS contaminated
+FROM lab LEFT JOIN cnt USING (doc_id)
+WHERE lab.split = 'train'
+ORDER BY doc_id""",
+        "source_mixture": f"""
+WITH m AS (
+    SELECT doc_id, source,
+           CAST((instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text, 'mix')), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text, 'mix')), 2, 1)) - 1)
+              AS INT) AS bucket,
+           CAST({corpus.MIX_BASE} + {corpus.MIX_STEP} * (CAST(substr(source, 4) AS INT) % {corpus.MIX_MOD}) AS INT) AS keep_threshold
+    FROM documents)
+SELECT doc_id, source, bucket, keep_threshold,
+       CAST(bucket < keep_threshold AS INT) AS kept
+FROM m ORDER BY doc_id""",
+        "mixture_stats": f"""
+WITH m AS (
+    SELECT doc_id, source,
+           CAST((instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text, 'mix')), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text, 'mix')), 2, 1)) - 1)
+              AS INT) AS bucket,
+           CAST({corpus.MIX_BASE} + {corpus.MIX_STEP} * (CAST(substr(source, 4) AS INT) % {corpus.MIX_MOD}) AS INT) AS keep_threshold
+    FROM documents)
+SELECT source, keep_threshold,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(bucket < keep_threshold AS INT)) AS BIGINT) AS n_kept,
+       (CAST(SUM(CAST(bucket < keep_threshold AS INT)) AS BIGINT) * 10000) // COUNT(*) AS achieved_bp
+FROM m GROUP BY source, keep_threshold ORDER BY source""",
         # ---------------- dedup --------------------------------------------
         "dedup_exact": """
 SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

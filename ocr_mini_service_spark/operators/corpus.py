@@ -296,3 +296,130 @@ def pack_shards(spark: SparkSession, sf: str) -> DataFrame:
         (cum - F.col("n_tokens")).alias("tokens_before"),
     )
     return ordered(out, "doc_id")
+
+
+DECON_N = 8  # benchmark-overlap n-gram size (13 in GPT-3-era pipelines; 8 fits the synthetic doc lengths)
+
+# per-source mixture keep-threshold over the 256 md5 buckets:
+# MIX_BASE + MIX_STEP * (source_index % MIX_MOD)   (rates 25%..72%)
+MIX_BASE = 64
+MIX_STEP = 8
+MIX_MOD = 16
+
+
+def _split_expr():
+    """Content-hash split label — the exact assignment ``sample_split``
+    emits, usable inline by other operators (decontamination)."""
+    bucket = _md5_bucket(F.concat_ws(":", F.col("doc_id"), F.col("text")))
+    return (
+        F.when(bucket < TRAIN_UPTO, "train")
+        .when(bucket < VAL_UPTO, "val")
+        .otherwise("test")
+    )
+
+
+def _doc_grams(docs: DataFrame) -> DataFrame:
+    """Distinct DECON_N-word shingles per document (none for shorter docs).
+    The words array is materialized as an alias BEFORE the transform lambda
+    (staged-projection rule — slicing the split() expression itself would
+    re-split per gram).  The sequence is guarded: Spark's two-arg
+    ``sequence(1, stop)`` DESCENDS for stop < 1, so short docs must take
+    the empty-array branch, not ``sequence(1, 0)``."""
+    n = DECON_N
+    wdocs = docs.select("doc_id", _words().alias("w"))
+    return wdocs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("w") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                        lambda i: F.array_join(F.slice("w", i, n), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("gram"),
+    )
+
+
+def decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    DECON_N-gram with the held-out test split (the standard n-gram-overlap
+    decontamination of GPT-3/PaLM data pipelines, expressed as a semi-join
+    on the shingle key).
+
+    Scale shape: the benchmark gram set is small and fixed-size (benchmarks
+    don't grow with the corpus) → broadcast; the training side then never
+    shuffles for the membership test — one broadcast LeftSemi per gram row
+    plus a keyed per-doc count.  Nothing is quadratic and no gram list is
+    ever collected into a single row."""
+    docs = load(spark, sf, "documents").withColumn("split", _split_expr())
+    train = docs.filter(F.col("split") == "train")
+    bench_grams = (
+        _doc_grams(docs.filter(F.col("split") == "test")).select("gram").distinct()
+    )
+    tg = _doc_grams(train)
+    per_doc = tg.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    shared = (
+        tg.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        train.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+    return ordered(out, "doc_id")
+
+
+def _mixture(docs: DataFrame) -> DataFrame:
+    """Per-doc mixture decision: deterministic content-hash bucket vs the
+    per-source keep threshold ('mix' salt keeps the decision independent of
+    the train/val/test split hash)."""
+    idx = F.expr("CAST(substring(source, 4) AS INT)")
+    thr = (F.lit(MIX_BASE) + F.lit(MIX_STEP) * (idx % MIX_MOD)).cast("int")
+    bucket = _md5_bucket(F.concat_ws(":", F.col("doc_id"), F.col("text"), F.lit("mix")))
+    return docs.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        thr.alias("keep_threshold"),
+        (bucket < thr).cast("int").alias("kept"),
+    )
+
+
+def source_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-mixture downsampling: each source keeps a configured fraction
+    of its documents (keep_threshold/256), decided per doc by content hash —
+    the reweighting step that shapes a raw crawl into a target training
+    mixture, reproducible across runs and engines (no RNG state)."""
+    return ordered(_mixture(load(spark, sf, "documents")), "doc_id")
+
+
+def mixture_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Achieved-vs-target mixture audit per source.  The achieved rate is
+    reported in basis points via INTEGER division (exact in both engines —
+    a rounded float ratio can straddle a half-ulp tie between Spark and the
+    oracle).  One keyed aggregation; threshold rides as a group key (it is
+    functionally dependent on source)."""
+    per = _mixture(load(spark, sf, "documents"))
+    agg = per.groupBy("source", "keep_threshold").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+    )
+    out = agg.select(
+        "source",
+        "keep_threshold",
+        "n_docs",
+        "n_kept",
+        F.expr("(n_kept * 10000) div n_docs").alias("achieved_bp"),
+    )
+    return ordered(out, "source")

@@ -88,3 +88,35 @@ def test_pack_shards_greedy_budget(spark, sf_dir):
             "shard_id"
         )["n_tokens"].last()
         assert (cum_end.iloc[:-1] >= (cum_end.index[:-1] + 1) * corpus.PACK_BUDGET).all()
+
+
+def test_decontaminate_matches_split_and_bounds(spark, sf_dir):
+    df = corpus.decontaminate(spark, sf_dir).toPandas()
+    assert df["doc_id"].is_unique
+    assert (df["n_shared"] <= df["n_grams"]).all()
+    assert ((df["contaminated"] == 1) == (df["n_shared"] > 0)).all()
+    sp = corpus.sample_split(spark, sf_dir).toPandas()
+    # exactly the train split, every doc present even with zero grams
+    assert set(df["doc_id"]) == set(sp.loc[sp["split"] == "train", "doc_id"])
+
+
+def test_source_mixture_decision_is_threshold_rule(spark, sf_dir):
+    per = corpus.source_mixture(spark, sf_dir).toPandas()
+    assert ((per["kept"] == 1) == (per["bucket"] < per["keep_threshold"])).all()
+    assert per["bucket"].between(0, 255).all()
+    # threshold is a pure function of source
+    assert (per.groupby("source")["keep_threshold"].nunique() == 1).all()
+    # independent of the split hash: both buckets exist for some doc
+    sp = corpus.sample_split(spark, sf_dir).toPandas()
+    merged = per.merge(sp, on="doc_id")
+    assert (merged["bucket_x"] != merged["bucket_y"]).any()
+
+
+def test_mixture_stats_aggregates_per_doc_decisions(spark, sf_dir):
+    per = corpus.source_mixture(spark, sf_dir).toPandas()
+    stats = corpus.mixture_stats(spark, sf_dir).toPandas()
+    agg = per.groupby("source").agg(n_docs=("doc_id", "size"), n_kept=("kept", "sum"))
+    m = stats.set_index("source").join(agg, rsuffix="_chk")
+    assert (m["n_docs"] == m["n_docs_chk"]).all()
+    assert (m["n_kept"] == m["n_kept_chk"]).all()
+    assert (m["achieved_bp"] == m["n_kept"] * 10000 // m["n_docs"]).all()

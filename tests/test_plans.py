@@ -130,3 +130,13 @@ def test_pivot_is_single_pass_aggregate(spark, sf_dir):
     plan = formatted_plan(entry.queries()["pivot_event_matrix"](spark, sf_dir))
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_decontaminate_is_broadcast_semi_join(spark, sf_dir):
+    """The benchmark gram set (fixed-size at any corpus scale) must reach
+    the membership test as a broadcast LeftSemi — never a shuffled join on
+    the unbounded training-gram side, never a cartesian product."""
+    plan = formatted_plan(entry.queries()["decontaminate"](spark, sf_dir))
+    assert re.search(r"BroadcastHashJoin LeftSemi", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
