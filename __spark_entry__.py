@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": corpus.decontaminate,
         "source_mixture": corpus.source_mixture,
         "mixture_stats": corpus.mixture_stats,
+        "curation_funnel": corpus.curation_funnel,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
@@ -759,6 +760,52 @@ SELECT source, keep_threshold,
        CAST(SUM(CAST(bucket < keep_threshold AS INT)) AS BIGINT) AS n_kept,
        (CAST(SUM(CAST(bucket < keep_threshold AS INT)) AS BIGINT) * 10000) // COUNT(*) AS achieved_bp
 FROM m GROUP BY source, keep_threshold ORDER BY source""",
+        "curation_funnel": f"""
+WITH base AS (
+    SELECT doc_id, text, source,
+           len(string_split_regex(trim(text), '\\s+')) >= {corpus.QUAL_MIN_WORDS} AS q,
+           CAST((instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text)), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text)), 2, 1)) - 1)
+              AS INT) AS sbucket,
+           CAST((instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text, 'mix')), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text, 'mix')), 2, 1)) - 1)
+              AS INT) AS mbucket,
+           CAST({corpus.MIX_BASE} + {corpus.MIX_STEP} * (CAST(substr(source, 4) AS INT) % {corpus.MIX_MOD}) AS INT) AS thr
+    FROM documents),
+flags AS (
+    SELECT doc_id, q,
+           doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon,
+           sbucket < {corpus.TRAIN_UPTO} AS is_train,
+           mbucket < thr AS mixed
+    FROM base),
+w AS (
+    SELECT doc_id, sbucket >= {corpus.VAL_UPTO} AS is_test,
+           string_split_regex(trim(text), '\\s+') AS ws
+    FROM base),
+g AS (
+    SELECT DISTINCT doc_id, is_test,
+           array_to_string(list_slice(ws, i, i + {corpus.DECON_N - 1}), ' ') AS gram
+    FROM w, unnest(generate_series(1, greatest(len(ws) - {corpus.DECON_N - 1}, 0))) AS t(i)),
+bench AS (SELECT DISTINCT gram FROM g WHERE is_test),
+dirty AS (SELECT DISTINCT doc_id FROM g WHERE gram IN (SELECT gram FROM bench)),
+ff AS (
+    SELECT f.q, f.canon, f.is_train, f.mixed, d.doc_id IS NOT NULL AS dirty
+    FROM flags f LEFT JOIN dirty d USING (doc_id)),
+agg AS (
+    SELECT COUNT(*) AS s0,
+           CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+           CAST(SUM(CASE WHEN q AND canon THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+           CAST(SUM(CASE WHEN q AND canon AND is_train THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+           CAST(SUM(CASE WHEN q AND canon AND is_train AND NOT dirty THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+           CAST(SUM(CASE WHEN q AND canon AND is_train AND NOT dirty AND mixed THEN 1 ELSE 0 END) AS BIGINT) AS s5
+    FROM ff)
+SELECT 0 AS stage_idx, 'raw' AS stage, s0 AS n_docs FROM agg
+UNION ALL SELECT 1, 'quality', s1 FROM agg
+UNION ALL SELECT 2, 'dedup', s2 FROM agg
+UNION ALL SELECT 3, 'train', s3 FROM agg
+UNION ALL SELECT 4, 'decontaminated', s4 FROM agg
+UNION ALL SELECT 5, 'mixture', s5 FROM agg
+ORDER BY stage_idx""",
         # ---------------- dedup --------------------------------------------
         "dedup_exact": """
 SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

@@ -423,3 +423,72 @@ def mixture_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("(n_kept * 10000) div n_docs").alias("achieved_bp"),
     )
     return ordered(out, "source")
+
+
+QUAL_MIN_WORDS = DECON_N  # quality gate: enough words to carry one decon gram
+
+
+def curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The full training-data curation pipeline as ONE declarative DAG,
+    audited as a funnel: raw → quality gate (≥QUAL_MIN_WORDS words) → exact
+    dedup (canonical = min doc_id per content hash, the `dedup_exact` rule)
+    → train split (`sample_split` rule) → benchmark decontamination
+    (`decontaminate` rule) → source mixture (`source_mixture` rule), with
+    surviving-doc counts per stage.
+
+    Composition shape: every flag is computed in a single pass over the
+    corpus — one window on the content-hash key (dedup), one broadcast
+    LeftSemi against the fixed-size benchmark gram set (decontamination),
+    then a single partial+final aggregation of the six cumulative
+    conjunctions unpivoted by ``stack``.  No stage re-scans the corpus; the
+    funnel costs the same as its most expensive member."""
+    docs = load(spark, sf, "documents")
+    flags = docs.select(
+        "doc_id",
+        "text",
+        (F.size(_words()) >= QUAL_MIN_WORDS).alias("q"),
+        (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy(F.md5("text")))).alias("canon"),
+        (_split_expr() == "train").alias("is_train"),
+    )
+    # contamination flag for train docs (same grams + broadcast semi-join as decontaminate)
+    bench_grams = (
+        _doc_grams(
+            docs.withColumn("split", _split_expr()).filter(F.col("split") == "test")
+        ).select("gram").distinct()
+    )
+    dirty = (
+        _doc_grams(docs)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("dirty", F.lit(True))
+    )
+    mix = _mixture(docs).select("doc_id", "kept")
+    staged = (
+        flags.join(dirty, "doc_id", "left")
+        .join(mix, "doc_id")
+        .select(
+            "doc_id",
+            "q",
+            "canon",
+            "is_train",
+            (~F.coalesce("dirty", F.lit(False))).alias("clean"),
+            (F.col("kept") == 1).alias("mixed"),
+        )
+    )
+    c = lambda col: F.sum(col.cast("long")).alias
+    agg = staged.agg(
+        F.count("*").alias("s0"),
+        c(F.col("q"))("s1"),
+        c(F.col("q") & F.col("canon"))("s2"),
+        c(F.col("q") & F.col("canon") & F.col("is_train"))("s3"),
+        c(F.col("q") & F.col("canon") & F.col("is_train") & F.col("clean"))("s4"),
+        c(F.col("q") & F.col("canon") & F.col("is_train") & F.col("clean") & F.col("mixed"))("s5"),
+    )
+    out = agg.select(
+        F.expr(
+            "stack(6, 0, 'raw', s0, 1, 'quality', s1, 2, 'dedup', s2,"
+            " 3, 'train', s3, 4, 'decontaminated', s4, 5, 'mixture', s5)"
+        ).alias("stage_idx", "stage", "n_docs")
+    )
+    return ordered(out, "stage_idx")

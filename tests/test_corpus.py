@@ -120,3 +120,17 @@ def test_mixture_stats_aggregates_per_doc_decisions(spark, sf_dir):
     assert (m["n_docs"] == m["n_docs_chk"]).all()
     assert (m["n_kept"] == m["n_kept_chk"]).all()
     assert (m["achieved_bp"] == m["n_kept"] * 10000 // m["n_docs"]).all()
+
+
+def test_curation_funnel_is_consistent_with_component_operators(spark, sf_dir):
+    f = corpus.curation_funnel(spark, sf_dir).toPandas().set_index("stage")["n_docs"]
+    # monotone non-increasing survivor counts
+    assert (f.diff().dropna() <= 0).all()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    assert f["raw"] == len(docs)
+    # train stage consistent with sample_split, mixture with source_mixture
+    sp = corpus.sample_split(spark, sf_dir).toPandas()
+    assert f["train"] <= (sp["split"] == "train").sum()
+    de = corpus.decontaminate(spark, sf_dir).toPandas()
+    # funnel's decontaminated drop count never exceeds decontaminate's flags
+    assert f["train"] - f["decontaminated"] <= (de["contaminated"] == 1).sum()
