@@ -476,15 +476,14 @@ def curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("kept") == 1).alias("mixed"),
         )
     )
-    c = lambda col: F.sum(col.cast("long")).alias
-    agg = staged.agg(
-        F.count("*").alias("s0"),
-        c(F.col("q"))("s1"),
-        c(F.col("q") & F.col("canon"))("s2"),
-        c(F.col("q") & F.col("canon") & F.col("is_train"))("s3"),
-        c(F.col("q") & F.col("canon") & F.col("is_train") & F.col("clean"))("s4"),
-        c(F.col("q") & F.col("canon") & F.col("is_train") & F.col("clean") & F.col("mixed"))("s5"),
-    )
+    stage_flags = ["q", "canon", "is_train", "clean", "mixed"]
+    survivors = [
+        F.sum(
+            F.expr(" AND ".join(stage_flags[: i + 1])).cast("long")
+        ).alias(f"s{i + 1}")
+        for i in range(len(stage_flags))
+    ]
+    agg = staged.agg(F.count("*").alias("s0"), *survivors)
     out = agg.select(
         F.expr(
             "stack(6, 0, 'raw', s0, 1, 'quality', s1, 2, 'dedup', s2,"

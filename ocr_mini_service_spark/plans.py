@@ -133,6 +133,21 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "distinct-scan job to discover the pivot columns.",
             formatted_plan(q["pivot_event_matrix"](spark, sf_dir)),
         ),
+        "decontaminate": (
+            "benchmark n-gram decontamination: the held-out gram set (fixed "
+            "size at any corpus scale) reaches the membership test as a "
+            "BroadcastHashJoin LeftSemi — the unbounded training side never "
+            "shuffles for it and no join can go quadratic.",
+            formatted_plan(q["decontaminate"](spark, sf_dir)),
+        ),
+        "curation_funnel": (
+            "the whole curation pipeline in one DAG: a window on the "
+            "content-hash key (dedup), one broadcast LeftSemi (decon), then "
+            "a single partial+final aggregation of the cumulative stage "
+            "conjunctions unpivoted by stack — no per-stage re-scan jobs, "
+            "no driver-side loop.",
+            formatted_plan(q["curation_funnel"](spark, sf_dir)),
+        ),
     }
 
 
