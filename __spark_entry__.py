@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_fulltext": transcribe.extract_fulltext,
         "extract_word_boxes": transcribe.extract_word_boxes,
         "extract_metrics_by_source": transcribe.extract_metrics_by_source,
+        "loss_mask_spans": transcribe.loss_mask_spans,
         # relational operator inventory (SURVEY §2)
         "q1_pricing_summary": tpch.q1_pricing_summary,
         "broadcast_region_customers": tpch.broadcast_region_customers,
@@ -323,6 +324,26 @@ SELECT d.source,
        CAST(SUM(CASE WHEN COALESCE(p.n_total, 0) > COALESCE(p.n_kept, 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pruned
 FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
 GROUP BY d.source ORDER BY d.source""",
+        "loss_mask_spans": f"""
+WITH t AS (
+    SELECT doc_id // {transcribe.TURNS_PER_CONV} AS conv_id,
+           CAST(doc_id % {transcribe.TURNS_PER_CONV} AS INT) AS turn_idx,
+           CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+           array_to_string(list_slice(
+               string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+               1, {transcribe.MASK_WORDS}), ' ') AS turn_text
+    FROM documents),
+c AS (
+    SELECT conv_id, turn_idx, role,
+           CAST(length(turn_text) AS BIGINT) AS n_chars,
+           CAST(SUM(length(turn_text)) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS cum
+    FROM t)
+SELECT conv_id, turn_idx, role, n_chars,
+       cum - n_chars + turn_idx AS start_off,
+       cum + turn_idx AS end_off,
+       CAST(role = 'assistant' AS INT) AS mask
+FROM c ORDER BY conv_id, turn_idx""",
         # ---------------- relational inventory -----------------------------
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

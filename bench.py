@@ -191,6 +191,14 @@ def _round_probe(seconds: float = 1.2) -> float:
     return thr[4] / thr[1] / 4.0
 
 
+def _used_rounds(probes: list[float]) -> list[int]:
+    """Indices of rounds whose ratios enter the efficiency median: the
+    clean-probe rounds when at least _MIN_CLEAN exist, else every round
+    (an all-storm window is reported as measured, never silently thinned)."""
+    clean = [i for i, p in enumerate(probes) if p >= _CEIL_OK]
+    return clean if len(clean) >= _MIN_CLEAN else list(range(len(probes)))
+
+
 def _abba_rounds(
     n_rounds: int = 5, max_rounds: int = 8
 ) -> tuple[list[float], list[float], list[float], dict]:
@@ -232,8 +240,7 @@ def _abba_rounds(
     thrNs = [max(a_runs[i], a_runs[i + 1]) for i in range(len(b_runs))]
     thr4Ns = [max(b) for b in b_runs]
     all_ratios = [t4 / tn for t4, tn in zip(thr4Ns, thrNs)]
-    clean_idx = [i for i, p in enumerate(probes) if p >= _CEIL_OK]
-    used_idx = clean_idx if len(clean_idx) >= _MIN_CLEAN else list(range(len(all_ratios)))
+    used_idx = _used_rounds(probes)
     ratios = [all_ratios[i] for i in used_idx]
     raw = {
         "sessions_1exec": [round(x, 1) for x in a_runs],

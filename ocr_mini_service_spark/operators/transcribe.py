@@ -151,3 +151,52 @@ def extract_metrics_by_source(spark: SparkSession, sf: str) -> DataFrame:
         )
         .transform(lambda df: ordered(df, "source"))
     )
+
+
+TURNS_PER_CONV = 4  # documents grouped into 4-turn conversations
+MASK_WORDS = 12  # words kept per turn for the loss-mask construction
+
+
+def loss_mask_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """SFT loss-masking spans: documents grouped into deterministic 4-turn
+    conversations (conv = doc_id div 4, alternating user/assistant roles);
+    for each turn, the character span [start_off, end_off) it occupies in
+    the newline-joined conversation string, plus the train-on-this flag
+    (mask=1 for assistant turns) — the offsets a supervised-fine-tuning
+    pipeline feeds to the tokenizer so loss is computed only on assistant
+    text.
+
+    Scale shape: one cumulative-sum window over the conv_id shuffle key —
+    per-conversation work, never a global window; the conversation string
+    itself is never materialized (offsets come from arithmetic on turn
+    lengths), so a 10^6-turn conversation costs its turn rows, not a
+    concatenated giant string."""
+    docs = load(spark, sf, "documents")
+    words = F.slice(
+        F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " "), 1, MASK_WORDS
+    )
+    turns = docs.select(
+        F.expr(f"doc_id div {TURNS_PER_CONV}").alias("conv_id"),
+        (F.col("doc_id") % TURNS_PER_CONV).cast("int").alias("turn_idx"),
+        F.when((F.col("doc_id") % 2) == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.array_join(words, " ").alias("turn_text"),
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("conv_id").orderBy("turn_idx")
+    n = F.length("turn_text").cast("long")
+    cum = F.sum(F.length("turn_text").cast("long")).over(win)
+    # start = chars of previous turns + one '\n' separator per previous turn
+    start = cum - n + F.col("turn_idx")
+    out = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        n.alias("n_chars"),
+        start.alias("start_off"),
+        (start + n).alias("end_off"),
+        (F.col("role") == "assistant").cast("int").alias("mask"),
+    )
+    return ordered(out, "conv_id", "turn_idx")
