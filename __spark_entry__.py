@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": corpus.source_mixture,
         "mixture_stats": corpus.mixture_stats,
         "curation_funnel": corpus.curation_funnel,
+        "line_dedup": corpus.line_dedup,
+        "gopher_rules": corpus.gopher_rules,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
@@ -99,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_docs": dedup.simhash_docs,
         "dedup_clusters": dedup.dedup_clusters,
+        "lsh_drop_stats": dedup.lsh_drop_stats,
+        "dedup_incremental": dedup.dedup_incremental,
         "dedup_survivors": dedup.dedup_survivors,
         # dedup production variants (seeded xxhash64, JVM-side end to end);
         # deliberately NO oracle_sql twin — the hash values are
@@ -113,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_cosine_dups": similarity.embedding_cosine_dups,
         "label_centroids": similarity.label_centroids,
+        "kmeans_step": similarity.kmeans_step,
+        "lsh_bucket_stats": similarity.lsh_bucket_stats,
         # multimodal plumbing (SQL-checkable half; decode stub is pytest-only)
         "media_meta_sql": multimodal.media_meta_sql,
     }
@@ -827,6 +833,49 @@ UNION ALL SELECT 3, 'train', s3 FROM agg
 UNION ALL SELECT 4, 'decontaminated', s4 FROM agg
 UNION ALL SELECT 5, 'mixture', s5 FROM agg
 ORDER BY stage_idx""",
+        "line_dedup": f"""
+WITH ws AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+segs AS (
+    SELECT doc_id,
+           CAST((i - 1) // {corpus.SEG_WORDS} AS INT) AS seg_idx,
+           array_to_string(list_slice(w, i, i + {corpus.SEG_WORDS - 1}), ' ') AS seg
+    FROM ws, unnest(generate_series(1, len(w), {corpus.SEG_WORDS})) AS t(i)),
+ranked AS (
+    SELECT doc_id, seg_idx, seg,
+           ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+    FROM segs)
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS dedup_text
+FROM ranked GROUP BY doc_id ORDER BY doc_id""",
+        "gopher_rules": f"""
+WITH ws AS (
+    SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+st AS (
+    SELECT doc_id,
+           CAST(len(w) AS INT) AS n_words,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+           CAST(length(regexp_extract_all(lower(text), '{EN_STOPWORDS}')) AS INT) AS n_stop
+    FROM ws),
+sig AS (
+    SELECT doc_id, n_words,
+           CAST((sum_len * 100) // n_words AS BIGINT) AS mean_wlen_x100,
+           CAST((n_distinct * 10000) // n_words AS BIGINT) AS distinct_bp,
+           n_stop
+    FROM st)
+SELECT doc_id, n_words, mean_wlen_x100, distinct_bp, n_stop,
+       CAST(n_words BETWEEN {corpus.GOPHER_MIN_WORDS} AND {corpus.GOPHER_MAX_WORDS} AS INT) AS words_ok,
+       CAST(mean_wlen_x100 BETWEEN {corpus.GOPHER_MEANLEN_MIN_X100} AND {corpus.GOPHER_MEANLEN_MAX_X100} AS INT) AS mean_len_ok,
+       CAST(distinct_bp >= {corpus.GOPHER_DISTINCT_MIN_BP} AS INT) AS distinct_ok,
+       CAST(n_stop >= {corpus.GOPHER_STOP_MIN} AS INT) AS stopword_ok,
+       CAST(n_words BETWEEN {corpus.GOPHER_MIN_WORDS} AND {corpus.GOPHER_MAX_WORDS}
+            AND mean_wlen_x100 BETWEEN {corpus.GOPHER_MEANLEN_MIN_X100} AND {corpus.GOPHER_MEANLEN_MAX_X100}
+            AND distinct_bp >= {corpus.GOPHER_DISTINCT_MIN_BP}
+            AND n_stop >= {corpus.GOPHER_STOP_MIN} AS INT) AS pass_gopher
+FROM sig ORDER BY doc_id""",
         # ---------------- dedup --------------------------------------------
         "dedup_exact": """
 SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
@@ -850,6 +899,30 @@ SELECT f.doc_id, CAST(s.cluster_size - 1 AS BIGINT) AS n_dupes_removed
 FROM final f JOIN sizes s USING (cluster_id)
 WHERE f.doc_id = f.cluster_id
 ORDER BY f.doc_id""",
+        "dedup_incremental": f"""
+WITH {_CORPUS}, {_SHINGLE_HASHES}, {_LSH_PAIR_CTES},
+batch AS (SELECT doc_id FROM corpus WHERE doc_id >= {dedup.MUTANT_BASE}),
+hits AS (
+    SELECT doc_b AS doc_id,
+           CAST(SUM(CASE WHEN doc_a < {dedup.MUTANT_BASE} THEN 1 ELSE 0 END) AS BIGINT) AS n_index_dups,
+           CAST(SUM(CASE WHEN doc_a >= {dedup.MUTANT_BASE} THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dups
+    FROM lsh_pairs WHERE doc_b >= {dedup.MUTANT_BASE} GROUP BY doc_b)
+SELECT b.doc_id,
+       CAST(COALESCE(n_index_dups, 0) AS BIGINT) AS n_index_dups,
+       CAST(COALESCE(n_batch_dups, 0) AS BIGINT) AS n_batch_dups,
+       CAST(COALESCE(n_index_dups, 0) = 0 AND COALESCE(n_batch_dups, 0) = 0 AS INT) AS admitted
+FROM batch b LEFT JOIN hits USING (doc_id)
+ORDER BY doc_id""",
+        "lsh_drop_stats": f"""
+WITH {_CORPUS}, {_SHINGLE_HASHES}, {_LSH_PAIR_CTES},
+bucket_sizes AS (
+    SELECT band_id, h1, h2, COUNT(*) AS n_docs
+    FROM bands GROUP BY band_id, h1, h2)
+SELECT band_id,
+       COUNT(*) AS n_buckets,
+       CAST(MAX(n_docs) AS INT) AS max_bucket,
+       CAST(SUM(greatest(n_docs - {_DEDUP_CAP}, 0)) AS BIGINT) AS n_dropped
+FROM bucket_sizes GROUP BY band_id ORDER BY band_id""",
         "ngram_jaccard_pairs": f"""
 WITH {_CORPUS},
 shingled AS (
@@ -1019,6 +1092,50 @@ SELECT vec_a, vec_b, cosine FROM (
     JOIN norms na ON na.vec_id = p.vec_a
     JOIN norms nb ON nb.vec_id = p.vec_b) t
 WHERE cosine >= 0.99 ORDER BY vec_a, vec_b""",
+        "kmeans_step": f"""
+WITH cent AS (
+    SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+    WHERE vec_id < {similarity.N_KMEANS}),
+assign AS (
+    SELECT e.vec_id, c.cid,
+           CAST(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                i -> (CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                    - CAST(round(CAST(c.cemb[i] AS DOUBLE) * 1000) AS BIGINT))
+                   * (CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                    - CAST(round(CAST(c.cemb[i] AS DOUBLE) * 1000) AS BIGINT)))) AS BIGINT) AS d
+    FROM embeddings e CROSS JOIN cent c),
+best AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+        FROM assign) t WHERE rn = 1),
+comp AS (
+    SELECT b.cid,
+           generate_subscripts(e.embedding, 1) - 1 AS pos,
+           CAST(round(CAST(unnest(e.embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+    FROM embeddings e JOIN best b USING (vec_id))
+SELECT cid, CAST(pos AS INT) AS pos, COUNT(*) AS n_assigned,
+       round(SUM(q) / COUNT(*) / 1000.0, 6) AS centroid
+FROM comp GROUP BY cid, pos ORDER BY cid, pos""",
+        "lsh_bucket_stats": f"""
+WITH corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(generate_series(1, len(embedding)),
+                          i -> CAST(embedding[i] AS DOUBLE)
+                               + CASE WHEN i = 1 THEN 0.01 ELSE 0 END) AS embedding
+    FROM embeddings WHERE vec_id % 3 = 1
+),
+{_sql_bands_cte("corpus", cast_double=False)},
+bucket_sizes AS (
+    SELECT band, bucket, COUNT(*) AS n_ids FROM bands GROUP BY band, bucket)
+SELECT band,
+       COUNT(*) AS n_buckets,
+       CAST(MAX(n_ids) AS INT) AS max_bucket,
+       CAST(SUM(greatest(n_ids - {K_CAP}, 0)) AS BIGINT) AS n_dropped
+FROM bucket_sizes GROUP BY band ORDER BY band""",
         "label_centroids": """
 WITH comp AS (
     SELECT label,

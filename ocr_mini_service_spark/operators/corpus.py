@@ -425,6 +425,126 @@ def mixture_stats(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(out, "source")
 
 
+SEG_WORDS = 10  # words per dedup segment (the "line" unit — the synthetic corpus has no newlines)
+
+
+def line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style corpus-wide segment-level dedup: each document is cut into
+    non-overlapping SEG_WORDS-word segments (the line analog — the synthetic
+    text carries no newlines) and every segment text is kept only at its
+    first corpus occurrence, first = smallest (doc_id, seg_idx).  Emits the
+    per-doc segment/survivor counts and the reassembled deduped text — the
+    exact shape of C4's "discard duplicate three-sentence spans" pass.
+
+    Scale shape: the keeper per segment is a ``min(struct(doc_id, seg_idx))``
+    AGGREGATION on the segment key — map-side partial min shrinks a segment
+    duplicated 10^6 times to one row per input partition before the shuffle
+    (a window row_number would instead sort the whole hot key in one task);
+    the mark-back is a plain equi-join on the same key (AQE skew-split
+    eligible), and reassembly is one keyed groupBy on doc_id."""
+    docs = load(spark, sf, "documents")
+    wdocs = docs.select("doc_id", _words().alias("w"))
+    segs = wdocs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w"), F.lit(SEG_WORDS)),
+                lambda i: F.array_join(F.slice("w", i, SEG_WORDS), " "),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    keepers = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("k")
+    )
+    marked = segs.join(keepers, "seg").select(
+        "doc_id",
+        "seg_idx",
+        "seg",
+        (
+            (F.col("doc_id") == F.col("k.doc_id"))
+            & (F.col("seg_idx") == F.col("k.seg_idx"))
+        ).alias("kept"),
+    )
+    out = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("seg_idx", "seg")))
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return ordered(out, "doc_id")
+
+
+# Gopher-style quality-rule thresholds.  All signals are INTEGERS (mean word
+# length ×100 and distinct-word fraction in basis points, both via integer
+# div) — a rounded float ratio can straddle a half-ulp HALF_UP/HALF_EVEN tie
+# between Spark and the oracle; integer division cannot.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEANLEN_MIN_X100 = 300  # mean word length in [3, 10]
+GOPHER_MEANLEN_MAX_X100 = 1_000
+GOPHER_DISTINCT_MIN_BP = 3_000  # >= 30% distinct words
+GOPHER_STOP_MIN = 2  # >= 2 stop-word hits
+
+
+def gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1 analog):
+    word-count bounds, mean-word-length band, distinct-word floor (the
+    repetition gate), and a minimum stop-word count (the gibberish gate),
+    with the per-rule flags and the conjunction exposed per document.  All
+    JVM-side in one narrow projection chain — no shuffle before the
+    presentation sort; signals are exact integers (see threshold block)."""
+    from .text import EN_STOPWORDS
+
+    docs = load(spark, sf, "documents")
+    # staged projections (repetition_stats rule): materialize the words
+    # array once; the sum-of-lengths fold references the alias, not split()
+    wdocs = docs.select("doc_id", "text", _words().alias("w"))
+    staged = wdocs.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.aggregate(
+            F.transform("w", lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("sum_len"),
+        F.regexp_count(F.lower("text"), F.lit(EN_STOPWORDS)).alias("n_stop"),
+    )
+    sig = staged.select(
+        "doc_id",
+        "n_words",
+        F.expr("(sum_len * 100) div n_words").alias("mean_wlen_x100"),
+        F.expr("(n_distinct * 10000) div n_words").alias("distinct_bp"),
+        "n_stop",
+    )
+    words_ok = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    mlen_ok = F.col("mean_wlen_x100").between(
+        GOPHER_MEANLEN_MIN_X100, GOPHER_MEANLEN_MAX_X100
+    )
+    dist_ok = F.col("distinct_bp") >= GOPHER_DISTINCT_MIN_BP
+    stop_ok = F.col("n_stop") >= GOPHER_STOP_MIN
+    out = sig.select(
+        "doc_id",
+        "n_words",
+        "mean_wlen_x100",
+        "distinct_bp",
+        "n_stop",
+        words_ok.cast("int").alias("words_ok"),
+        mlen_ok.cast("int").alias("mean_len_ok"),
+        dist_ok.cast("int").alias("distinct_ok"),
+        stop_ok.cast("int").alias("stopword_ok"),
+        (words_ok & mlen_ok & dist_ok & stop_ok).cast("int").alias("pass_gopher"),
+    )
+    return ordered(out, "doc_id")
+
+
 QUAL_MIN_WORDS = DECON_N  # quality gate: enough words to carry one decon gram
 
 

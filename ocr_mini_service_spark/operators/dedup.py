@@ -197,11 +197,12 @@ def _lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
 def lsh_drop_stats(spark: SparkSession, sf: str) -> DataFrame:
     """No-silent-caps audit for the MinHash-LSH bucket cap."""
     b = _lsh_buckets(spark, sf)
-    return b.groupBy("band_id").agg(
+    out = b.groupBy("band_id").agg(
         F.count("*").alias("n_buckets"),
         F.max("n_docs").alias("max_bucket"),
         F.sum(F.greatest(F.col("n_docs") - DEDUP_CAP, F.lit(0))).alias("n_dropped"),
     )
+    return ordered(out, "band_id")
 
 
 def _lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -229,6 +230,49 @@ def lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
     hash in ≥1 band.  Self-equi-join on (band_id, h1, h2) — bucket join, not
     an all-pairs product; buckets capped at DEDUP_CAP (see _lsh_buckets)."""
     return ordered(_lsh_pairs(spark, sf), "doc_a", "doc_b")
+
+
+MUTANT_BASE = 1_000_000  # id offset of the mutant overlay (= the "new batch")
+
+
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-crawl admission: dedup a NEW batch of documents against
+    the EXISTING corpus index plus earlier arrivals in the same batch — the
+    production shape where yesterday's corpus is already deduped and only
+    today's crawl needs vetting.  The deterministic mutant overlay
+    (doc_id >= MUTANT_BASE, see ``_docs_with_mutants``) plays the new batch;
+    the base documents are the index.  A new doc is admitted iff it has no
+    LSH candidate partner in the index and none among smaller-id batch docs
+    (first-come-first-kept within the batch).
+
+    Scale shape: identical to ``lsh_candidate_pairs`` (band-bucket join,
+    capped buckets) — in production the index side joins from its
+    PRECOMPUTED signature table, so per-batch cost is O(batch + collisions),
+    never a rescan of the corpus; the admission itself is one keyed
+    aggregation over the pair list.  Candidate pairs (doc_a < doc_b) encode
+    priority directly: partners of new doc d appear exactly as doc_b = d."""
+    batch = _docs_with_mutants(spark, sf).filter(
+        F.col("doc_id") >= MUTANT_BASE
+    ).select("doc_id")
+    hits = (
+        _lsh_pairs(spark, sf)
+        .filter(F.col("doc_b") >= MUTANT_BASE)
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(
+            F.sum((F.col("doc_a") < MUTANT_BASE).cast("long")).alias("n_index_dups"),
+            F.sum((F.col("doc_a") >= MUTANT_BASE).cast("long")).alias("n_batch_dups"),
+        )
+    )
+    out = batch.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_index_dups", F.lit(0)).cast("long").alias("n_index_dups"),
+        F.coalesce("n_batch_dups", F.lit(0)).cast("long").alias("n_batch_dups"),
+        (
+            (F.coalesce("n_index_dups", F.lit(0)) == 0)
+            & (F.coalesce("n_batch_dups", F.lit(0)) == 0)
+        ).cast("int").alias("admitted"),
+    )
+    return ordered(out, "doc_id")
 
 
 def dedup_clusters(spark: SparkSession, sf: str, max_iter: int = 20) -> DataFrame:

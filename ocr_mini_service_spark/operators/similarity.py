@@ -171,11 +171,12 @@ def lsh_bucket_stats(spark: SparkSession, sf: str, cap: int = K_CAP) -> DataFram
     many candidate slots the K_CAP guard dropped."""
     rows = _band_rows(_tagged(_vecs_with_mutants(spark, sf)))
     b = _capped_buckets(rows, cap)
-    return b.groupBy("band").agg(
+    out = b.groupBy("band").agg(
         F.count("*").alias("n_buckets"),
         F.max("n_ids").alias("max_bucket"),
         F.sum(F.greatest(F.col("n_ids") - cap, F.lit(0))).alias("n_dropped"),
     )
+    return ordered(out, "band")
 
 
 def _pairs_from_buckets(capped: DataFrame) -> DataFrame:
@@ -315,6 +316,67 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "score")
         .transform(lambda df: ordered(df, "query_id", "rank"))
     )
+
+
+N_KMEANS = 8
+
+
+def kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One Lloyd (k-means) iteration over the embedding corpus — the
+    iterative-training primitive behind the IVF codebook (``ann_ivf_topk``
+    consumes exactly such centroids): assign every vector to its nearest of
+    N_KMEANS seed centroids (exact quantized-integer squared L2, tie ->
+    smaller centroid id), then recompute each centroid as the component mean
+    of its assigned vectors.
+
+    Scale shape: the codebook is tiny and broadcast (assignment is a
+    narrow broadcast-nested-loop over K rows, no shuffle); the update is one
+    keyed (cid, pos) groupBy with map-side partial sums after a posexplode
+    fan-out of dim rows per vector — the same skew-free reduction as
+    ``label_centroids``.  Component sums are quantized ints so the means are
+    order-independent and exact across engines.  A full k-means run is this
+    step iterated with the returned centroids broadcast back in."""
+    emb = load(spark, sf, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cent = emb.filter(F.col("vec_id") < N_KMEANS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    best = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            _pair_qdist(F.col("embedding"), F.col("cemb")).alias("d"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    comp = best.select(
+        "cid",
+        F.posexplode(
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+            )
+        ).alias("pos", "q"),
+    )
+    agg = comp.groupBy("cid", "pos").agg(
+        F.count("*").alias("n_assigned"),
+        F.sum("q").alias("qsum"),
+    )
+    out = agg.select(
+        "cid",
+        "pos",
+        "n_assigned",
+        F.round(F.col("qsum") / F.col("n_assigned") / 1000.0, 6).alias("centroid"),
+    )
+    return ordered(out, "cid", "pos")
 
 
 def array_stats(spark: SparkSession, sf: str) -> DataFrame:

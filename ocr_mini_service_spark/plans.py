@@ -140,6 +140,23 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "shuffles for it and no join can go quadratic.",
             formatted_plan(q["decontaminate"](spark, sf_dir)),
         ),
+        "line_dedup": (
+            "C4-style corpus-wide segment dedup: the first-occurrence keeper "
+            "per segment is a min(struct(doc_id, seg_idx)) AGGREGATION on the "
+            "segment key — partial_min shrinks a hot duplicated segment "
+            "map-side before the shuffle (a window row_number would sort the "
+            "whole hot key in one task); mark-back is a plain equi-join, "
+            "reassembly one keyed groupBy.  No Window operator anywhere.",
+            formatted_plan(q["line_dedup"](spark, sf_dir)),
+        ),
+        "kmeans_step": (
+            "one Lloyd iteration: the K-row codebook reaches assignment as a "
+            "BroadcastExchange (corpus side never shuffles to be assigned); "
+            "the centroid update is a keyed (cid, pos) partial+final "
+            "aggregation after a posexplode fan-out — skew-free at any "
+            "corpus size.",
+            formatted_plan(q["kmeans_step"](spark, sf_dir)),
+        ),
         "curation_funnel": (
             "the whole curation pipeline in one DAG: a window on the "
             "content-hash key (dedup), one broadcast LeftSemi (decon), then "

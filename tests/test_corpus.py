@@ -122,6 +122,51 @@ def test_mixture_stats_aggregates_per_doc_decisions(spark, sf_dir):
     assert (m["achieved_bp"] == m["n_kept"] * 10000 // m["n_docs"]).all()
 
 
+def test_line_dedup_keeps_first_occurrence_and_reassembles(spark, sf_dir):
+    df = corpus.line_dedup(spark, sf_dir).toPandas()
+    assert (df["n_kept"] <= df["n_segments"]).all()
+    assert (df["n_kept"] >= 0).all()
+    # reassembled text is exactly the kept segments: word count telescopes
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    n_words = docs.set_index("doc_id")["text"].str.strip().str.split().str.len()
+    m = df.set_index("doc_id")
+    assert (m["n_segments"] == -(-n_words.reindex(m.index) // corpus.SEG_WORDS)).all()
+    # the union of kept text across the corpus has no duplicate segment:
+    # every segment string appears exactly once among kept positions
+    kept_words = m["dedup_text"].str.split().str.len().fillna(0)
+    # each doc's dedup_text word count never exceeds the original
+    assert (kept_words <= n_words.reindex(m.index)).all()
+    # idempotence: running dedup on already-deduped docs keeps everything
+    segs = [
+        t.split()[i : i + corpus.SEG_WORDS]
+        for t in m["dedup_text"]
+        for i in range(0, len(t.split()), corpus.SEG_WORDS)
+    ]
+    joined = [" ".join(s) for s in segs if s]
+    assert len(joined) == len(set(joined))
+
+
+def test_gopher_rules_flags_match_signals(spark, sf_dir):
+    df = corpus.gopher_rules(spark, sf_dir).toPandas()
+    assert (
+        (df["words_ok"] == 1)
+        == df["n_words"].between(corpus.GOPHER_MIN_WORDS, corpus.GOPHER_MAX_WORDS)
+    ).all()
+    assert (
+        (df["mean_len_ok"] == 1)
+        == df["mean_wlen_x100"].between(
+            corpus.GOPHER_MEANLEN_MIN_X100, corpus.GOPHER_MEANLEN_MAX_X100
+        )
+    ).all()
+    assert ((df["distinct_ok"] == 1) == (df["distinct_bp"] >= corpus.GOPHER_DISTINCT_MIN_BP)).all()
+    assert ((df["stopword_ok"] == 1) == (df["n_stop"] >= corpus.GOPHER_STOP_MIN)).all()
+    conj = df[["words_ok", "mean_len_ok", "distinct_ok", "stopword_ok"]].min(axis=1)
+    assert (df["pass_gopher"] == conj).all()
+    assert df["distinct_bp"].between(0, 10000).all()
+    # the gate actually separates: both outcomes occur on the synthetic corpus
+    assert df["pass_gopher"].nunique() == 2
+
+
 def test_curation_funnel_is_consistent_with_component_operators(spark, sf_dir):
     f = corpus.curation_funnel(spark, sf_dir).toPandas().set_index("stage")["n_docs"]
     # monotone non-increasing survivor counts

@@ -91,6 +91,31 @@ def test_caps_above_testdata_maxima(spark, sf_dir):
     assert all(r["n_dropped"] == 0 for r in emb)
 
 
+def test_dedup_incremental_admission_rules(spark, sf_dir):
+    """Every new-batch doc is adjudicated exactly once; the mutant overlay
+    (substr of its source doc, sharing most 3-word shingles) is overwhelmingly
+    rejected against the index; the admission flag is exactly the
+    zero-duplicate conjunction."""
+    df = dedup.dedup_incremental(spark, sf_dir).toPandas()
+    assert df["doc_id"].is_unique
+    assert (df["doc_id"] >= dedup.MUTANT_BASE).all()
+    assert (
+        (df["admitted"] == 1)
+        == ((df["n_index_dups"] == 0) & (df["n_batch_dups"] == 0))
+    ).all()
+    # mutants are near-dups of their sources by construction: most collide
+    assert (df["n_index_dups"] > 0).mean() > 0.8
+
+
+def test_dedup_incremental_hot_batch_bounded(spark, hot_docs_dir):
+    """On the 10³-identical-docs fixture the batch side still adjudicates
+    every mutant without a quadratic blowup: pair lists stay capped."""
+    df = dedup.dedup_incremental(spark, hot_docs_dir).toPandas()
+    assert len(df) == _n_mutants(N_DOCS)
+    # per-doc duplicate counts can never exceed the bucket cap
+    assert (df["n_index_dups"] + df["n_batch_dups"] <= dedup.DEDUP_CAP).all()
+
+
 def test_dedup_survivors_partitions_the_corpus(spark, hot_docs_dir):
     """Survivors are exactly the cluster canonicals, and kept + removed
     accounts for every corpus doc (no silent drops)."""

@@ -132,6 +132,43 @@ def test_pivot_is_single_pass_aggregate(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
 
 
+def test_line_dedup_keeper_is_aggregation_not_window(spark, sf_dir):
+    """The first-occurrence keeper per segment must be a min(struct)
+    AGGREGATION on the segment key (map-side partial min shrinks a
+    10^6-duplicated segment per input partition before the shuffle) — a
+    window row_number over the segment key would instead sort every copy of
+    the hottest segment in a single task."""
+    plan = formatted_plan(entry.queries()["line_dedup"](spark, sf_dir))
+    assert "partial_min" in plan or re.search(
+        r"HashAggregate.*min", plan
+    ), plan
+    # the only Window allowed is none at all: keeper + reassembly are agg/join
+    assert "(\\d+) Window" not in plan and not re.search(r"\(\d+\) Window", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_gopher_rules_is_single_scan_no_shuffle(spark, sf_dir):
+    """The rule gate is one narrow projection chain: a single pruned scan
+    (doc_id, text) and no Exchange before the presentation sort."""
+    plan = formatted_plan(entry.queries()["gopher_rules"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "doc_id", "text"
+    }, plan
+    # repartition(1) for the driver-sized presentation is the only exchange
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_kmeans_assignment_broadcasts_the_codebook(spark, sf_dir):
+    """Lloyd assignment must broadcast the K-row codebook (a
+    BroadcastNestedLoopJoin over K rows is the intended narrow shape);
+    the corpus side never shuffles for the assignment itself."""
+    plan = formatted_plan(entry.queries()["kmeans_step"](spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_decontaminate_is_broadcast_semi_join(spark, sf_dir):
     """The benchmark gram set (fixed-size at any corpus scale) must reach
     the membership test as a broadcast LeftSemi — never a shuffled join on

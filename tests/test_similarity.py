@@ -1,0 +1,36 @@
+"""Invariant tests for similarity operators beyond the DuckDB parity harness
+(which pins exact values): semantic properties of the k-means update step."""
+
+import numpy as np
+
+from ocr_mini_service_spark.operators import similarity
+
+
+def test_kmeans_step_partitions_and_averages(spark, sf_dir):
+    out = similarity.kmeans_step(spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    q = np.round(np.stack(emb["embedding"].map(np.asarray)) * 1000).astype(np.int64)
+    ids = emb["vec_id"].to_numpy()
+    dim = q.shape[1]
+    # output is the full (cid, pos) grid
+    assert len(out) == similarity.N_KMEANS * dim
+    # assignment is a partition: per-cid counts sum to the corpus size
+    at0 = out[out["pos"] == 0]
+    assert at0["n_assigned"].sum() == len(emb)
+    # replicate the assignment in numpy: nearest seed centroid, tie -> smaller cid
+    cents = q[np.argsort(ids)][: similarity.N_KMEANS]
+    cent_ids = np.sort(ids)[: similarity.N_KMEANS]
+    d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = cent_ids[np.argmin(d, axis=1)]  # argmin takes first min = smaller cid
+    counts = {c: int((assign == c).sum()) for c in cent_ids}
+    got_counts = dict(zip(at0["cid"], at0["n_assigned"]))
+    assert got_counts == counts
+    # centroid values are the member means to within the 6-decimal rounding
+    # half-ulp (exact values incl. the HALF_UP tie-break are pinned by the
+    # DuckDB parity harness; numpy's round is HALF_EVEN so it can't replicate
+    # the tie bit here)
+    for cid in cent_ids:
+        member_q = q[assign == cid]
+        want = member_q.sum(axis=0) / len(member_q) / 1000.0
+        got = out[out["cid"] == cid].sort_values("pos")["centroid"].to_numpy()
+        assert np.abs(got - want).max() <= 5.001e-7
