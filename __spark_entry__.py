@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_word_boxes": transcribe.extract_word_boxes,
         "extract_metrics_by_source": transcribe.extract_metrics_by_source,
         "loss_mask_spans": transcribe.loss_mask_spans,
+        "conversation_stats": transcribe.conversation_stats,
         # relational operator inventory (SURVEY §2)
         "q1_pricing_summary": tpch.q1_pricing_summary,
         "broadcast_region_customers": tpch.broadcast_region_customers,
@@ -119,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": similarity.label_centroids,
         "kmeans_step": similarity.kmeans_step,
         "lsh_bucket_stats": similarity.lsh_bucket_stats,
+        "semantic_decontaminate": similarity.semantic_decontaminate,
         # multimodal plumbing (SQL-checkable half; decode stub is pytest-only)
         "media_meta_sql": multimodal.media_meta_sql,
     }
@@ -350,6 +352,25 @@ SELECT conv_id, turn_idx, role, n_chars,
        cum + turn_idx AS end_off,
        CAST(role = 'assistant' AS INT) AS mask
 FROM c ORDER BY conv_id, turn_idx""",
+        "conversation_stats": f"""
+WITH t AS (
+    SELECT doc_id // {transcribe.TURNS_PER_CONV} AS conv_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+           array_to_string(list_slice(
+               string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+               1, {transcribe.MASK_WORDS}), ' ') AS turn_text
+    FROM documents),
+agg AS (
+    SELECT conv_id,
+           COUNT(*) AS n_turns,
+           CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+           CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+           CAST(SUM(length(turn_text)) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN role = 'assistant' THEN length(turn_text) ELSE 0 END) AS BIGINT) AS assistant_chars
+    FROM t GROUP BY conv_id)
+SELECT conv_id, n_turns, n_user, n_assistant, total_chars, assistant_chars,
+       (assistant_chars * 10000) // total_chars AS assistant_bp
+FROM agg ORDER BY conv_id""",
         # ---------------- relational inventory -----------------------------
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -1117,6 +1138,50 @@ comp AS (
 SELECT cid, CAST(pos AS INT) AS pos, COUNT(*) AS n_assigned,
        round(SUM(q) / COUNT(*) / 1000.0, 6) AS centroid
 FROM comp GROUP BY cid, pos ORDER BY cid, pos""",
+        "semantic_decontaminate": f"""
+WITH corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(generate_series(1, len(embedding)),
+                          i -> CAST(embedding[i] AS DOUBLE)
+                               + CASE WHEN i = 1 THEN 0.01 ELSE 0 END) AS embedding
+    FROM embeddings WHERE vec_id % 3 = 1
+),
+norms AS (
+    SELECT vec_id, embedding,
+           CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+                    i -> CAST(round(embedding[i] * 1000) AS BIGINT)
+                       * CAST(round(embedding[i] * 1000) AS BIGINT))) AS BIGINT) AS n2
+    FROM corpus
+),
+{_sql_bands_cte("corpus", cast_double=False)},
+t AS (SELECT vec_id AS test_id, band, bucket FROM bands
+      WHERE vec_id >= {similarity.SEMDECON_BASE}),
+c AS (
+    SELECT DISTINCT r.vec_id AS train_id, t.test_id
+    FROM bands r JOIN t ON r.band = t.band AND r.bucket = t.bucket
+    WHERE r.vec_id < {similarity.SEMDECON_BASE}),
+scored AS (
+    SELECT c.train_id, c.test_id,
+           round(list_sum(list_transform(generate_series(1, len(na.embedding)),
+                 i -> CAST(round(na.embedding[i] * 1000) AS BIGINT)
+                    * CAST(round(nb.embedding[i] * 1000) AS BIGINT)))
+                 / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cosine
+    FROM c
+    JOIN norms na ON na.vec_id = c.train_id
+    JOIN norms nb ON nb.vec_id = c.test_id),
+hits AS (
+    SELECT train_id, COUNT(*) AS n_near_test, MAX(cosine) AS max_cosine
+    FROM scored WHERE cosine >= {similarity.SEMDECON_COS} GROUP BY train_id)
+SELECT n.vec_id,
+       CAST(COALESCE(h.n_near_test, 0) AS BIGINT) AS n_near_test,
+       COALESCE(h.max_cosine, 0.0) AS max_cosine,
+       CAST(COALESCE(h.n_near_test, 0) > 0 AS INT) AS contaminated
+FROM norms n LEFT JOIN hits h ON h.train_id = n.vec_id
+WHERE n.vec_id < {similarity.SEMDECON_BASE}
+ORDER BY n.vec_id""",
         "lsh_bucket_stats": f"""
 WITH corpus AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding

@@ -450,6 +450,79 @@ def embedding_cosine_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# semantic decontamination: cosine threshold against the benchmark overlay
+SEMDECON_BASE = 1_000_000  # id offset of the benchmark overlay (mutants)
+SEMDECON_COS = 0.98
+
+
+def semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic decontamination: flag training vectors whose
+    embedding is cosine-near (>= SEMDECON_COS) some held-out benchmark
+    vector — the embedding-space analog of ``corpus.decontaminate``'s
+    n-gram overlap, catching paraphrased benchmark leakage that exact
+    n-grams miss.  The deterministic mutant overlay (vec_id >=
+    SEMDECON_BASE, see ``_vecs_with_mutants``) plays the benchmark set, so
+    the synthetic corpus has guaranteed positives: every mutant's source
+    vector must be flagged at cosine ~= 1.
+
+    Scale shape: candidates come from the banded sign-LSH band join — the
+    benchmark side (fixed size at any corpus scale) is broadcast, so the
+    unbounded training side never shuffles to be vetted; scoring is the
+    exact quantized-int dot over the candidate pairs only.  Same recall
+    caveat as every LSH path, by design (audited via ``lsh_bucket_stats``)."""
+    # the tagged corpus feeds FOUR subtrees (band rows, both scoring sides,
+    # and the train roster); localCheckpoint materializes the scan+UDF
+    # pipeline once instead of re-evaluating it per subtree (vectors + band
+    # tags are a narrow sliver of the corpus — at 10^12 scale this is the
+    # signature table a production run would persist anyway)
+    tagged = _tagged(_vecs_with_mutants(spark, sf)).localCheckpoint()
+    rows = _band_rows(tagged)
+    is_test = F.col("vec_id") >= SEMDECON_BASE
+    trows = rows.filter(is_test).select(
+        F.col("vec_id").alias("test_id"), "band", "bucket"
+    )
+    cands = (
+        rows.filter(~is_test)
+        .join(F.broadcast(trows), ["band", "bucket"])
+        .select(F.col("vec_id").alias("train_id"), "test_id")
+        .distinct()
+    )
+    t = tagged.select(
+        F.col("vec_id").alias("test_id"), F.col("embedding").alias("te"),
+        F.col("n2").alias("tn2"),
+    )
+    tr = tagged.select(
+        F.col("vec_id").alias("train_id"), F.col("embedding").alias("re"),
+        F.col("n2").alias("rn2"),
+    )
+    scored = (
+        cands.join(F.broadcast(t), "test_id")
+        .join(tr, "train_id")
+        .select(
+            "train_id",
+            "test_id",
+            F.round(
+                _pair_qdot(F.col("re"), F.col("te"))
+                / (F.sqrt(F.col("rn2")) * F.sqrt(F.col("tn2"))),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMDECON_COS)
+    )
+    hits = scored.groupBy("train_id").agg(
+        F.count("*").alias("n_near_test"),
+        F.max("cosine").alias("max_cosine"),
+    )
+    train = tagged.filter(~is_test).select(F.col("vec_id").alias("train_id"))
+    out = train.join(hits, "train_id", "left").select(
+        F.col("train_id").alias("vec_id"),
+        F.coalesce("n_near_test", F.lit(0)).cast("long").alias("n_near_test"),
+        F.coalesce("max_cosine", F.lit(0.0)).alias("max_cosine"),
+        (F.coalesce("n_near_test", F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+    return ordered(out, "vec_id")
+
+
 def label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label embedding centroid — the vector aggregation a training
     pipeline runs for cluster summaries / class prototypes.  posexplode

@@ -157,6 +157,55 @@ TURNS_PER_CONV = 4  # documents grouped into 4-turn conversations
 MASK_WORDS = 12  # words kept per turn for the loss-mask construction
 
 
+def _conv_turns(spark: SparkSession, sf: str) -> DataFrame:
+    """documents grouped into deterministic 4-turn conversations (conv =
+    doc_id div 4, alternating user/assistant roles, turn text = first
+    MASK_WORDS whitespace-normalized words) — the shared construction behind
+    ``loss_mask_spans`` and ``conversation_stats``."""
+    docs = load(spark, sf, "documents")
+    words = F.slice(
+        F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " "), 1, MASK_WORDS
+    )
+    return docs.select(
+        F.expr(f"doc_id div {TURNS_PER_CONV}").alias("conv_id"),
+        (F.col("doc_id") % TURNS_PER_CONV).cast("int").alias("turn_idx"),
+        F.when((F.col("doc_id") % 2) == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.array_join(words, " ").alias("turn_text"),
+    )
+
+
+def conversation_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-conversation rollup — the audit a transcript-curation pipeline
+    runs before packing conversations into training samples: turn counts by
+    role, total characters, and the assistant share of characters in exact
+    integer basis points (integer ``div`` — no float-rounding tie risk).
+    One keyed aggregation on the conv_id shuffle key with map-side partial
+    sums; per-conversation cost is its turn rows at any corpus size."""
+    turns = _conv_turns(spark, sf)
+    n = F.length("turn_text").cast("long")
+    agg = turns.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("long")).alias("n_assistant"),
+        F.sum(n).alias("total_chars"),
+        F.sum(F.when(F.col("role") == "assistant", n).otherwise(F.lit(0))).alias(
+            "assistant_chars"
+        ),
+    )
+    out = agg.select(
+        "conv_id",
+        "n_turns",
+        "n_user",
+        "n_assistant",
+        "total_chars",
+        "assistant_chars",
+        F.expr("(assistant_chars * 10000) div total_chars").alias("assistant_bp"),
+    )
+    return ordered(out, "conv_id")
+
+
 def loss_mask_spans(spark: SparkSession, sf: str) -> DataFrame:
     """SFT loss-masking spans: documents grouped into deterministic 4-turn
     conversations (conv = doc_id div 4, alternating user/assistant roles);
@@ -171,18 +220,7 @@ def loss_mask_spans(spark: SparkSession, sf: str) -> DataFrame:
     itself is never materialized (offsets come from arithmetic on turn
     lengths), so a 10^6-turn conversation costs its turn rows, not a
     concatenated giant string."""
-    docs = load(spark, sf, "documents")
-    words = F.slice(
-        F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " "), 1, MASK_WORDS
-    )
-    turns = docs.select(
-        F.expr(f"doc_id div {TURNS_PER_CONV}").alias("conv_id"),
-        (F.col("doc_id") % TURNS_PER_CONV).cast("int").alias("turn_idx"),
-        F.when((F.col("doc_id") % 2) == 0, "user")
-        .otherwise("assistant")
-        .alias("role"),
-        F.array_join(words, " ").alias("turn_text"),
-    )
+    turns = _conv_turns(spark, sf)
     from pyspark.sql.window import Window
 
     win = Window.partitionBy("conv_id").orderBy("turn_idx")

@@ -29,3 +29,26 @@ def test_spans_reconstruct_turns(spark, sf_dir):
     # spans within a conversation are disjoint and ordered
     g = df.sort_values(["conv_id", "turn_idx"]).groupby("conv_id")
     assert (g["start_off"].diff().dropna() > 0).all()
+
+
+def test_conversation_stats_consistent_with_loss_mask_spans(spark, sf_dir):
+    """The rollup and the span operator must tell the same story: per-conv
+    char totals equal the span lengths, role counts match the masks, and the
+    assistant share is the exact integer basis-point ratio."""
+    spans = transcribe.loss_mask_spans(spark, sf_dir).toPandas()
+    stats = transcribe.conversation_stats(spark, sf_dir).toPandas().set_index("conv_id")
+    per = spans.groupby("conv_id").agg(
+        n_turns=("turn_idx", "size"),
+        n_assistant=("mask", "sum"),
+        total_chars=("n_chars", "sum"),
+    )
+    assistant_chars = (
+        spans.loc[spans["mask"] == 1].groupby("conv_id")["n_chars"].sum()
+    )
+    m = stats.join(per, rsuffix="_chk")
+    assert (m["n_turns"] == m["n_turns_chk"]).all()
+    assert (m["n_assistant"] == m["n_assistant_chk"]).all()
+    assert (m["n_user"] == m["n_turns"] - m["n_assistant"]).all()
+    assert (m["total_chars"] == m["total_chars_chk"]).all()
+    assert (m["assistant_chars"] == assistant_chars.reindex(m.index).fillna(0)).all()
+    assert (m["assistant_bp"] == m["assistant_chars"] * 10000 // m["total_chars"]).all()

@@ -6,6 +6,22 @@ import numpy as np
 from ocr_mini_service_spark.operators import similarity
 
 
+def test_semantic_decontaminate_flags_exactly_the_benchmark_sources(spark, sf_dir):
+    """Every vector whose mutant rides in the benchmark overlay must be
+    flagged (cosine ~1 vs its +0.01-nudged twin survives every LSH band);
+    random 64-dim pairs sit at cosine ~0 +- 0.125, so nothing else crosses
+    the 0.98 threshold."""
+    df = similarity.semantic_decontaminate(spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    assert set(df["vec_id"]) == set(emb["vec_id"])  # every train vector adjudicated
+    # _vecs_with_mutants mutates vec_id % 3 == 1 (filter precedes the offset)
+    sources = {v for v in emb["vec_id"] if v % 3 == 1}
+    flagged = set(df.loc[df["contaminated"] == 1, "vec_id"])
+    assert flagged == sources
+    assert (df.loc[df["contaminated"] == 1, "max_cosine"] >= 0.99).all()
+    assert ((df["contaminated"] == 1) == (df["n_near_test"] > 0)).all()
+
+
 def test_kmeans_step_partitions_and_averages(spark, sf_dir):
     out = similarity.kmeans_step(spark, sf_dir).toPandas()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
