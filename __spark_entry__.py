@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_stats": corpus.mixture_stats,
         "curation_funnel": corpus.curation_funnel,
         "line_dedup": corpus.line_dedup,
+        "ngram_lm_counts": corpus.ngram_lm_counts,
+        "vocab_coverage": corpus.vocab_coverage,
         "gopher_rules": corpus.gopher_rules,
         # dedup
         "dedup_exact": dedup.dedup_exact,
@@ -854,6 +856,33 @@ UNION ALL SELECT 3, 'train', s3 FROM agg
 UNION ALL SELECT 4, 'decontaminated', s4 FROM agg
 UNION ALL SELECT 5, 'mixture', s5 FROM agg
 ORDER BY stage_idx""",
+        "ngram_lm_counts": """
+WITH ws AS (
+    SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents),
+bg AS (
+    SELECT w[i] AS w1, w[i+1] AS w2
+    FROM ws, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+n12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
+n1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1)
+SELECT n12.w1, n12.w2, n12.n12, n1.n1,
+       (n12.n12 * 10000) // n1.n1 AS cond_bp
+FROM n12 JOIN n1 ON n12.w1 = n1.w1
+ORDER BY n12.w1, n12.w2""",
+        "vocab_coverage": f"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+counts AS (
+    SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY token),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+ranked AS (
+    SELECT token, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS rank,
+           CAST(SUM(n) OVER (ORDER BY n DESC, token ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+    FROM counts)
+SELECT rank, token, n, (cum * 10000) // total.total AS cum_bp
+FROM ranked CROSS JOIN total
+WHERE rank <= {corpus.VOCAB_TOP} ORDER BY rank""",
         "line_dedup": f"""
 WITH ws AS (
     SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),

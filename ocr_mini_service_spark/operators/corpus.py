@@ -425,6 +425,80 @@ def mixture_stats(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(out, "source")
 
 
+def ngram_lm_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus bigram language-model table: occurrence counts n(w1,w2),
+    unigram context totals n(w1), and the conditional probability
+    P(w2|w1) in exact integer basis points — the count statistics an n-gram
+    LM (or a perplexity-based quality filter built on one) trains from.
+
+    Scale shape: two keyed aggregations (bigram key, then context key) with
+    map-side partial counts, joined back on the context key — the classic
+    count/divide shape; nothing collects and nothing is quadratic.  The
+    probability uses integer ``div`` (half-ulp-tie-proof across engines)."""
+    docs = load(spark, sf, "documents")
+    wdocs = docs.select("doc_id", _words().alias("w"))
+    wc = F.col("w")
+    bigrams = wdocs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(wc) - 1),
+                lambda i: F.struct(
+                    F.element_at(wc, i).alias("w1"),
+                    F.element_at(wc, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    n12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    n1 = bigrams.groupBy("w1").agg(F.count("*").alias("n1"))
+    out = n12.join(n1, "w1").select(
+        "w1",
+        "w2",
+        "n12",
+        "n1",
+        F.expr("(n12 * 10000) div n1").alias("cond_bp"),
+    )
+    return ordered(out, "w1", "w2")
+
+
+VOCAB_TOP = 30  # vocabulary sizes audited by vocab_coverage
+
+
+def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative corpus coverage of the top-N vocabulary: for each of the
+    VOCAB_TOP most frequent tokens, the running share of ALL token
+    occurrences covered by the vocabulary up to that rank (exact integer
+    basis points) — the audit that sizes a tokenizer vocabulary against a
+    corpus.
+
+    Scale shape: token counts are one keyed aggregation; the top-N cut is
+    TakeOrderedAndProject (never a global sort of the vocabulary); the
+    cumulative window then runs over <= N driver-sized rows, and the grand
+    total rides in as a broadcast scalar."""
+    docs = load(spark, sf, "documents")
+    counts = (
+        docs.select(F.explode(_words()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(VOCAB_TOP)
+    total = counts.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    out = (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("cum", F.sum("n").over(w))
+        .select(
+            "rank",
+            "token",
+            "n",
+            F.expr("(cum * 10000) div total").alias("cum_bp"),
+        )
+    )
+    return ordered(out, "rank")
+
+
 SEG_WORDS = 10  # words per dedup segment (the "line" unit — the synthetic corpus has no newlines)
 
 

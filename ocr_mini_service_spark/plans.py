@@ -157,6 +157,22 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "corpus size.",
             formatted_plan(q["kmeans_step"](spark, sf_dir)),
         ),
+        "dedup_incremental": (
+            "incremental-crawl admission: the same capped LSH band join as "
+            "lsh_candidate_pairs generates new-batch collision pairs; one "
+            "keyed aggregation over doc_b decides admission — no corpus "
+            "rescan shape beyond the signature build, no quadratic join.",
+            formatted_plan(q["dedup_incremental"](spark, sf_dir)),
+        ),
+        "semantic_decontaminate": (
+            "embedding-space benchmark decontamination: the fixed-size "
+            "benchmark band rows and scoring vectors arrive as "
+            "BroadcastExchanges — the unbounded training side never "
+            "shuffles to be vetted; the tagged signature table is "
+            "localCheckpointed (evaluated once, consumed by four subtrees), "
+            "which is why the leaves scan an ExistingRDD.",
+            formatted_plan(q["semantic_decontaminate"](spark, sf_dir)),
+        ),
         "curation_funnel": (
             "the whole curation pipeline in one DAG: a window on the "
             "content-hash key (dedup), one broadcast LeftSemi (decon), then "

@@ -122,6 +122,30 @@ def test_mixture_stats_aggregates_per_doc_decisions(spark, sf_dir):
     assert (m["achieved_bp"] == m["n_kept"] * 10000 // m["n_docs"]).all()
 
 
+def test_ngram_lm_counts_is_a_conditional_distribution(spark, sf_dir):
+    df = corpus.ngram_lm_counts(spark, sf_dir).toPandas()
+    # context totals really are the bigram-count marginals
+    per_ctx = df.groupby("w1").agg(n12_sum=("n12", "sum"), n1=("n1", "first"))
+    assert (per_ctx["n12_sum"] == per_ctx["n1"]).all()
+    assert df["cond_bp"].between(0, 10000).all()
+    # total bigrams = sum over docs of (n_words - 1)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    n_words = docs["text"].str.strip().str.split().str.len()
+    assert df["n12"].sum() == (n_words - 1).sum()
+
+
+def test_vocab_coverage_is_monotone_and_matches_heavy_hitters(spark, sf_dir):
+    df = corpus.vocab_coverage(spark, sf_dir).toPandas()
+    assert list(df["rank"]) == list(range(1, corpus.VOCAB_TOP + 1))
+    assert df["cum_bp"].is_monotonic_increasing
+    assert df["cum_bp"].between(0, 10000).all()
+    assert df["n"].is_monotonic_decreasing
+    hh = corpus.heavy_hitters(spark, sf_dir).toPandas()
+    # the two top-N views agree on the shared prefix
+    k = min(len(hh), len(df))
+    assert list(df["token"][:k]) == list(hh["token"][:k])
+
+
 def test_line_dedup_keeps_first_occurrence_and_reassembles(spark, sf_dir):
     df = corpus.line_dedup(spark, sf_dir).toPandas()
     assert (df["n_kept"] <= df["n_segments"]).all()

@@ -169,6 +169,16 @@ def test_kmeans_assignment_broadcasts_the_codebook(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_semantic_decontaminate_broadcasts_the_benchmark(spark, sf_dir):
+    """The fixed-size benchmark side must reach both the candidate join and
+    the scoring join as broadcasts; the training side never shuffles to be
+    vetted and nothing degenerates to a product join."""
+    plan = formatted_plan(entry.queries()["semantic_decontaminate"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_decontaminate_is_broadcast_semi_join(spark, sf_dir):
     """The benchmark gram set (fixed-size at any corpus scale) must reach
     the membership test as a broadcast LeftSemi — never a shuffled join on
