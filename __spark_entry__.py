@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metrics_by_source": transcribe.extract_metrics_by_source,
         "loss_mask_spans": transcribe.loss_mask_spans,
         "conversation_stats": transcribe.conversation_stats,
+        "hierarchy_lines": transcribe.hierarchy_lines,
         # relational operator inventory (SURVEY §2)
         "q1_pricing_summary": tpch.q1_pricing_summary,
         "broadcast_region_customers": tpch.broadcast_region_customers,
@@ -354,6 +355,27 @@ SELECT conv_id, turn_idx, role, n_chars,
        cum + turn_idx AS end_off,
        CAST(role = 'assistant' AS INT) AS mask
 FROM c ORDER BY conv_id, turn_idx""",
+        "hierarchy_lines": """
+WITH ws AS (
+    SELECT doc_id,
+           list_slice(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                      1, 40) AS w
+    FROM documents),
+st AS (
+    SELECT doc_id, w, len(w) AS n_words, (len(w) + 9) // 10 AS n_lines FROM ws),
+lines AS (
+    SELECT doc_id, w, n_words, CAST(li AS INT) AS line_idx
+    FROM st, unnest(generate_series(0, n_lines - 1)) AS t(li))
+SELECT doc_id,
+       line_idx,
+       substr(sha256(doc_id || '|0|line|0|0|' || line_idx), 1, 16) AS line_id,
+       array_to_string(list_slice(w, line_idx * 10 + 1, line_idx * 10 + 10), ' ') AS content,
+       0.0 AS "left",
+       CAST(100 + line_idx * 100 AS DOUBLE) / 1000 AS top,
+       1.0 AS width,
+       CAST(20 AS DOUBLE) / 1000 AS height,
+       CAST(least(10, n_words - line_idx * 10) AS INT) AS n_words
+FROM lines ORDER BY doc_id, line_idx""",
         "conversation_stats": f"""
 WITH t AS (
     SELECT doc_id // {transcribe.TURNS_PER_CONV} AS conv_id,

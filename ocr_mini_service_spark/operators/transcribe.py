@@ -87,6 +87,119 @@ def build_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def build_structured_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    """``build_transcripts`` plus level-2/3/4 structure rows (one block, one
+    paragraph, one level-4 row per 10-word line) so the hierarchy rollup has
+    elements to emit — the TSV shape a real engine produces
+    (parse-tsv-output.function.ts:113-126 keeps every >=12-column row; the
+    extraction kernel only consumes level 5, so word semantics are
+    unchanged).  Geometry is the same closed-form grid as the word rows,
+    which is what lets a SQL oracle derive every element independently."""
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    wcol = F.slice(
+        F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " "), 1, MAX_WORDS
+    )
+    staged = docs.select(
+        "doc_id",
+        wcol.alias("w"),
+        F.size(wcol).alias("n_words"),
+    ).select(
+        "doc_id",
+        "w",
+        F.expr("(n_words + 9) div 10").cast("int").alias("n_lines"),
+    )
+    block_row = F.concat_ws(
+        "\t",
+        F.lit("2"), F.lit("1"), F.lit("0"), F.lit("0"), F.lit("0"), F.lit("0"),
+        F.lit("0"), F.lit("100"), F.lit("1000"),
+        (F.col("n_lines") * 100).cast("string"), F.lit("-1"), F.lit(""),
+    )
+    par_row = F.concat_ws(
+        "\t",
+        F.lit("3"), F.lit("1"), F.lit("0"), F.lit("0"), F.lit("0"), F.lit("0"),
+        F.lit("0"), F.lit("100"), F.lit("1000"),
+        (F.col("n_lines") * 100).cast("string"), F.lit("-1"), F.lit(""),
+    )
+    line_rows = F.transform(
+        F.sequence(F.lit(0), F.col("n_lines") - 1),
+        lambda li: F.concat_ws(
+            "\t",
+            F.lit("4"), F.lit("1"), F.lit("0"), F.lit("0"),
+            li.cast("string"), F.lit("0"),
+            F.lit("0"), (100 + li * 100).cast("string"),
+            F.lit("1000"), F.lit("20"), F.lit("-1"), F.lit(""),
+        ),
+    )
+    wrows = F.transform(
+        F.col("w"),
+        lambda w, i: F.concat_ws(
+            "\t",
+            F.lit("5"), F.lit("1"), F.lit("0"), F.lit("0"),
+            (i / 10).cast("int").cast("string"),
+            (i % 10).cast("string"),
+            ((i % 10) * 100).cast("string"),
+            (100 + (i / 10).cast("int") * 100).cast("string"),
+            F.lit("90"), F.lit("20"),
+            (50 + i % 50).cast("string"),
+            w,
+        ),
+    )
+    tsv = F.concat_ws(
+        "\n",
+        F.lit(TSV_HEADER),
+        F.lit(PAGE),
+        block_row,
+        par_row,
+        F.array_join(line_rows, "\n"),
+        F.array_join(wrows, "\n"),
+    )
+    return staged.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        tsv.alias("text"),
+        F.lit("").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+
+
+def hierarchy_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """The hierarchy rollup (hierarchy.extract_hierarchy — the reference's
+    lines/paragraphs/blocks result model, docs/api.md:147-159) surfaced as a
+    flat oracle-checkable table: one row per LINE element with its
+    deterministic id, aggregated content (space-joined child words), page-
+    normalized bbox, and child count.  The synthetic grid (10 words per
+    line, closed-form geometry) lets DuckDB derive every column — ids
+    included (same sha-256 recipe) — without touching the rollup code."""
+    from ..hierarchy import extract_hierarchy
+
+    cache: list = []
+    h = extract_hierarchy(build_structured_transcripts(spark, sf), _cache_out=cache)
+    # release the shared-pass cache immediately: a driver query is evaluated
+    # once, so recomputing the four consumers beats pinning blocks for the
+    # rest of the session (write_hierarchy keeps the cache across its write)
+    for c in cache:
+        c.unpersist()
+    lines = h.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.posexplode("lines").alias("line_idx", "l"),
+    )
+    out = lines.select(
+        "doc_id",
+        "line_idx",
+        F.col("l.id").alias("line_id"),
+        F.col("l.content").alias("content"),
+        F.col("l.left").alias("left"),
+        F.col("l.top").alias("top"),
+        F.col("l.width").alias("width"),
+        F.col("l.height").alias("height"),
+        F.size("l.child_ids").alias("n_words"),
+    )
+    return ordered(out, "doc_id", "line_idx")
+
+
 def extract_fulltext(spark: SparkSession, sf: str) -> DataFrame:
     """Per-turn extracted text + metrics through the REAL fused pipeline;
     oracle derives the same independently (see module docstring)."""

@@ -144,3 +144,27 @@ def test_hierarchy_links_into_extracted_words(spark):
         for cid in ln["child_ids"]
     }
     assert words <= line_children
+
+
+def test_hierarchy_lines_driver_query_reconstructs_documents(spark, sf_dir):
+    """The flat driver view of the rollup tells the whole story per doc:
+    line contents concatenated in line order equal the document's first 40
+    normalized words, word counts telescope, and ids are unique."""
+    import re
+
+    from ocr_mini_service_spark.operators import transcribe
+
+    df = transcribe.hierarchy_lines(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    want = docs.set_index("doc_id")["text"].map(
+        lambda s: " ".join(re.sub(r"\s+", " ", s.strip()).split(" ")[:40])
+    )
+    got = (
+        df.sort_values(["doc_id", "line_idx"])
+        .groupby("doc_id")["content"]
+        .apply(" ".join)
+    )
+    assert got.to_dict() == want.reindex(got.index).to_dict()
+    assert df["line_id"].is_unique
+    assert (df.groupby("doc_id")["n_words"].sum() == want.reindex(got.index).str.split().str.len()).all()
+    assert df["n_words"].between(1, 10).all()
