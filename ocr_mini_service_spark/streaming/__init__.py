@@ -173,6 +173,43 @@ def run_windowed_metrics(
     return q
 
 
+def run_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    delay: str = "10 minutes",
+):
+    """Streaming ingestion dedup: replayed turn deliveries (the retrying-
+    producer analog of the reference's at-least-once webhook POSTs — the
+    same turn file can arrive twice) are dropped on the (conv_id, turn_idx)
+    key via ``dropDuplicatesWithinWatermark``, so downstream extraction sees
+    each turn once WITHOUT unbounded state: the dedup state for a key
+    expires once the event-time watermark passes ``delay`` beyond it — at
+    10^12-turn scale the state store holds only the watermark horizon, never
+    the corpus (a plain dropDuplicates would pin every key forever).
+    AvailableNow drain + checkpoint: resume keeps the watermark and the
+    in-horizon keys, so a replay straddling two drains is still dropped."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    deduped = stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+    q = (
+        deduped.writeStream.option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def attach_progress_listener(spark: SparkSession, progress_path: str):
     """Register a StreamingQueryListener appending one JSON line per
     micro-batch progress event (the SSE progress-stream analog).  Returns the

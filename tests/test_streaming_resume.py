@@ -134,3 +134,32 @@ def test_manifest_partial_then_resume(spark, tmp_path, pdfs):
     got = spark.read.parquet(out)
     assert got.count() == len(full_pd)
     assert got.select("conv_id", "turn_idx").distinct().count() == len(full_pd)
+
+
+def test_streaming_dedup_drops_replays_within_watermark(spark, tmp_path):
+    """Ingestion dedup: duplicate deliveries of the same (conv_id, turn_idx)
+    — within one drain AND replayed across a checkpointed resume — reach the
+    output exactly once; fresh keys still flow."""
+    from ocr_mini_service_spark.streaming import run_dedup_stream
+
+    df = gen_transcripts(120, seed=11)
+    first, second = df.iloc[:60], df.iloc[60:]
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(inp)
+    # drain 1: the same 60 turns delivered twice (producer retry)
+    # delay must exceed the synthetic ts spread: otherwise drain-2 rows whose
+    # event time sits below the advanced watermark are fenced as LATE (the
+    # documented watermark contract), which is not what this test pins
+    delay = "3650 days"
+    pq.write_table(pa.Table.from_pandas(first, preserve_index=False), f"{inp}/a.parquet")
+    pq.write_table(pa.Table.from_pandas(first, preserve_index=False), f"{inp}/a_retry.parquet")
+    run_dedup_stream(spark, inp, out, ckpt, delay=delay)
+    got = spark.read.parquet(out)
+    assert got.count() == len(first)
+    # drain 2: a cross-drain replay of drain 1 plus genuinely new turns
+    pq.write_table(pa.Table.from_pandas(first, preserve_index=False), f"{inp}/a_replay.parquet")
+    pq.write_table(pa.Table.from_pandas(second, preserve_index=False), f"{inp}/b.parquet")
+    run_dedup_stream(spark, inp, out, ckpt, delay=delay)
+    got = spark.read.parquet(out)
+    assert got.count() == len(first) + len(second)
+    assert got.select("conv_id", "turn_idx").distinct().count() == len(df)
