@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ocr_mini_service_spark.kernel import DESCENDER_REGEX
 from ocr_mini_service_spark.operators import (
     asof,
+    boilerplate,
     corpus,
     dedup,
     multimodal,
@@ -96,6 +97,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": corpus.curation_funnel,
         "line_dedup": corpus.line_dedup,
         "ngram_lm_counts": corpus.ngram_lm_counts,
+        "boilerplate_blocks": boilerplate.boilerplate_blocks,
+        "boilerplate_strip": boilerplate.boilerplate_strip,
         "vocab_coverage": corpus.vocab_coverage,
         "gopher_rules": corpus.gopher_rules,
         # dedup
@@ -132,6 +135,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # shared SQL fragments
 # ---------------------------------------------------------------------------
+
+# synthetic-DOM block classification (mirrors operators/boilerplate.py: the
+# deterministic anchor-word rule, exact basis-point densities, and the
+# Boilerpipe NumWordsRulesClassifier decision — constants imported so Spark
+# and oracle can never drift)
+from ocr_mini_service_spark.operators.boilerplate import (
+    BLOCK_WORDS as _BW,
+    CURR_LINK_BP_MAX as _CLB,
+    CURR_WORDS_A as _CWA,
+    CURR_WORDS_B as _CWB,
+    LINK_MOD as _LM,
+    NEXT_WORDS_A as _NWA,
+    NEXT_WORDS_B as _NWB,
+    PREV_LINK_BP_LOW as _PLB,
+    PREV_WORDS_A as _PWA,
+)
+
+_BOILER_CTES = f"""
+ws AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+blocks AS (
+    SELECT doc_id,
+           CAST((s - 1) // {_BW} AS INT) AS block_idx,
+           list_slice(w, s, s + {_BW - 1}) AS bw
+    FROM ws, unnest(generate_series(1, len(w), {_BW})) AS t(s)),
+feats AS (
+    SELECT doc_id, block_idx,
+           array_to_string(bw, ' ') AS block_text,
+           CAST(len(bw) AS INT) AS n_words,
+           CAST(len(list_filter(generate_series(1, len(bw)),
+                j -> (doc_id * 31 + block_idx * 7 + j) % {_LM} = 0)) AS INT) AS n_links
+    FROM blocks),
+ctx AS (
+    SELECT doc_id, block_idx, block_text, n_words, n_links,
+           CAST((n_links * 10000) // n_words AS BIGINT) AS link_bp,
+           CAST(COALESCE(LAG(n_words) OVER w, 0) AS INT) AS prev_words,
+           CAST(COALESCE(LEAD(n_words) OVER w, 0) AS INT) AS next_words,
+           CAST(COALESCE(LAG((n_links * 10000) // n_words) OVER w, 0) AS BIGINT) AS prev_link_bp
+    FROM feats
+    WINDOW w AS (PARTITION BY doc_id ORDER BY block_idx)),
+cls AS (
+    SELECT doc_id, block_idx, block_text, n_words, n_links, link_bp,
+           prev_words, next_words,
+           CAST(CASE WHEN link_bp > {_CLB} THEN FALSE
+                WHEN prev_link_bp <= {_PLB}
+                     THEN (n_words > {_CWA} OR next_words > {_NWA} OR prev_words > {_PWA})
+                ELSE (n_words > {_CWB} OR next_words > {_NWB}) END AS INT) AS is_content
+    FROM ctx)"""
 
 # corpus-with-mutants (must mirror dedup._docs_with_mutants exactly)
 _CORPUS = """
@@ -878,6 +929,18 @@ UNION ALL SELECT 3, 'train', s3 FROM agg
 UNION ALL SELECT 4, 'decontaminated', s4 FROM agg
 UNION ALL SELECT 5, 'mixture', s5 FROM agg
 ORDER BY stage_idx""",
+        "boilerplate_blocks": f"""
+WITH {_BOILER_CTES}
+SELECT doc_id, block_idx, n_words, n_links, link_bp, prev_words, next_words, is_content
+FROM cls ORDER BY doc_id, block_idx""",
+        "boilerplate_strip": f"""
+WITH {_BOILER_CTES}
+SELECT doc_id,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(is_content) AS BIGINT) AS n_content_blocks,
+       CAST(SUM(CASE WHEN is_content = 1 THEN n_words ELSE 0 END) AS BIGINT) AS n_content_words,
+       COALESCE(string_agg(block_text, ' ' ORDER BY block_idx) FILTER (WHERE is_content = 1), '') AS main_text
+FROM cls GROUP BY doc_id ORDER BY doc_id""",
         "ngram_lm_counts": """
 WITH ws AS (
     SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents),

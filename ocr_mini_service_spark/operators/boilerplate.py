@@ -1,0 +1,165 @@
+"""DOM-heuristic boilerplate stripping — the main-content-extraction block
+classifier family (text-density scoring, link-density pruning, block-level
+readability classification) a web-scale curation pipeline runs before any
+other text operator.
+
+The classifier is the published Boilerpipe ``NumWordsRulesClassifier``
+decision rule (Kohlschütter et al., WSDM 2011 — "Boilerplate Detection
+using Shallow Text Features"): a block is MAIN CONTENT iff its link density
+is low and the word-count context (previous / current / next block) clears
+the rule's thresholds.  Densities are exact integer basis points and the
+thresholds integers, so a SQL oracle reproduces every decision bit-for-bit.
+
+The synthetic corpus has no markup, so the DOM is derived deterministically
+from the closed-form word grid: consecutive BLOCK_WORDS-word windows are
+blocks, and word j of block i in doc d is an anchor (link) word iff
+pmod(d*31 + i*7 + j, LINK_MOD) == 0 — a pure integer rule both engines
+evaluate identically (the same overlay trick as dedup's mutants: structure
+is synthesized, the OPERATOR is the real published algorithm).
+
+Scale shape: one narrow projection chain (stage the words array once, one
+posexplode — the staged-projection rule), then a single window on the
+doc_id key for the prev/next context and one keyed groupBy for the strip —
+two Exchanges total on the doc key, nothing quadratic, no UDF anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import ordered
+from ..sources import load
+
+BLOCK_WORDS = 8  # words per synthetic DOM block
+LINK_MOD = 5  # word j of block i in doc d is a link iff (d*31+i*7+j) % 5 == 0
+
+# NumWordsRulesClassifier constants (boilerpipe
+# NumWordsRulesClassifier.classify; densities in exact basis points)
+CURR_LINK_BP_MAX = 3333  # curr.linkDensity <= 0.333333
+PREV_LINK_BP_LOW = 5555  # prev.linkDensity <= 0.555556 branch split
+# low-prev-link branch: content iff curr>16 or next>15 or prev>4 words
+CURR_WORDS_A, NEXT_WORDS_A, PREV_WORDS_A = 16, 15, 4
+# high-prev-link branch: content iff curr>40 or next>17 words
+CURR_WORDS_B, NEXT_WORDS_B = 40, 17
+
+
+def _words(col: str = "text"):
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def _block_features(spark: SparkSession, sf: str) -> DataFrame:
+    """doc_id, block_idx, block_text, n_words, n_links, link_bp."""
+    docs = load(spark, sf, "documents")
+    wdocs = docs.select("doc_id", _words().alias("w"))
+    staged = wdocs.select(
+        "doc_id",
+        "w",
+        F.expr(f"sequence(1, size(w), {BLOCK_WORDS})").alias("starts"),
+    )
+    blocks = staged.select(
+        "doc_id",
+        "w",
+        F.posexplode("starts").alias("block_idx", "start"),
+    ).select(
+        "doc_id",
+        "block_idx",
+        F.slice("w", F.col("start"), BLOCK_WORDS).alias("bw"),
+    )
+    # anchor-word flags from the integer rule; j is 1-based within the block
+    n_links = F.size(
+        F.filter(
+            F.transform(
+                "bw",
+                lambda _, j: F.pmod(
+                    F.col("doc_id") * 31 + F.col("block_idx") * 7 + (j + 1),
+                    F.lit(LINK_MOD),
+                ),
+            ),
+            lambda r: r == 0,
+        )
+    )
+    return blocks.select(
+        "doc_id",
+        "block_idx",
+        F.array_join("bw", " ").alias("block_text"),
+        F.size("bw").alias("n_words"),
+        n_links.alias("n_links"),
+    ).withColumn("link_bp", F.expr("(n_links * 10000) div n_words"))
+
+
+def _classified(spark: SparkSession, sf: str) -> DataFrame:
+    """Block features + prev/next context + the NumWordsRules decision."""
+    feats = _block_features(spark, sf)
+    w = Window.partitionBy("doc_id").orderBy("block_idx")
+    ctx = feats.select(
+        "*",
+        F.coalesce(F.lag("n_words").over(w), F.lit(0)).alias("prev_words"),
+        F.coalesce(F.lead("n_words").over(w), F.lit(0)).alias("next_words"),
+        F.coalesce(F.lag("link_bp").over(w), F.lit(0)).alias("prev_link_bp"),
+    )
+    low_branch = (
+        (F.col("n_words") > CURR_WORDS_A)
+        | (F.col("next_words") > NEXT_WORDS_A)
+        | (F.col("prev_words") > PREV_WORDS_A)
+    )
+    high_branch = (F.col("n_words") > CURR_WORDS_B) | (
+        F.col("next_words") > NEXT_WORDS_B
+    )
+    is_content = F.when(
+        F.col("link_bp") > CURR_LINK_BP_MAX, F.lit(False)
+    ).otherwise(
+        F.when(F.col("prev_link_bp") <= PREV_LINK_BP_LOW, low_branch).otherwise(
+            high_branch
+        )
+    )
+    return ctx.withColumn("is_content", is_content.cast("int"))
+
+
+def boilerplate_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-block shallow-text-feature classification (the block-level
+    readability decision): word counts, exact link density, prev/next
+    context, and the NumWordsRules verdict."""
+    out = _classified(spark, sf).select(
+        "doc_id",
+        "block_idx",
+        "n_words",
+        "n_links",
+        "link_bp",
+        "prev_words",
+        "next_words",
+        "is_content",
+    )
+    return ordered(out, "doc_id", "block_idx")
+
+
+def boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate stripping: each document reduced to its main content —
+    the ordered join of blocks the classifier kept — with the block/word
+    audit counts a curation funnel records.  One keyed groupBy over the
+    classified blocks; docs whose every block is boilerplate survive with
+    empty main_text (no silent row drops)."""
+    cls = _classified(spark, sf)
+    out = cls.groupBy("doc_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("is_content").cast("long").alias("n_content_blocks"),
+        F.sum(F.when(F.col("is_content") == 1, F.col("n_words")).otherwise(0))
+        .cast("long")
+        .alias("n_content_words"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_content") == 1,
+                            F.struct("block_idx", "block_text"),
+                        )
+                    )
+                ),
+                lambda s: s["block_text"],
+            ),
+            " ",
+        ).alias("main_text"),
+    )
+    return ordered(out, "doc_id")

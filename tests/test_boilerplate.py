@@ -1,0 +1,66 @@
+"""Invariants for the DOM-heuristic boilerplate family: the block grid
+tiles every document, the published NumWordsRules decision is replicated
+independently in pandas, and the strip is exactly the content blocks."""
+
+from ocr_mini_service_spark.operators import boilerplate as bp
+
+
+def test_blocks_tile_documents_and_rule_replicates(spark, sf_dir):
+    df = bp.boilerplate_blocks(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    n_words = docs.set_index("doc_id")["text"].str.strip().str.split().str.len()
+    per = df.groupby("doc_id")
+    assert (per.size() == -(-n_words.reindex(per.size().index) // bp.BLOCK_WORDS)).all()
+    assert (per["n_words"].sum() == n_words.reindex(per.size().index)).all()
+    assert (df["n_links"] <= df["n_words"]).all()
+    assert (df["link_bp"] == df["n_links"] * 10000 // df["n_words"]).all()
+    # independent re-derivation of the classifier decision
+    want = df.apply(
+        lambda r: 0
+        if r["link_bp"] > bp.CURR_LINK_BP_MAX
+        else (
+            int(
+                r["n_words"] > bp.CURR_WORDS_A
+                or r["next_words"] > bp.NEXT_WORDS_A
+                or r["prev_words"] > bp.PREV_WORDS_A
+            )
+            if _prev_link_bp(df, r) <= bp.PREV_LINK_BP_LOW
+            else int(r["n_words"] > bp.CURR_WORDS_B or r["next_words"] > bp.NEXT_WORDS_B)
+        ),
+        axis=1,
+    )
+    assert (df["is_content"] == want).all()
+    # the synthetic grid produces both classes (the gate separates)
+    assert df["is_content"].nunique() == 2
+
+
+def _prev_link_bp(df, row):
+    prev = df[
+        (df["doc_id"] == row["doc_id"]) & (df["block_idx"] == row["block_idx"] - 1)
+    ]
+    return int(prev["link_bp"].iloc[0]) if len(prev) else 0
+
+
+def test_strip_is_exactly_the_content_blocks(spark, sf_dir):
+    blocks = bp.boilerplate_blocks(spark, sf_dir).toPandas()
+    strip = bp.boilerplate_strip(spark, sf_dir).toPandas().set_index("doc_id")
+    per = blocks.groupby("doc_id").agg(
+        n_blocks=("block_idx", "size"),
+        n_content_blocks=("is_content", "sum"),
+    )
+    content_words = (
+        blocks.loc[blocks["is_content"] == 1].groupby("doc_id")["n_words"].sum()
+    )
+    m = strip.join(per, rsuffix="_chk")
+    assert (m["n_blocks"] == m["n_blocks_chk"]).all()
+    assert (m["n_content_blocks"] == m["n_content_blocks_chk"]).all()
+    assert (
+        m["n_content_words"]
+        == content_words.reindex(m.index).fillna(0).astype(int)
+    ).all()
+    # main_text word count telescopes to the kept-block word total
+    got_words = m["main_text"].str.split().str.len().fillna(0).astype(int)
+    assert (got_words == m["n_content_words"]).all()
+    # every document survives, boilerplate-only docs with empty text
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    assert set(m.index) == set(docs["doc_id"])

@@ -169,6 +169,17 @@ def test_kmeans_assignment_broadcasts_the_codebook(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_boilerplate_strip_is_one_scan_two_exchanges(spark, sf_dir):
+    """Block classify + strip: one pruned parquet scan feeding a doc-key
+    window and a doc-key groupBy — at most the window Exchange, the
+    aggregation Exchange (if not reused), and the presentation repartition;
+    never a join or a second scan."""
+    plan = formatted_plan(entry.queries()["boilerplate_strip"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+    assert "Join" not in plan, plan
+
+
 def test_semantic_decontaminate_broadcasts_the_benchmark(spark, sf_dir):
     """The fixed-size benchmark side must reach both the candidate join and
     the scoring join as broadcasts; the training side never shuffles to be
