@@ -150,6 +150,7 @@ from ocr_mini_service_spark.operators.boilerplate import (
     NEXT_WORDS_B as _NWB,
     PREV_LINK_BP_LOW as _PLB,
     PREV_WORDS_A as _PWA,
+    WRAP_COLS as _WC,
 )
 
 _BOILER_CTES = f"""
@@ -170,6 +171,8 @@ feats AS (
 ctx AS (
     SELECT doc_id, block_idx, block_text, n_words, n_links,
            CAST((n_links * 10000) // n_words AS BIGINT) AS link_bp,
+           CAST((n_words * 100) // greatest(
+               (length(block_text) + {_WC - 1}) // {_WC}, 1) AS BIGINT) AS text_density_x100,
            CAST(COALESCE(LAG(n_words) OVER w, 0) AS INT) AS prev_words,
            CAST(COALESCE(LEAD(n_words) OVER w, 0) AS INT) AS next_words,
            CAST(COALESCE(LAG((n_links * 10000) // n_words) OVER w, 0) AS BIGINT) AS prev_link_bp
@@ -177,7 +180,7 @@ ctx AS (
     WINDOW w AS (PARTITION BY doc_id ORDER BY block_idx)),
 cls AS (
     SELECT doc_id, block_idx, block_text, n_words, n_links, link_bp,
-           prev_words, next_words,
+           text_density_x100, prev_words, next_words,
            CAST(CASE WHEN link_bp > {_CLB} THEN FALSE
                 WHEN prev_link_bp <= {_PLB}
                      THEN (n_words > {_CWA} OR next_words > {_NWA} OR prev_words > {_PWA})
@@ -931,7 +934,8 @@ UNION ALL SELECT 5, 'mixture', s5 FROM agg
 ORDER BY stage_idx""",
         "boilerplate_blocks": f"""
 WITH {_BOILER_CTES}
-SELECT doc_id, block_idx, n_words, n_links, link_bp, prev_words, next_words, is_content
+SELECT doc_id, block_idx, n_words, n_links, link_bp, text_density_x100,
+       prev_words, next_words, is_content
 FROM cls ORDER BY doc_id, block_idx""",
         "boilerplate_strip": f"""
 WITH {_BOILER_CTES}

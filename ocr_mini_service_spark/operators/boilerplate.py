@@ -34,6 +34,7 @@ from ..sources import load
 
 BLOCK_WORDS = 8  # words per synthetic DOM block
 LINK_MOD = 5  # word j of block i in doc d is a link iff (d*31+i*7+j) % 5 == 0
+WRAP_COLS = 80  # densitometric wrap width (text density = words per wrapped line)
 
 # NumWordsRulesClassifier constants (boilerpipe
 # NumWordsRulesClassifier.classify; densities in exact basis points)
@@ -80,13 +81,27 @@ def _block_features(spark: SparkSession, sf: str) -> DataFrame:
             lambda r: r == 0,
         )
     )
-    return blocks.select(
-        "doc_id",
-        "block_idx",
-        F.array_join("bw", " ").alias("block_text"),
-        F.size("bw").alias("n_words"),
-        n_links.alias("n_links"),
-    ).withColumn("link_bp", F.expr("(n_links * 10000) div n_words"))
+    return (
+        blocks.select(
+            "doc_id",
+            "block_idx",
+            F.array_join("bw", " ").alias("block_text"),
+            F.size("bw").alias("n_words"),
+            n_links.alias("n_links"),
+        )
+        .withColumn("link_bp", F.expr("(n_links * 10000) div n_words"))
+        # densitometric text density (Kohlschütter et al. §3.2): words per
+        # WRAP_COLS-wrapped line, as an exact ×100 integer
+        .withColumn(
+            "n_lines",
+            F.greatest(
+                F.expr(f"(length(block_text) + {WRAP_COLS - 1}) div {WRAP_COLS}"),
+                F.lit(1),
+            ),
+        )
+        .withColumn("text_density_x100", F.expr("(n_words * 100) div n_lines"))
+        .drop("n_lines")
+    )
 
 
 def _classified(spark: SparkSession, sf: str) -> DataFrame:
@@ -127,6 +142,7 @@ def boilerplate_blocks(spark: SparkSession, sf: str) -> DataFrame:
         "n_words",
         "n_links",
         "link_bp",
+        "text_density_x100",
         "prev_words",
         "next_words",
         "is_content",
