@@ -187,6 +187,31 @@ cls AS (
                 ELSE (n_words > {_CWB} OR next_words > {_NWB}) END AS INT) AS is_content
     FROM ctx)"""
 
+# embeddings ∪ deterministic near-dup mutants (must mirror
+# similarity._vecs_with_mutants exactly) and their quantized squared norms —
+# shared by the embedding_cosine_dups / semantic_decontaminate /
+# lsh_bucket_stats oracles so the overlay rule can never drift between them
+_VEC_CORPUS = """
+corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_transform(generate_series(1, len(embedding)),
+                          i -> CAST(embedding[i] AS DOUBLE)
+                               + CASE WHEN i = 1 THEN 0.01 ELSE 0 END) AS embedding
+    FROM embeddings WHERE vec_id % 3 = 1
+)"""
+
+_VEC_NORMS = """
+norms AS (
+    SELECT vec_id, embedding,
+           CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+                    i -> CAST(round(embedding[i] * 1000) AS BIGINT)
+                       * CAST(round(embedding[i] * 1000) AS BIGINT))) AS BIGINT) AS n2
+    FROM corpus
+)"""
+
 # corpus-with-mutants (must mirror dedup._docs_with_mutants exactly)
 _CORPUS = """
 corpus AS (
@@ -423,12 +448,19 @@ lines AS (
 SELECT doc_id,
        line_idx,
        substr(sha256(doc_id || '|0|line|0|0|' || line_idx), 1, 16) AS line_id,
-       array_to_string(list_slice(w, line_idx * 10 + 1, line_idx * 10 + 10), ' ') AS content,
+       -- blank words never become children (the rollup's trim != '' word
+       -- filter, hierarchy.py) — mirror it so a whitespace-only document
+       -- yields content '' / n_words 0 on both sides
+       array_to_string(list_filter(
+           list_slice(w, line_idx * 10 + 1, line_idx * 10 + 10),
+           x -> x <> ''), ' ') AS content,
        0.0 AS "left",
        CAST(100 + line_idx * 100 AS DOUBLE) / 1000 AS top,
        1.0 AS width,
        CAST(20 AS DOUBLE) / 1000 AS height,
-       CAST(least(10, n_words - line_idx * 10) AS INT) AS n_words
+       CAST(len(list_filter(
+           list_slice(w, line_idx * 10 + 1, line_idx * 10 + 10),
+           x -> x <> '')) AS INT) AS n_words
 FROM lines ORDER BY doc_id, line_idx""",
         "conversation_stats": f"""
 WITH t AS (
@@ -1194,23 +1226,8 @@ SELECT query_id, rank, neighbor_id, score FROM (
     FROM scored) t
 WHERE rank <= {similarity.TOP_K} ORDER BY query_id, rank""",
         "embedding_cosine_dups": f"""
-WITH corpus AS (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
-    FROM embeddings
-    UNION ALL
-    SELECT vec_id + 1000000 AS vec_id,
-           list_transform(generate_series(1, len(embedding)),
-                          i -> CAST(embedding[i] AS DOUBLE)
-                               + CASE WHEN i = 1 THEN 0.01 ELSE 0 END) AS embedding
-    FROM embeddings WHERE vec_id % 3 = 1
-),
-norms AS (
-    SELECT vec_id, embedding,
-           CAST(list_sum(list_transform(generate_series(1, len(embedding)),
-                    i -> CAST(round(embedding[i] * 1000) AS BIGINT)
-                       * CAST(round(embedding[i] * 1000) AS BIGINT))) AS BIGINT) AS n2
-    FROM corpus
-),
+WITH {_VEC_CORPUS},
+{_VEC_NORMS},
 {_sql_bands_cte("corpus", cast_double=False)},
 ranked AS (
     SELECT vec_id, band, bucket,
@@ -1257,23 +1274,8 @@ SELECT cid, CAST(pos AS INT) AS pos, COUNT(*) AS n_assigned,
        round(SUM(q) / COUNT(*) / 1000.0, 6) AS centroid
 FROM comp GROUP BY cid, pos ORDER BY cid, pos""",
         "semantic_decontaminate": f"""
-WITH corpus AS (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
-    FROM embeddings
-    UNION ALL
-    SELECT vec_id + 1000000 AS vec_id,
-           list_transform(generate_series(1, len(embedding)),
-                          i -> CAST(embedding[i] AS DOUBLE)
-                               + CASE WHEN i = 1 THEN 0.01 ELSE 0 END) AS embedding
-    FROM embeddings WHERE vec_id % 3 = 1
-),
-norms AS (
-    SELECT vec_id, embedding,
-           CAST(list_sum(list_transform(generate_series(1, len(embedding)),
-                    i -> CAST(round(embedding[i] * 1000) AS BIGINT)
-                       * CAST(round(embedding[i] * 1000) AS BIGINT))) AS BIGINT) AS n2
-    FROM corpus
-),
+WITH {_VEC_CORPUS},
+{_VEC_NORMS},
 {_sql_bands_cte("corpus", cast_double=False)},
 t AS (SELECT vec_id AS test_id, band, bucket FROM bands
       WHERE vec_id >= {similarity.SEMDECON_BASE}),
@@ -1301,16 +1303,7 @@ FROM norms n LEFT JOIN hits h ON h.train_id = n.vec_id
 WHERE n.vec_id < {similarity.SEMDECON_BASE}
 ORDER BY n.vec_id""",
         "lsh_bucket_stats": f"""
-WITH corpus AS (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
-    FROM embeddings
-    UNION ALL
-    SELECT vec_id + 1000000 AS vec_id,
-           list_transform(generate_series(1, len(embedding)),
-                          i -> CAST(embedding[i] AS DOUBLE)
-                               + CASE WHEN i = 1 THEN 0.01 ELSE 0 END) AS embedding
-    FROM embeddings WHERE vec_id % 3 = 1
-),
+WITH {_VEC_CORPUS},
 {_sql_bands_cte("corpus", cast_double=False)},
 bucket_sizes AS (
     SELECT band, bucket, COUNT(*) AS n_ids FROM bands GROUP BY band, bucket)

@@ -438,15 +438,20 @@ def ngram_lm_counts(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     wdocs = docs.select("doc_id", _words().alias("w"))
     wc = F.col("w")
+    # guard: two-arg sequence(1, stop) DESCENDS for stop < 1 (the _doc_grams
+    # rule), so a 1-word doc must take the empty branch, not sequence(1, 0)
     bigrams = wdocs.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(wc) - 1),
-                lambda i: F.struct(
-                    F.element_at(wc, i).alias("w1"),
-                    F.element_at(wc, i + 1).alias("w2"),
+            F.when(
+                F.size(wc) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(wc) - 1),
+                    lambda i: F.struct(
+                        F.element_at(wc, i).alias("w1"),
+                        F.element_at(wc, i + 1).alias("w2"),
+                    ),
                 ),
-            )
+            ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
         ).alias("b")
     ).select("b.w1", "b.w2")
     n12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n12"))

@@ -66,6 +66,18 @@ def plane_params(p: int) -> tuple[int, int]:
     return (17 + 12 * p, 3 + 8 * p)
 
 
+def _q1000(mat):
+    """Quantize float components to round-HALF-AWAY-FROM-ZERO(x*1000) int64.
+    np.round is HALF_EVEN, which diverges from Spark's F.round (HALF_UP =
+    away from zero) and DuckDB's round() on exact .5 ties (e.g. the dyadic
+    float 0.0625 -> 62.5 -> 62 vs 63), so every quantization path — UDFs,
+    Catalyst folds, SQL oracles — must use the same away-from-zero rule."""
+    import numpy as np
+
+    scaled = mat * 1000.0
+    return (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+
+
 _TAG = StructType(
     [
         StructField("bks", ArrayType(IntegerType()), False),
@@ -82,7 +94,7 @@ def _tag_bands(emb: pd.Series) -> pd.DataFrame:
     import numpy as np
 
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
-    q = np.round(mat * 1000).astype(np.int64)
+    q = _q1000(mat)
     dim = q.shape[1]
     i = np.arange(dim, dtype=np.int64)
     planes = np.stack(
@@ -109,8 +121,8 @@ def _pair_qdot(a: pd.Series, b: pd.Series) -> pd.Series:
     fold, which Catalyst interprets per element)."""
     import numpy as np
 
-    qa = np.round(np.stack([np.asarray(v, dtype=np.float64) for v in a]) * 1000).astype(np.int64)
-    qb = np.round(np.stack([np.asarray(v, dtype=np.float64) for v in b]) * 1000).astype(np.int64)
+    qa = _q1000(np.stack([np.asarray(v, dtype=np.float64) for v in a]))
+    qb = _q1000(np.stack([np.asarray(v, dtype=np.float64) for v in b]))
     return pd.Series((qa * qb).sum(axis=1))
 
 
@@ -119,8 +131,8 @@ def _pair_qdist(a: pd.Series, b: pd.Series) -> pd.Series:
     """Exact quantized integer squared L2 distance (IVF assignment metric)."""
     import numpy as np
 
-    qa = np.round(np.stack([np.asarray(v, dtype=np.float64) for v in a]) * 1000).astype(np.int64)
-    qb = np.round(np.stack([np.asarray(v, dtype=np.float64) for v in b]) * 1000).astype(np.int64)
+    qa = _q1000(np.stack([np.asarray(v, dtype=np.float64) for v in a]))
+    qb = _q1000(np.stack([np.asarray(v, dtype=np.float64) for v in b]))
     d = qa - qb
     return pd.Series((d * d).sum(axis=1))
 
@@ -474,8 +486,10 @@ def semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     # and the train roster); localCheckpoint materializes the scan+UDF
     # pipeline once instead of re-evaluating it per subtree (vectors + band
     # tags are a narrow sliver of the corpus — at 10^12 scale this is the
-    # signature table a production run would persist anyway)
-    tagged = _tagged(_vecs_with_mutants(spark, sf)).localCheckpoint()
+    # signature table a production run would persist anyway).  eager=False:
+    # materialize at the first ACTION, so merely building the plan (plan
+    # reports, bench setup) costs no Spark job
+    tagged = _tagged(_vecs_with_mutants(spark, sf)).localCheckpoint(eager=False)
     rows = _band_rows(tagged)
     is_test = F.col("vec_id") >= SEMDECON_BASE
     trows = rows.filter(is_test).select(
@@ -487,7 +501,10 @@ def semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("vec_id").alias("train_id"), "test_id")
         .distinct()
     )
-    t = tagged.select(
+    # scoring side of the benchmark: ONLY the fixed-size test split is
+    # broadcast (broadcasting unfiltered `tagged` would ship the whole
+    # training corpus — the exact failure mode the docstring rules out)
+    t = tagged.filter(is_test).select(
         F.col("vec_id").alias("test_id"), F.col("embedding").alias("te"),
         F.col("n2").alias("tn2"),
     )

@@ -175,13 +175,11 @@ def hierarchy_lines(spark: SparkSession, sf: str) -> DataFrame:
     included (same sha-256 recipe) — without touching the rollup code."""
     from ..hierarchy import extract_hierarchy
 
-    cache: list = []
-    h = extract_hierarchy(build_structured_transcripts(spark, sf), _cache_out=cache)
-    # release the shared-pass cache immediately: a driver query is evaluated
-    # once, so recomputing the four consumers beats pinning blocks for the
-    # rest of the session (write_hierarchy keeps the cache across its write)
-    for c in cache:
-        c.unpersist()
+    # persist=False: a driver query is evaluated once, so recomputing the
+    # narrow shared pass beats pinning cache blocks for the session
+    # (write_hierarchy instead keeps the cache across its write; A/B at
+    # sf0.1 showed the two within noise for this query)
+    h = extract_hierarchy(build_structured_transcripts(spark, sf), persist=False)
     lines = h.select(
         F.col("conv_id").cast("bigint").alias("doc_id"),
         F.posexplode("lines").alias("line_idx", "l"),

@@ -134,6 +134,24 @@ def test_ngram_lm_counts_is_a_conditional_distribution(spark, sf_dir):
     assert df["n12"].sum() == (n_words - 1).sum()
 
 
+def test_ngram_lm_counts_handles_short_documents(spark, tmp_path):
+    """Documents with < 2 words must contribute zero bigrams, not crash:
+    two-arg sequence(1, stop) DESCENDS for stop < 1, so an unguarded
+    transform throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT on a 1-word doc."""
+    import pandas as pd
+
+    d = tmp_path / "short"
+    d.mkdir()
+    pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["one", "   ", "a b a"]}
+    ).to_parquet(d / "documents.parquet")
+    df = corpus.ngram_lm_counts(spark, str(d)).toPandas()
+    got = {(r.w1, r.w2): (r.n12, r.n1, r.cond_bp) for r in df.itertuples()}
+    # n1 counts occurrences AS A CONTEXT (w1 of a bigram): the final 'a' of
+    # "a b a" has no successor, so n1('a') = 1
+    assert got == {("a", "b"): (1, 1, 10000), ("b", "a"): (1, 1, 10000)}
+
+
 def test_vocab_coverage_is_monotone_and_matches_heavy_hitters(spark, sf_dir):
     df = corpus.vocab_coverage(spark, sf_dir).toPandas()
     assert list(df["rank"]) == list(range(1, corpus.VOCAB_TOP + 1))

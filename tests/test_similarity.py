@@ -25,7 +25,9 @@ def test_semantic_decontaminate_flags_exactly_the_benchmark_sources(spark, sf_di
 def test_kmeans_step_partitions_and_averages(spark, sf_dir):
     out = similarity.kmeans_step(spark, sf_dir).toPandas()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
-    q = np.round(np.stack(emb["embedding"].map(np.asarray)) * 1000).astype(np.int64)
+    scaled = np.stack(emb["embedding"].map(np.asarray)).astype(np.float64) * 1000
+    # away-from-zero half rounding — the engine-wide quantization rule
+    q = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
     ids = emb["vec_id"].to_numpy()
     dim = q.shape[1]
     # output is the full (cid, pos) grid
