@@ -43,7 +43,62 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import time
+
+
+def record_history(
+    hist_path: str,
+    bench_turns: int,
+    ratios: list[float],
+    eff: float,
+    thr_1x: float,
+    thr_4x: float,
+) -> str:
+    """Append this run to the jsonl history and render the pooled
+    run-history markdown section over all runs of the SAME protocol (same
+    input size).  Single-run medians scatter with the host's minutes-scale
+    noise; each clean round ratio is an independent paired N-vs-4N
+    comparison, so pooling rounds across runs adds samples of the same
+    quantity.  The latest run always renders verbatim in the headline table
+    — the history exists so no run is ever cherry-picked or hidden."""
+    with open(hist_path, "a") as f:
+        f.write(json.dumps({
+            "bench_turns": bench_turns,
+            "ratios_used": [round(r, 2) for r in ratios],
+            "efficiency": round(eff, 3),
+            "thr_1x": round(thr_1x, 1),
+            "thr_4x": round(thr_4x, 1),
+        }) + "\n")
+    runs = []
+    with open(hist_path) as f:
+        for line in f:
+            try:
+                r = json.loads(line)
+            except ValueError:
+                continue
+            if r.get("bench_turns") == bench_turns and r.get("ratios_used"):
+                runs.append(r)
+    pooled = sorted(x for r in runs for x in r["ratios_used"])
+    pooled_med = statistics.median(pooled) / 4
+    med_of_meds = statistics.median(r["efficiency"] for r in runs)
+    n_clear = sum(1 for r in runs if r["efficiency"] >= 0.8)
+    hist_rows = "\n".join(
+        f"| {i + 1} | {', '.join(f'{x:.2f}' for x in r['ratios_used'])} | {r['efficiency']:.3f} |"
+        for i, r in enumerate(runs)
+    )
+    return f"""**Run history ({bench_turns}-turn protocol; {hist_path}).**
+
+| run | clean round ratios | run median /4 |
+|---|---|---|
+{hist_rows}
+
+Pooled median over all {len(pooled)} clean round ratios: **{pooled_med:.3f}**;
+median of run medians: **{med_of_meds:.3f}**; {n_clear} of {len(runs)} runs
+individually clear 0.8.  Each round ratio is an independent paired N-vs-4N
+comparison (ABBA bracketing cancels drift within the round), so pooling
+rounds across same-protocol runs adds samples of the same quantity.
+"""
 
 # 32 concurrent tasks writing nested parquet need heap headroom; the default
 # 8g driver heap (local mode = the whole JVM) GC-thrashes at local[32]
@@ -266,8 +321,6 @@ def main() -> None:
 
     # ABBA executor rounds for the headline pair, then thread points for
     # transparency
-    import statistics
-
     thrNs, thr4Ns, ratios, abba_raw = _abba_rounds(5)
     thr_1x = max(thrNs)
     thr_4x = max(thr4Ns)
@@ -313,6 +366,9 @@ def main() -> None:
     }
 
     os.makedirs("BENCH", exist_ok=True)
+    history_md = record_history(
+        "BENCH/history.jsonl", BENCH_TURNS, ratios, eff_exec, thr_1x, thr_4x
+    )
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — scaling evidence (sandbox protocol, BASELINE.md / BASELINE.json)
 
@@ -349,6 +405,7 @@ probes, and the used-round indices are in the bench JSON
 | **1 exec -> 4 execs x 2 cores (headline)** | {thr_1x:.0f} | {thr_4x:.0f} | **{eff_exec:.3f}** (median of ABBA ratios {", ".join(f"{r:.2f}" for r in ratios)}, /4) | {busy_eff_2_8:.3f} | {kern_eff_2_8:.3f} |
 | local[8] -> local[32] threads (transparency) | {thr8:.0f} | {thr32:.0f} | {eff_8_32:.3f} | {busy_eff_8_32:.3f} | — |
 
+{history_md}
 Two machine calibrations contextualize these numbers on this shared VM:
 
 - **busy-loop ceiling** — the same N->4N measurement for a trivial pure-CPU
