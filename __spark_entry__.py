@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loss_mask_spans": transcribe.loss_mask_spans,
         "conversation_stats": transcribe.conversation_stats,
         "hierarchy_lines": transcribe.hierarchy_lines,
+        "hierarchy_parents": transcribe.hierarchy_parents,
         # relational operator inventory (SURVEY §2)
         "q1_pricing_summary": tpch.q1_pricing_summary,
         "broadcast_region_customers": tpch.broadcast_region_customers,
@@ -462,6 +463,34 @@ SELECT doc_id,
            list_slice(w, line_idx * 10 + 1, line_idx * 10 + 10),
            x -> x <> '')) AS INT) AS n_words
 FROM lines ORDER BY doc_id, line_idx""",
+        "hierarchy_parents": """
+WITH ws AS (
+    SELECT doc_id,
+           list_filter(
+               list_slice(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                          1, 40),
+               x -> x <> '') AS wk,
+           len(list_slice(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                          1, 40)) AS n_words
+    FROM documents),
+st AS (
+    SELECT doc_id, wk, (n_words + 9) // 10 AS n_lines FROM ws)
+SELECT doc_id, 'block' AS kind,
+       substr(sha256(doc_id || '|0|block|0'), 1, 16) AS el_id,
+       array_to_string(wk, ' ') AS content,
+       CAST(100 AS DOUBLE) / 1000 AS top,
+       CAST(n_lines * 100 AS DOUBLE) / 1000 AS height,
+       1 AS n_children
+FROM st
+UNION ALL
+SELECT doc_id, 'paragraph' AS kind,
+       substr(sha256(doc_id || '|0|paragraph|0|0'), 1, 16) AS el_id,
+       array_to_string(wk, ' ') AS content,
+       CAST(100 AS DOUBLE) / 1000 AS top,
+       CAST(n_lines * 100 AS DOUBLE) / 1000 AS height,
+       CAST(n_lines AS INT) AS n_children
+FROM st
+ORDER BY doc_id, kind""",
         "conversation_stats": f"""
 WITH t AS (
     SELECT doc_id // {transcribe.TURNS_PER_CONV} AS conv_id,

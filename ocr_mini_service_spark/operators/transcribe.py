@@ -198,6 +198,35 @@ def hierarchy_lines(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(out, "doc_id", "line_idx")
 
 
+def hierarchy_parents(spark: SparkSession, sf: str) -> DataFrame:
+    """The rollup's parent levels (block and paragraph elements) as a flat
+    oracle-checked table — together with ``hierarchy_lines`` every level of
+    the lines/paragraphs/blocks model is value-checked: deterministic ids,
+    bottom-up aggregated content, page-normalized geometry, and child-count
+    linkage (block -> paragraphs, paragraph -> lines)."""
+    from ..hierarchy import extract_hierarchy
+
+    h = extract_hierarchy(build_structured_transcripts(spark, sf), persist=False)
+
+    def level(col: str, kind: str) -> DataFrame:
+        return h.select(
+            F.col("conv_id").cast("bigint").alias("doc_id"),
+            F.lit(kind).alias("kind"),
+            F.explode(col).alias("el"),
+        ).select(
+            "doc_id",
+            "kind",
+            F.col("el.id").alias("el_id"),
+            F.col("el.content").alias("content"),
+            F.col("el.top").alias("top"),
+            F.col("el.height").alias("height"),
+            F.size("el.child_ids").alias("n_children"),
+        )
+
+    out = level("blocks", "block").unionByName(level("paragraphs", "paragraph"))
+    return ordered(out, "doc_id", "kind")
+
+
 def extract_fulltext(spark: SparkSession, sf: str) -> DataFrame:
     """Per-turn extracted text + metrics through the REAL fused pipeline;
     oracle derives the same independently (see module docstring)."""
