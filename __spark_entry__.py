@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_counts": corpus.ngram_lm_counts,
         "boilerplate_blocks": boilerplate.boilerplate_blocks,
         "boilerplate_strip": boilerplate.boilerplate_strip,
+        "curation_funnel_v2": boilerplate.curation_funnel_v2,
         "vocab_coverage": corpus.vocab_coverage,
         "gopher_rules": corpus.gopher_rules,
         # dedup
@@ -1006,6 +1007,43 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN is_content = 1 THEN n_words ELSE 0 END) AS BIGINT) AS n_content_words,
        COALESCE(string_agg(block_text, ' ' ORDER BY block_idx) FILTER (WHERE is_content = 1), '') AS main_text
 FROM cls GROUP BY doc_id ORDER BY doc_id""",
+        "curation_funnel_v2": f"""
+WITH {_BOILER_CTES},
+strip AS (
+    SELECT doc_id,
+           CAST(SUM(is_content) AS BIGINT) AS nc,
+           COALESCE(string_agg(block_text, ' ' ORDER BY block_idx)
+                    FILTER (WHERE is_content = 1), '') AS mt
+    FROM cls GROUP BY doc_id),
+gws AS (SELECT doc_id, mt, string_split_regex(trim(mt), '\\s+') AS gw FROM strip),
+gsig AS (
+    SELECT doc_id,
+           CAST(len(gw) AS INT) AS g_n_words,
+           (CAST(list_sum(list_transform(gw, x -> length(x))) AS BIGINT) * 100)
+               // len(gw) AS g_mlen,
+           (CAST(len(list_distinct(gw)) AS BIGINT) * 10000) // len(gw) AS g_dbp,
+           CAST(length(regexp_extract_all(lower(mt), '{EN_STOPWORDS}')) AS INT) AS g_n_stop
+    FROM gws),
+fl AS (
+    SELECT s.doc_id,
+           s.nc > 0 AS has_content,
+           (g_n_words BETWEEN {corpus.GOPHER_MIN_WORDS} AND {corpus.GOPHER_MAX_WORDS}
+            AND g_mlen BETWEEN {corpus.GOPHER_MEANLEN_MIN_X100} AND {corpus.GOPHER_MEANLEN_MAX_X100}
+            AND g_dbp >= {corpus.GOPHER_DISTINCT_MIN_BP}
+            AND g_n_stop >= {corpus.GOPHER_STOP_MIN}) AS quality,
+           s.doc_id = MIN(s.doc_id) OVER (PARTITION BY md5(s.mt)) AS canon
+    FROM strip s JOIN gsig USING (doc_id)),
+agg AS (
+    SELECT COUNT(*) AS s0,
+           CAST(SUM(CASE WHEN has_content THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+           CAST(SUM(CASE WHEN has_content AND quality THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+           CAST(SUM(CASE WHEN has_content AND quality AND canon THEN 1 ELSE 0 END) AS BIGINT) AS s3
+    FROM fl)
+SELECT 0 AS stage_idx, 'raw' AS stage, s0 AS n_docs FROM agg
+UNION ALL SELECT 1, 'content', s1 FROM agg
+UNION ALL SELECT 2, 'quality', s2 FROM agg
+UNION ALL SELECT 3, 'dedup', s3 FROM agg
+ORDER BY stage_idx""",
         "ngram_lm_counts": """
 WITH ws AS (
     SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents),

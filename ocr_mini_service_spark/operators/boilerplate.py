@@ -150,14 +150,10 @@ def boilerplate_blocks(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(out, "doc_id", "block_idx")
 
 
-def boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
-    """Boilerplate stripping: each document reduced to its main content —
-    the ordered join of blocks the classifier kept — with the block/word
-    audit counts a curation funnel records.  One keyed groupBy over the
-    classified blocks; docs whose every block is boilerplate survive with
-    empty main_text (no silent row drops)."""
+def _stripped(spark: SparkSession, sf: str) -> DataFrame:
+    """Unordered per-doc strip aggregate (building block)."""
     cls = _classified(spark, sf)
-    out = cls.groupBy("doc_id").agg(
+    return cls.groupBy("doc_id").agg(
         F.count("*").alias("n_blocks"),
         F.sum("is_content").cast("long").alias("n_content_blocks"),
         F.sum(F.when(F.col("is_content") == 1, F.col("n_words")).otherwise(0))
@@ -178,4 +174,61 @@ def boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
             " ",
         ).alias("main_text"),
     )
-    return ordered(out, "doc_id")
+
+
+def boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate stripping: each document reduced to its main content —
+    the ordered join of blocks the classifier kept — with the block/word
+    audit counts a curation funnel records.  One keyed groupBy over the
+    classified blocks; docs whose every block is boilerplate survive with
+    empty main_text (no silent row drops)."""
+    return ordered(_stripped(spark, sf), "doc_id")
+
+
+def curation_funnel_v2(spark: SparkSession, sf: str) -> DataFrame:
+    """The web-extraction curation pipeline as one declarative DAG, audited
+    as a funnel: raw -> boilerplate strip (>= 1 content block survives) ->
+    Gopher quality gate evaluated on the STRIPPED main text (garbage that
+    only looked good with its boilerplate attached dies here) -> exact
+    dedup of the stripped text (canonical = min doc_id per md5(main_text) —
+    stripping first is the production order, since boilerplate variation
+    masks identical main content).
+
+    Composition shape: one pass over the classified blocks (doc-key window
+    + groupBy), the gate as a narrow projection over the strip, the dedup
+    as one window on the content-hash key, then a single partial+final
+    aggregation of the cumulative conjunctions unpivoted by ``stack`` —
+    the funnel costs the same as the strip that feeds it."""
+    from .corpus import gopher_flags
+
+    stripped = _stripped(spark, sf)
+    # keep= passthrough instead of a self-join: joining gopher_flags(strip)
+    # back onto strip would evaluate the strip aggregation once per side
+    g = gopher_flags(
+        stripped, "main_text", keep=["n_content_blocks", "main_text"]
+    )
+    flags = g.select(
+        "doc_id",
+        (F.col("n_content_blocks") > 0).alias("has_content"),
+        (F.col("pass_gopher") == 1).alias("quality"),
+        "main_text",
+    ).withColumn(
+        "canon",
+        F.col("doc_id")
+        == F.min("doc_id").over(Window.partitionBy(F.md5("main_text"))),
+    )
+    stage_flags = ["has_content", "quality", "canon"]
+    survivors = [
+        F.sum(F.expr(" AND ".join(stage_flags[: i + 1])).cast("long")).alias(
+            f"s{i + 1}"
+        )
+        for i in range(len(stage_flags))
+    ]
+    agg = flags.agg(F.count("*").alias("s0"), *survivors)
+    out = agg.select(
+        F.expr(
+            "stack(4, 0, 'raw', s0, 1, 'content', s1,"
+            " 2, 'quality', s2, 3, 'dedup', s3)"
+        ).alias("stage_idx", "stage", "n_docs")
+    )
+    return ordered(out, "stage_idx")

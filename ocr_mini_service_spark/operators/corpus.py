@@ -572,21 +572,28 @@ GOPHER_DISTINCT_MIN_BP = 3_000  # >= 30% distinct words
 GOPHER_STOP_MIN = 2  # >= 2 stop-word hits
 
 
-def gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
-    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1 analog):
-    word-count bounds, mean-word-length band, distinct-word floor (the
-    repetition gate), and a minimum stop-word count (the gibberish gate),
-    with the per-rule flags and the conjunction exposed per document.  All
-    JVM-side in one narrow projection chain — no shuffle before the
-    presentation sort; signals are exact integers (see threshold block)."""
+def gopher_flags(
+    df: DataFrame, text_col: str = "text", keep: list[str] | None = None
+) -> DataFrame:
+    """Gopher rule signals + flags for an arbitrary (doc_id, text) frame —
+    the reusable gate: ``gopher_rules`` applies it to raw documents,
+    ``curation_funnel_v2`` to boilerplate-stripped main text.  ``keep``
+    columns ride through untouched (so a caller composes without a
+    self-join that would re-evaluate the input subtree per side)."""
     from .text import EN_STOPWORDS
 
-    docs = load(spark, sf, "documents")
+    keep = keep or []
     # staged projections (repetition_stats rule): materialize the words
     # array once; the sum-of-lengths fold references the alias, not split()
-    wdocs = docs.select("doc_id", "text", _words().alias("w"))
+    wdocs = df.select(
+        "doc_id",
+        *keep,
+        F.col(text_col).alias("gt"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("w"),
+    )
     staged = wdocs.select(
         "doc_id",
+        *keep,
         F.size("w").alias("n_words"),
         F.size(F.array_distinct("w")).alias("n_distinct"),
         F.aggregate(
@@ -594,10 +601,11 @@ def gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         ).alias("sum_len"),
-        F.regexp_count(F.lower("text"), F.lit(EN_STOPWORDS)).alias("n_stop"),
+        F.regexp_count(F.lower("gt"), F.lit(EN_STOPWORDS)).alias("n_stop"),
     )
     sig = staged.select(
         "doc_id",
+        *keep,
         "n_words",
         F.expr("(sum_len * 100) div n_words").alias("mean_wlen_x100"),
         F.expr("(n_distinct * 10000) div n_words").alias("distinct_bp"),
@@ -609,8 +617,9 @@ def gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     )
     dist_ok = F.col("distinct_bp") >= GOPHER_DISTINCT_MIN_BP
     stop_ok = F.col("n_stop") >= GOPHER_STOP_MIN
-    out = sig.select(
+    return sig.select(
         "doc_id",
+        *keep,
         "n_words",
         "mean_wlen_x100",
         "distinct_bp",
@@ -621,7 +630,16 @@ def gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
         stop_ok.cast("int").alias("stopword_ok"),
         (words_ok & mlen_ok & dist_ok & stop_ok).cast("int").alias("pass_gopher"),
     )
-    return ordered(out, "doc_id")
+
+
+def gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1 analog):
+    word-count bounds, mean-word-length band, distinct-word floor (the
+    repetition gate), and a minimum stop-word count (the gibberish gate),
+    with the per-rule flags and the conjunction exposed per document.  All
+    JVM-side in one narrow projection chain — no shuffle before the
+    presentation sort; signals are exact integers (see threshold block)."""
+    return ordered(gopher_flags(load(spark, sf, "documents")), "doc_id")
 
 
 QUAL_MIN_WORDS = DECON_N  # quality gate: enough words to carry one decon gram

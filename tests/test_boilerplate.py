@@ -64,3 +64,31 @@ def test_strip_is_exactly_the_content_blocks(spark, sf_dir):
     # every document survives, boilerplate-only docs with empty text
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
     assert set(m.index) == set(docs["doc_id"])
+
+
+def test_curation_funnel_v2_consistent_with_components(spark, sf_dir):
+    """Funnel counts telescope from the component operators: content
+    survivors match boilerplate_strip, quality applies the Gopher gate to
+    the STRIPPED text, dedup keeps min-doc_id canonicals of main_text."""
+    from ocr_mini_service_spark.operators.corpus import gopher_flags
+
+    f = (
+        bp.curation_funnel_v2(spark, sf_dir)
+        .toPandas()
+        .set_index("stage")["n_docs"]
+    )
+    strip = bp.boilerplate_strip(spark, sf_dir).toPandas()
+    assert f["raw"] == len(strip)
+    assert f["content"] == (strip["n_content_blocks"] > 0).sum()
+    g = gopher_flags(
+        spark.createDataFrame(strip[["doc_id", "main_text"]]), "main_text"
+    ).toPandas()
+    m = strip.merge(g[["doc_id", "pass_gopher"]], on="doc_id")
+    m["has_content"] = m["n_content_blocks"] > 0
+    m["quality"] = m["pass_gopher"] == 1
+    canon_ids = m.groupby("main_text")["doc_id"].transform("min")
+    m["canon"] = m["doc_id"] == canon_ids
+    assert f["quality"] == (m["has_content"] & m["quality"]).sum()
+    assert f["dedup"] == (m["has_content"] & m["quality"] & m["canon"]).sum()
+    # monotone funnel with real attrition at every stage on the synthetic corpus
+    assert f["raw"] > f["content"] >= f["quality"] >= f["dedup"]
