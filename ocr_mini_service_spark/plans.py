@@ -173,6 +173,23 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "which is why the leaves scan an ExistingRDD.",
             formatted_plan(q["semantic_decontaminate"](spark, sf_dir)),
         ),
+        "boilerplate_strip": (
+            "DOM-heuristic boilerplate strip: one pruned scan -> block "
+            "fan-out projection -> doc-key window (prev/next context for "
+            "the NumWordsRules classifier) -> keyed groupBy reassembly — "
+            "no join, no UDF, at most the window/agg exchanges plus the "
+            "presentation repartition.",
+            formatted_plan(q["boilerplate_strip"](spark, sf_dir)),
+        ),
+        "curation_funnel_v2": (
+            "strip -> Gopher gate on stripped text -> exact dedup of "
+            "stripped text in ONE DAG: the gate is a narrow projection "
+            "riding the strip aggregate (keep= passthrough, no self-join), "
+            "dedup one window on the content-hash key, then a single "
+            "partial+final aggregation of the cumulative conjunctions "
+            "unpivoted by stack.",
+            formatted_plan(q["curation_funnel_v2"](spark, sf_dir)),
+        ),
         "curation_funnel": (
             "the whole curation pipeline in one DAG: a window on the "
             "content-hash key (dedup), one broadcast LeftSemi (decon), then "
