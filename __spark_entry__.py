@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": boilerplate.boilerplate_strip,
         "curation_funnel_v2": boilerplate.curation_funnel_v2,
         "vocab_coverage": corpus.vocab_coverage,
+        "tokenize_ids": corpus.tokenize_ids,
         "gopher_rules": corpus.gopher_rules,
         # dedup
         "dedup_exact": dedup.dedup_exact,
@@ -1071,6 +1072,29 @@ ranked AS (
 SELECT rank, token, n, (cum * 10000) // total.total AS cum_bp
 FROM ranked CROSS JOIN total
 WHERE rank <= {corpus.VOCAB_TOP} ORDER BY rank""",
+        "tokenize_ids": f"""
+WITH toks0 AS (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
+counts AS (
+    SELECT token, COUNT(*) AS n FROM toks0 WHERE token <> '' GROUP BY token),
+vocab AS (
+    SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS tok_id
+    FROM counts ORDER BY n DESC, token ASC LIMIT {corpus.VOCAB_TOP}),
+dtoks AS (
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS token
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         unnest(generate_series(1, len(w))) AS t(i)
+    WHERE w[i] <> ''),
+tagged AS (
+    SELECT d.doc_id, d.pos, COALESCE(v.tok_id, 0) AS tok_id
+    FROM dtoks d LEFT JOIN vocab v ON d.token = v.token)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       (CAST(SUM(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+           // COUNT(*) AS oov_bp,
+       string_agg(CAST(tok_id AS VARCHAR), ' ' ORDER BY pos) AS ids_str
+FROM tagged GROUP BY doc_id ORDER BY doc_id""",
         "line_dedup": f"""
 WITH ws AS (
     SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),

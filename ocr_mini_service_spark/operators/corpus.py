@@ -504,6 +504,62 @@ def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(out, "rank")
 
 
+def tokenize_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus tokenization: every document rendered as its vocab-id
+    sequence — the step between curation and sample packing.  The
+    vocabulary is the corpus top-VOCAB_TOP tokens (id = frequency rank,
+    1-based; ties -> lexicographic, the ``vocab_coverage`` order) and
+    everything else maps to the OOV id 0.  Emits the id sequence (space-
+    joined string — a stable scalar for cross-engine comparison), token and
+    OOV counts, and the OOV share in exact basis points.
+
+    Scale shape: the vocabulary is fixed-size by construction -> broadcast
+    hash join against the exploded tokens (the unbounded side never
+    shuffles to be looked up); reassembly is one keyed groupBy on doc_id
+    with an order-restoring array_sort on the carried position."""
+    docs = load(spark, sf, "documents")
+    counts = (
+        docs.select(F.explode(_words()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = (
+        counts.orderBy(F.desc("n"), F.asc("token"))
+        .limit(VOCAB_TOP)
+        .withColumn(
+            "tok_id",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))),
+        )
+        .select("token", "tok_id")
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(_words()).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    tagged = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce("tok_id", F.lit(0)).alias("tok_id")
+    )
+    agg = tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("tok_id") == 0).cast("long")).alias("n_oov"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+                lambda s: s["tok_id"].cast("string"),
+            ),
+            " ",
+        ).alias("ids_str"),
+    )
+    out = agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.expr("(n_oov * 10000) div n_tokens").alias("oov_bp"),
+        "ids_str",
+    )
+    return ordered(out, "doc_id")
+
+
 SEG_WORDS = 10  # words per dedup segment (the "line" unit — the synthetic corpus has no newlines)
 
 

@@ -134,6 +134,32 @@ def test_ngram_lm_counts_is_a_conditional_distribution(spark, sf_dir):
     assert df["n12"].sum() == (n_words - 1).sum()
 
 
+def test_tokenize_ids_roundtrip_through_vocab(spark, sf_dir):
+    """Id sequences decode back to the document: sequence length matches
+    the token count, ids stay in [0, VOCAB_TOP], in-vocab positions decode
+    to the original word via the vocab_coverage ranking, and OOV positions
+    are exactly the words outside the top-N vocabulary."""
+    ids = corpus.tokenize_ids(spark, sf_dir).toPandas()
+    vocab = corpus.vocab_coverage(spark, sf_dir).toPandas()
+    rank_to_tok = dict(zip(vocab["rank"], vocab["token"]))
+    tok_to_rank = {t: r for r, t in rank_to_tok.items()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    words = docs.set_index("doc_id")["text"].str.strip().str.split()
+    m = ids.set_index("doc_id")
+    assert (m["ids_str"].str.split().str.len() == m["n_tokens"]).all()
+    assert (m["oov_bp"] == m["n_oov"] * 10000 // m["n_tokens"]).all()
+    for doc_id, row in m.head(50).iterrows():
+        seq = [int(x) for x in row["ids_str"].split()]
+        ws = words.loc[doc_id]
+        assert len(seq) == len(ws)
+        for w, i in zip(ws, seq):
+            assert 0 <= i <= corpus.VOCAB_TOP
+            if i == 0:
+                assert w not in tok_to_rank
+            else:
+                assert rank_to_tok[i] == w
+
+
 def test_ngram_lm_counts_handles_short_documents(spark, tmp_path):
     """Documents with < 2 words must contribute zero bigrams, not crash:
     two-arg sequence(1, stop) DESCENDS for stop < 1, so an unguarded
