@@ -41,70 +41,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's CORRECTNESS gate checks the FIRST 50
+    # entries in dict order per round.  Round 3 rotation (VERDICT r2 item 1):
+    # the 28 queries registered after the r2 window (dedup / similarity /
+    # ANN / boilerplate / vocab / media) sit FIRST so they earn a hard-signal
+    # row, followed by queries whose code or oracle changed this round
+    # (pivot_event_matrix oracle cast, hierarchy persist, range_join pmod).
+    # Long-green §2 stalwarts (green in BOTH r1 and r2) rotate to the back.
     return {
-        # extraction pipeline (real kernel vs independent SQL-arithmetic oracle)
-        "extract_fulltext": transcribe.extract_fulltext,
-        "extract_word_boxes": transcribe.extract_word_boxes,
-        "extract_metrics_by_source": transcribe.extract_metrics_by_source,
-        "loss_mask_spans": transcribe.loss_mask_spans,
-        "conversation_stats": transcribe.conversation_stats,
-        "hierarchy_lines": transcribe.hierarchy_lines,
-        "hierarchy_parents": transcribe.hierarchy_parents,
-        # relational operator inventory (SURVEY §2)
-        "q1_pricing_summary": tpch.q1_pricing_summary,
-        "broadcast_region_customers": tpch.broadcast_region_customers,
-        "anti_join_quiet_orders": tpch.anti_join_quiet_orders,
-        "overlap_anti_join_geometric": tpch.overlap_anti_join_geometric,
-        "rollup_lineitem": tpch.rollup_lineitem,
-        "ordered_agg_lineitems": tpch.ordered_agg_lineitems,
-        "window_rownum_orders": tpch.window_rownum_orders,
-        "session_gap_events": tpch.session_gap_events,
-        "topk_orders": tpch.topk_orders,
-        "min_by_supplier": tpch.min_by_supplier,
-        "union_by_name": tpch.union_by_name,
-        "scalar_sampler": tpch.scalar_sampler,
-        "from_json_events": tpch.from_json_events,
-        "unbase64_roundtrip": tpch.unbase64_roundtrip,
-        "hash_key_lineitem": tpch.hash_key_lineitem,
-        "baseline_conditional": tpch.baseline_conditional,
-        "join_two_branches": tpch.join_two_branches,
-        "admission_filter": tpch.admission_filter,
-        "to_json_assembly": tpch.to_json_assembly,
-        # text analysis
-        "lang_id": text.lang_id,
-        "quality_score": text.quality_score,
-        "token_count": text.token_count,
-        "doc_fingerprint": text.doc_fingerprint,
-        # time-series
-        "asof_join_events": asof.asof_join_events,
-        "range_join_events": asof.range_join_events,
-        "window_hourly_events": tpch.window_hourly_events,
-        # wide-shape / ordered-statistics / map surface
-        "pivot_event_matrix": tpch.pivot_event_matrix,
-        "value_percentiles": tpch.value_percentiles,
-        "map_headers": tpch.map_headers,
-        # corpus curation
-        "repetition_stats": corpus.repetition_stats,
-        "heavy_hitters": corpus.heavy_hitters,
-        "tfidf_topterms": corpus.tfidf_topterms,
-        "sample_split": corpus.sample_split,
-        "stratified_sample": corpus.stratified_sample,
-        "pii_redact": corpus.pii_redact,
-        "chunk_documents": corpus.chunk_documents,
-        "pack_shards": corpus.pack_shards,
-        "decontaminate": corpus.decontaminate,
-        "source_mixture": corpus.source_mixture,
-        "mixture_stats": corpus.mixture_stats,
-        "curation_funnel": corpus.curation_funnel,
-        "line_dedup": corpus.line_dedup,
-        "ngram_lm_counts": corpus.ngram_lm_counts,
+        # --- driver-unchecked as of r2: boilerplate / corpus gates ---
         "boilerplate_blocks": boilerplate.boilerplate_blocks,
         "boilerplate_strip": boilerplate.boilerplate_strip,
         "curation_funnel_v2": boilerplate.curation_funnel_v2,
         "vocab_coverage": corpus.vocab_coverage,
         "tokenize_ids": corpus.tokenize_ids,
         "gopher_rules": corpus.gopher_rules,
-        # dedup
+        # --- driver-unchecked as of r2: dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
@@ -120,7 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures_fast": dedup.minhash_signatures_fast,
         "lsh_candidate_pairs_fast": dedup.lsh_candidate_pairs_fast,
         "simhash_docs_fast": dedup.simhash_docs_fast,
-        # similarity search
+        # --- driver-unchecked as of r2: similarity / ANN family ---
         "array_stats": similarity.array_stats,
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
@@ -130,8 +82,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_step": similarity.kmeans_step,
         "lsh_bucket_stats": similarity.lsh_bucket_stats,
         "semantic_decontaminate": similarity.semantic_decontaminate,
-        # multimodal plumbing (SQL-checkable half; decode stub is pytest-only)
+        # multimodal plumbing (SQL-checkable half; decode is pytest-only)
         "media_meta_sql": multimodal.media_meta_sql,
+        # --- changed this round: must re-earn a green row ---
+        "pivot_event_matrix": tpch.pivot_event_matrix,
+        "hierarchy_lines": transcribe.hierarchy_lines,
+        "hierarchy_parents": transcribe.hierarchy_parents,
+        "range_join_events": asof.range_join_events,
+        "asof_join_events": asof.asof_join_events,
+        # --- window filler: core extraction + funnel (green r2, keep hot) ---
+        "extract_fulltext": transcribe.extract_fulltext,
+        "extract_word_boxes": transcribe.extract_word_boxes,
+        "extract_metrics_by_source": transcribe.extract_metrics_by_source,
+        "loss_mask_spans": transcribe.loss_mask_spans,
+        "conversation_stats": transcribe.conversation_stats,
+        "curation_funnel": corpus.curation_funnel,
+        "decontaminate": corpus.decontaminate,
+        "line_dedup": corpus.line_dedup,
+        "q1_pricing_summary": tpch.q1_pricing_summary,
+        "overlap_anti_join_geometric": tpch.overlap_anti_join_geometric,
+        "rollup_lineitem": tpch.rollup_lineitem,
+        "ordered_agg_lineitems": tpch.ordered_agg_lineitems,
+        "window_hourly_events": tpch.window_hourly_events,
+        # ---------------- position 51+: long-green r1+r2 stalwarts ----------
+        "broadcast_region_customers": tpch.broadcast_region_customers,
+        "anti_join_quiet_orders": tpch.anti_join_quiet_orders,
+        "window_rownum_orders": tpch.window_rownum_orders,
+        "session_gap_events": tpch.session_gap_events,
+        "topk_orders": tpch.topk_orders,
+        "min_by_supplier": tpch.min_by_supplier,
+        "union_by_name": tpch.union_by_name,
+        "scalar_sampler": tpch.scalar_sampler,
+        "from_json_events": tpch.from_json_events,
+        "unbase64_roundtrip": tpch.unbase64_roundtrip,
+        "hash_key_lineitem": tpch.hash_key_lineitem,
+        "baseline_conditional": tpch.baseline_conditional,
+        "join_two_branches": tpch.join_two_branches,
+        "admission_filter": tpch.admission_filter,
+        "to_json_assembly": tpch.to_json_assembly,
+        "lang_id": text.lang_id,
+        "quality_score": text.quality_score,
+        "token_count": text.token_count,
+        "doc_fingerprint": text.doc_fingerprint,
+        "value_percentiles": tpch.value_percentiles,
+        "map_headers": tpch.map_headers,
+        "repetition_stats": corpus.repetition_stats,
+        "heavy_hitters": corpus.heavy_hitters,
+        "tfidf_topterms": corpus.tfidf_topterms,
+        "sample_split": corpus.sample_split,
+        "stratified_sample": corpus.stratified_sample,
+        "pii_redact": corpus.pii_redact,
+        "chunk_documents": corpus.chunk_documents,
+        "pack_shards": corpus.pack_shards,
+        "source_mixture": corpus.source_mixture,
+        "mixture_stats": corpus.mixture_stats,
+        "ngram_lm_counts": corpus.ngram_lm_counts,
     }
 
 
@@ -748,12 +753,15 @@ FROM c JOIN v
  AND v.view_ts > c.ts - INTERVAL {asof.RANGE_WINDOW_S} SECOND
  AND v.view_ts <= c.ts
 ORDER BY c.user_id, c.click_id, v.view_id""",
+        # outer CAST on each sx100: DuckDB promotes SUM(BIGINT) to HUGEINT,
+        # which serializes as int128/float64 and hash-mismatches Spark's
+        # int64 even when every cell is identical (VERDICT r2 red row)
         "pivot_event_matrix": f"""
 SELECT user_id,
        {", ".join(
            f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}_n, "
-           f"COALESCE(SUM(CAST(round(value * 100) AS BIGINT)) "
-           f"FILTER (WHERE event_type = '{t}'), 0) AS {t}_sx100"
+           f"CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT)) "
+           f"FILTER (WHERE event_type = '{t}'), 0) AS BIGINT) AS {t}_sx100"
            for t in tpch.EVENT_TYPES)}
 FROM events GROUP BY user_id ORDER BY user_id""",
         "value_percentiles": """

@@ -15,11 +15,29 @@ QUERIES = entry.queries()
 ORACLES = entry.oracle_sql()
 
 
+# DuckDB result types that have no Spark twin: HUGEINT (int128, DuckDB's
+# silent SUM(BIGINT) promotion) serializes differently from Spark's int64 and
+# fails the driver's value-hash even when every cell matches — the exact bug
+# class behind the r1/r2 red rows.  The float-tolerant compare below CANNOT
+# catch it, so ban the types at the oracle boundary instead.
+_BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
+
+
 def _duck(sf_dir: str, sql: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    desc = con.sql(f"DESCRIBE {sql}").df()
+    promoted = [
+        (r["column_name"], r["column_type"])
+        for _, r in desc.iterrows()
+        if any(b in str(r["column_type"]) for b in _BANNED_DUCK_TYPES)
+    ]
+    assert not promoted, (
+        f"oracle produces driver-unhashable DuckDB types (wrap in CAST(... AS "
+        f"BIGINT)): {promoted}"
+    )
     return con.sql(sql).df()
 
 
