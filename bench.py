@@ -307,6 +307,41 @@ def _abba_rounds(
     return thrNs, thr4Ns, ratios, raw
 
 
+def _stream_drain_bench(spark) -> dict:
+    """Streaming-state cost tracked round over round (dedup stream drain):
+    every generated turn file delivered TWICE (producer-retry analog), one
+    AvailableNow drain through ``dropDuplicatesWithinWatermark``.  Reports
+    wall, deduped output rows, and input rows/sec."""
+    import glob
+
+    from ocr_mini_service_spark.streaming import run_dedup_stream
+    from ocr_mini_service_spark.synth import write_transcripts_dataset
+
+    sdir = "/tmp/spark_graft_bench/stream"
+    base = write_transcripts_dataset(f"{sdir}/base", WARM_TURNS)
+    inp, out, ckpt = f"{sdir}/in", f"{sdir}/out", f"{sdir}/ckpt"
+    for d in (inp, out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(inp)
+    parts = sorted(glob.glob(f"{base}/part-*.parquet"))
+    for i, p in enumerate(parts):
+        shutil.copy(p, f"{inp}/d{i}.parquet")
+        shutil.copy(p, f"{inp}/d{i}_retry.parquet")  # duplicate delivery
+    t0 = time.time()
+    # delay must exceed the synthetic ts spread (see tests/
+    # test_streaming_resume.py): keys stay in-horizon for the whole drain
+    run_dedup_stream(spark, inp, out, ckpt, delay="3650 days")
+    wall = time.time() - t0
+    n_out = spark.read.parquet(out).count()
+    n_in = 2 * spark.read.parquet(base).count()
+    return {
+        "n_input_rows": n_in,
+        "n_output_rows": n_out,
+        "wall_sec": round(wall, 3),
+        "input_rows_per_sec": round(n_in / wall, 1),
+    }
+
+
 def main() -> None:
     from ocr_mini_service_spark.synth import write_transcripts_dataset
 
@@ -340,6 +375,7 @@ def main() -> None:
             t0 = time.time()
             fn(spark, SF_DIR).count()
             qtimes[name] = round(time.time() - t0, 3)
+        stream_drain = _stream_drain_bench(spark)
     finally:
         spark.stop()
 
@@ -348,6 +384,7 @@ def main() -> None:
         "value": round(thr_4x, 1),
         "unit": "turns/sec",
         "queries": qtimes,
+        "stream_drain": stream_drain,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "bench_turns": BENCH_TURNS,
         "turns_per_sec": {

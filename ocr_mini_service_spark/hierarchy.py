@@ -91,7 +91,7 @@ def _children(child_rows: DataFrame, parent_keys: list[str]) -> DataFrame:
 def extract_hierarchy(
     transcripts: DataFrame,
     _cache_out: list | None = None,
-    persist: bool = True,
+    persist: bool | str = True,
 ) -> DataFrame:
     """transcripts → one row per turn: blocks / paragraphs / lines arrays of
     ``struct<id, content, left, top, width, height, child_ids>`` in document
@@ -99,17 +99,21 @@ def extract_hierarchy(
     child words, paragraph = joined lines, block = joined paragraphs — the
     ``StructureContent`` payload of ``OCRHierarchyElement``).
 
-    The shared block-emission pass is cached (four consumers) when
-    ``persist=True``; pass ``_cache_out`` to receive the persisted handle for
-    unpersisting after the returned plan is materialized (``write_hierarchy``
-    does this), otherwise the cache pins memory for the rest of the session.
-    ``persist=False`` skips the cache entirely — the right call for a
-    one-shot evaluation that would rather recompute the narrow pass than
-    hold blocks (measured equivalent at driver-query scale)."""
+    The shared block-emission pass feeds FOUR consumers (words + three level
+    subtrees), so without sharing it recomputes 4×.  ``persist=True`` caches
+    it; pass ``_cache_out`` to receive the persisted handle for unpersisting
+    after the returned plan is materialized (``write_hierarchy`` does this),
+    otherwise the cache pins memory for the rest of the session.
+    ``persist='checkpoint'`` eagerly ``localCheckpoint``s instead — one
+    emission pass, lineage truncated, blocks freed on RDD GC, no session-long
+    cache pin: the right call for one-shot driver queries.  ``persist=False``
+    skips sharing entirely (recompute the narrow pass 4×)."""
     raw = transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         _emit_blocks, schema=_RAW
     )
-    if persist:
+    if persist == "checkpoint":
+        raw = raw.localCheckpoint()
+    elif persist:
         raw = raw.persist()  # at cluster scale use StorageLevel.MEMORY_AND_DISK
         # or materialize the blocks table instead
         if _cache_out is not None:

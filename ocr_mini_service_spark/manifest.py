@@ -197,9 +197,17 @@ def _emit_progress(spark: SparkSession, output: str, interval: float = 0.5):
 
     t = threading.Thread(target=_poll, daemon=True)
     t.start()
+    # terminal event mirrors the reference's complete/error split
+    # (/root/reference/src/ocr/image-recognition.service.ts:360-368,405-413):
+    # a failed write must emit {type: 'failed'}, never 'complete'
     try:
         yield
-    finally:
+    except BaseException as exc:
+        stop.set()
+        t.join(timeout=2)
+        _write({"type": "failed", "error": f"{type(exc).__name__}: {exc}"})
+        raise
+    else:
         stop.set()
         t.join(timeout=2)
         _write({"type": "complete"})

@@ -98,9 +98,12 @@ def range_join(
     r_epoch = F.unix_micros(F.col(right_ts).cast("timestamp"))
 
     def bucket(epoch):
-        # exact integer bucketing: (e - e % W) is a multiple of W, so the
-        # division is exact in IEEE — no double-quotient boundary drift
-        return ((epoch - epoch % win_us) / win_us).cast("long")
+        # exact integer bucketing: (e - pmod(e, W)) is a multiple of W, so
+        # the division is exact in IEEE — no double-quotient boundary drift.
+        # pmod (floor semantics), NOT `%` (truncated remainder): a negative
+        # epoch (pre-1970 ts) under `%` rounds toward zero and lands in the
+        # bucket ABOVE its floor window, silently dropping matching pairs.
+        return ((epoch - F.pmod(epoch, win_us)) / win_us).cast("long")
 
     l = left.withColumn("_lus", l_epoch).withColumn(
         "_bucket", F.explode(F.array(bucket(l_epoch) - 1, bucket(l_epoch)))

@@ -275,33 +275,19 @@ def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(out, "doc_id")
 
 
-def dedup_clusters(spark: SparkSession, sf: str, max_iter: int = 20) -> DataFrame:
-    """Duplicate-cluster resolution: connected components over the LSH
-    candidate-pair graph by iterative min-label propagation (the standard
-    distributed CC shape — each round is one hash join + min-aggregate, all
-    JVM-side; rounds ≈ graph diameter, which for near-dup clusters is tiny).
-    cluster_id = min doc_id of the component; singletons map to themselves.
+def _cc_min_label(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
+    """Connected components by iterative min-label propagation over a
+    SYMMETRIC edge list (both orientations present).  Each round is one hash
+    join + min-aggregate, all JVM-side; rounds ≈ graph diameter.  Returns
+    ``(labels(id,label), rounds_used)``.
 
     The driver-side loop is a fixpoint coordinator, not a data path: per
     round it reads ONE aggregated long (sum of labels, strictly decreasing
     until convergence).  ``localCheckpoint`` truncates the iterative lineage
-    so the plan does not double each round.
-
-    Scale shape: the iteration runs over the EDGE-INCIDENT subgraph only —
-    a node with no candidate pair can never change label, so singletons
-    (the overwhelming majority of a deduped corpus) never ride through the
-    per-round shuffles; they are joined back once at the end with
-    cluster_id = doc_id, size = 1.  Per-round cost is O(E), not O(V).  At
-    10^12-doc scale swap the propagation for the large-star/small-star
-    variant (fewer rounds on high-diameter graphs); the join/agg skeleton
-    is unchanged."""
-    corpus = _docs_with_mutants(spark, sf)
-    pairs = _lsh_pairs(spark, sf)
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-
+    so the plan does not double each round.  Exhausting ``max_iter`` without
+    the exact fixpoint RAISES — wrong-but-plausible labels must never leave
+    this function silently (a chain-shaped dup graph with diameter >
+    max_iter would otherwise mislabel with no error)."""
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -309,7 +295,7 @@ def dedup_clusters(spark: SparkSession, sf: str, max_iter: int = 20) -> DataFram
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         prop = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), "label"
         )
@@ -321,8 +307,129 @@ def dedup_clusters(spark: SparkSession, sf: str, max_iter: int = 20) -> DataFram
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:  # labels only decrease -> exact fixpoint test
-            break
+            return labels, rounds
         prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected-components min-label propagation did not reach its "
+        f"fixpoint within max_iter={max_iter} rounds (graph diameter too "
+        f"large) — raise max_iter or use algo='star' (O(log n) rounds)"
+    )
+
+
+def _cc_star(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
+    """Connected components by the alternating large-star / small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", ACM SoCC 2014) — the scale path for high-diameter graphs:
+    O(log n) rounds vs O(diameter) for min-label propagation, with the SAME
+    per-round shuffle shapes (one groupBy-min + one equi-join per phase).
+
+    large-star: every neighbor v > u is rewired to m(u) = min(N(u) ∪ {u});
+    small-star: with edges oriented src > dst, every smaller neighbor (and u
+    itself) is rewired to min(N(u)).  The fixpoint is a star forest with
+    each component's min node at the center, read off as the label map.
+    Convergence test is exact (edge-set equality); per round that is two
+    small actions — at 10^12 edges swap in a hash-sum comparison.
+
+    Takes the same symmetric edge list as ``_cc_min_label``; returns
+    ``(labels(id,label), rounds_used)``."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        # large-star (on the bidirectional view; output is oriented src>dst
+        # by construction: emitted (v, m) always has v > u >= m)
+        b = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = (
+            b.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", F.col("src")).alias("m"))
+        )
+        large = (
+            b.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star (input already oriented src > dst)
+        mo = large.groupBy("src").agg(F.min("dst").alias("m"))
+        nbr = large.join(mo, "src").select(F.col("dst").alias("v"), "m")
+        slf = mo.select(F.col("src").alias("v"), "m")
+        small = (
+            nbr.unionByName(slf)
+            .filter(F.col("v") != F.col("m"))
+            .select(
+                F.greatest("v", "m").alias("src"),
+                F.least("v", "m").alias("dst"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        if small.count() == e.count() and small.exceptAll(e).isEmpty():
+            e = small
+            converged = True
+            break
+        e = small
+    if not converged:
+        raise RuntimeError(
+            f"connected-components star algorithm did not converge within "
+            f"max_iter={max_iter} rounds"
+        )
+    # star forest: every non-root points at its component min; roots (and
+    # isolated incident nodes, impossible here but cheap to cover) label
+    # themselves
+    nonroot = e.select(F.col("src").alias("id"), F.col("dst").alias("label"))
+    incident = edges.select(F.col("src").alias("id")).distinct()
+    labels = incident.join(nonroot, "id", "left").select(
+        "id", F.coalesce("label", F.col("id")).alias("label")
+    )
+    return labels, rounds
+
+
+def dedup_clusters(
+    spark: SparkSession,
+    sf: str,
+    max_iter: int = 20,
+    algo: str = "minlabel",
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the LSH
+    candidate-pair graph.  cluster_id = min doc_id of the component;
+    singletons map to themselves.
+
+    ``algo='minlabel'`` (default, rounds ≈ diameter — tiny for near-dup
+    blobs) or ``'star'`` (large-star/small-star, O(log n) rounds — the
+    choice for chain-shaped graphs); both share the join/agg skeleton and
+    produce identical labels (pinned by tests/test_dedup_scale.py).
+
+    Scale shape: the iteration runs over the EDGE-INCIDENT subgraph only —
+    a node with no candidate pair can never change label, so singletons
+    (the overwhelming majority of a deduped corpus) never ride through the
+    per-round shuffles; they are joined back once at the end with
+    cluster_id = doc_id, size = 1.  Per-round cost is O(E), not O(V).
+
+    In a production run this frame is MATERIALIZED once (a labels table)
+    and downstream steps — ``dedup_survivors``, membership filters — read
+    it instead of re-deriving the clustering (pass it via their
+    ``clusters=`` parameter)."""
+    corpus = _docs_with_mutants(spark, sf)
+    pairs = _lsh_pairs(spark, sf)
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    cc = _cc_star if algo == "star" else _cc_min_label
+    labels, _ = cc(edges, max_iter)
 
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     clustered = labels.join(sizes, "label").select(
@@ -513,16 +620,23 @@ def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(bit_sums.select("doc_id", fp.cast("long").alias("simhash")), "doc_id")
 
 
-def dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_survivors(
+    spark: SparkSession, sf: str, clusters: DataFrame | None = None
+) -> DataFrame:
     """End of the dedup pipeline: collapse every duplicate cluster to its
     canonical member and report how many near-duplicates were dropped.
 
     The canonical doc IS the cluster label (min doc_id of the component),
-    so survivorship is a narrow ``doc_id == cluster_id`` filter over
-    ``dedup_clusters`` — no shuffle beyond the clustering itself.  This is
-    the step a training-data curation run actually materializes: the kept
-    corpus plus an audit count of removals (no silent drops)."""
-    cl = dedup_clusters(spark, sf)
+    so survivorship is a narrow ``doc_id == cluster_id`` filter over the
+    cluster labels — no shuffle of its own.  This is the step a
+    training-data curation run actually materializes: the kept corpus plus
+    an audit count of removals (no silent drops).
+
+    ``clusters`` — a previously materialized ``dedup_clusters`` frame (the
+    production path: cluster once, persist the labels table, filter it
+    here; never re-derive the clustering per consumer).  Omitted in the
+    standalone driver query, which derives it inline."""
+    cl = clusters if clusters is not None else dedup_clusters(spark, sf)
     out = cl.filter(F.col("doc_id") == F.col("cluster_id")).select(
         "doc_id",
         (F.col("cluster_size") - 1).cast("long").alias("n_dupes_removed"),

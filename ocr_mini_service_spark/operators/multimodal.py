@@ -7,11 +7,17 @@ opaque ``binary`` column with a typed metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs
 over ``mapInPandas``.
 
-The image/audio codec libraries are not in this container, so the decode
-step is STUBBED behind a deterministic fake (seeded from the payload hash)
-— the Spark-side plumbing (schema, batch shape, partitioning, UDF
-signature) is real and tested; swap ``_decode_stub`` for a PIL/ffmpeg call
-in production.
+Decode support is tiered by what a container without codec libraries can
+honestly do:
+
+- **uncompressed rasters are REALLY decoded** in pure Python/numpy:
+  binary PPM (netpbm ``P6``) and 24-bit BI_RGB BMP — header parse, pixel
+  extraction, Rec.601 mean luma (``_decode_ppm`` / ``_decode_bmp``);
+- compressed formats (JPEG/PNG) and audio/video remain STUBBED behind a
+  deterministic fake seeded from the payload hash (``_decode_stub``) —
+  swap for PIL/pyav in production.  The Spark-side plumbing (schema,
+  batch shape, partitioning, UDF signature, per-row error isolation) is
+  identical for both tiers and is what's under test.
 """
 
 from __future__ import annotations
@@ -75,6 +81,94 @@ def media_table(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Rec.601 luma weights (the classic Y' = 0.299R + 0.587G + 0.114B)
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """Real decode of a binary netpbm PPM (``P6``): ASCII header of three
+    integers (width, height, maxval; '#' comments allowed), one whitespace
+    byte, then w*h RGB triplets.  Pure Python/numpy — no codec library."""
+    tokens: list[int] = []
+    i = 2  # past the P6 magic
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i >= len(payload):
+            raise ValueError("truncated PPM header")
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = tokens
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    data = payload[i + 1 : i + 1 + w * h * 3]  # single whitespace after maxval
+    if len(data) < w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    px = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    return {
+        "width": w,
+        "height": h,
+        "mean_luma": float((px.astype(np.float64) @ _LUMA).mean() / maxval),
+        "n_frames": 1,
+    }
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """Real decode of an uncompressed 24-bit BI_RGB Windows BMP:
+    BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER (40 B), bottom-up BGR rows
+    padded to 4-byte boundaries."""
+    import struct
+
+    off, hsz = struct.unpack_from("<I", payload, 10)[0], struct.unpack_from("<I", payload, 14)[0]
+    if hsz < 40:
+        raise ValueError(f"unsupported BMP header size {hsz}")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    height = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(payload) < off + stride * height:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=off
+    ).reshape(height, stride)[:, : w * 3]
+    px = rows.reshape(height, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if h > 0:
+        px = px[::-1]  # bottom-up storage order
+    return {
+        "width": w,
+        "height": height,
+        "mean_luma": float((px.astype(np.float64) @ _LUMA).mean() / 255.0),
+        "n_frames": 1,
+    }
+
+
+def _decode(payload: bytes, media_type: str, w: int, h: int) -> dict:
+    """Tiered dispatcher: real pure-Python decode for uncompressed rasters
+    (magic-sniffed — PPM needs 'P6'+whitespace, BMP needs 'BM' plus a file
+    size field matching the payload, so prose bytes can't false-positive),
+    deterministic stub for everything else.  A payload that CLAIMS a real
+    format but fails to parse surfaces as a decode error — never silently
+    downgraded to the stub."""
+    if payload[:2] == b"P6" and payload[2:3].isspace():
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        import struct
+
+        if struct.unpack_from("<I", payload, 2)[0] == len(payload):
+            return _decode_bmp(payload)
+    return _decode_stub(payload, media_type, w, h)
+
+
 def _decode_stub(payload: bytes, media_type: str, w: int, h: int) -> dict:
     """Deterministic fake decode: derives pixel stats from the payload hash.
     In production this is PIL.Image.open / soundfile / pyav frame sampling —
@@ -105,7 +199,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "error": None,
             }
             try:  # per-row isolation, mirroring the branch isolation rule
-                feat = _decode_stub(payload, r.media_type, r.declared_w, r.declared_h)
+                feat = _decode(payload, r.media_type, r.declared_w, r.declared_h)
                 row.update(feat)
             except Exception as e:
                 row["error"] = f"decode_failed: {e}"

@@ -175,11 +175,12 @@ def hierarchy_lines(spark: SparkSession, sf: str) -> DataFrame:
     included (same sha-256 recipe) — without touching the rollup code."""
     from ..hierarchy import extract_hierarchy
 
-    # persist=False: a driver query is evaluated once, so recomputing the
-    # narrow shared pass beats pinning cache blocks for the session
-    # (write_hierarchy instead keeps the cache across its write; A/B at
-    # sf0.1 showed the two within noise for this query)
-    h = extract_hierarchy(build_structured_transcripts(spark, sf), persist=False)
+    # 'checkpoint': one eager emission pass shared by the four internal
+    # consumers, lineage truncated, no session-long cache pin (VERDICT r2:
+    # the driver query must reflect the production one-pass shape)
+    h = extract_hierarchy(
+        build_structured_transcripts(spark, sf), persist="checkpoint"
+    )
     lines = h.select(
         F.col("conv_id").cast("bigint").alias("doc_id"),
         F.posexplode("lines").alias("line_idx", "l"),
@@ -206,7 +207,9 @@ def hierarchy_parents(spark: SparkSession, sf: str) -> DataFrame:
     linkage (block -> paragraphs, paragraph -> lines)."""
     from ..hierarchy import extract_hierarchy
 
-    h = extract_hierarchy(build_structured_transcripts(spark, sf), persist=False)
+    h = extract_hierarchy(
+        build_structured_transcripts(spark, sf), persist="checkpoint"
+    )
 
     def level(col: str, kind: str) -> DataFrame:
         return h.select(

@@ -96,6 +96,14 @@ class IcebergIO(TableIO):
     ) -> DataFrame:
         return spark.read.format("iceberg").load(location)
 
+    def _builder(self, df: DataFrame, location: str, partition_by: tuple[str, ...]):
+        from pyspark.sql import functions as F
+
+        w = df.writeTo(location).using("iceberg")
+        if partition_by:
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        return w
+
     def write(
         self,
         df: DataFrame,
@@ -104,10 +112,24 @@ class IcebergIO(TableIO):
         mode: str = "overwrite",
         dynamic: bool = False,
     ) -> None:
+        # contract mirror of ParquetIO.write (ADVICE r2): honor mode and
+        # partition_by; dynamic=True means idempotent per-partition
+        # recommit, creating the (partitioned) table on first write
+        if mode == "append":
+            df.writeTo(location).append()
+            return
         if dynamic:
-            df.writeTo(location).overwritePartitions()
-        else:
-            df.writeTo(location).using("iceberg").createOrReplace()
+            from pyspark.errors import AnalysisException
+
+            try:
+                df.writeTo(location).overwritePartitions()
+            except AnalysisException:
+                # first write: table does not exist yet — create it with
+                # the declared partitioning (subsequent runs take the
+                # overwritePartitions path above)
+                self._builder(df, location, partition_by).create()
+            return
+        self._builder(df, location, partition_by).createOrReplace()
 
     def append(self, df: DataFrame, location: str) -> None:
         df.writeTo(location).append()

@@ -47,6 +47,43 @@ def test_asof_join_semantics(spark):
     assert out.count() == left.count()      # left-join cardinality
 
 
+def test_range_join_negative_epochs(spark):
+    """Pre-1970 timestamps have negative epoch micros: truncated `%` would
+    bucket them one window too high and silently drop matching pairs; pmod
+    (floor semantics) must keep the bucketed join identical to the naive
+    interval join."""
+    from ocr_mini_service_spark.operators.asof import range_join
+
+    base = dt.datetime(1969, 12, 31, 22, 0, 0)  # epoch < 0 throughout
+    left = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=s), 100 + i)
+         for i, s in enumerate([0, 30, 3600, 7205])],
+        "user_id long, ts timestamp, click_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=s), 200 + i)
+         for i, s in enumerate([-3599, -5, 0, 29, 3599, 7200])],
+        "user_id long, view_ts timestamp, view_id long",
+    )
+    got = sorted(
+        (r.click_id, r.view_id)
+        for r in range_join(
+            left, right, on="user_id", left_ts="ts", right_ts="view_ts",
+            window_s=3600,
+        ).collect()
+    )
+    # naive oracle: view_ts in (click_ts - W, click_ts]
+    lrows = [(r.click_id, r.ts) for r in left.collect()]
+    rrows = [(r.view_id, r.view_ts) for r in right.collect()]
+    want = sorted(
+        (cid, vid)
+        for cid, cts in lrows
+        for vid, vts in rrows
+        if cts - dt.timedelta(seconds=3600) < vts <= cts
+    )
+    assert got == want and len(want) >= 6, (got, want)
+
+
 def test_asof_plan_is_single_keyed_exchange(spark, sf_dir):
     plan = formatted_plan(asof_join_events(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan

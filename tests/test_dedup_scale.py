@@ -125,3 +125,84 @@ def test_dedup_survivors_partitions_the_corpus(spark, hot_docs_dir):
     canonicals = {r["doc_id"] for r in clusters if r["doc_id"] == r["cluster_id"]}
     assert {r["doc_id"] for r in rows} == canonicals
     assert sum(r["n_dupes_removed"] for r in rows) + len(rows) == n_corpus
+
+
+def test_dedup_survivors_reuses_materialized_clusters(spark, hot_docs_dir):
+    """The production path: cluster once, persist the labels, filter them —
+    survivors over a precomputed frame must equal the inline derivation."""
+    labels = dedup.dedup_clusters(spark, hot_docs_dir).localCheckpoint()
+    via_labels = {
+        (r["doc_id"], r["n_dupes_removed"])
+        for r in dedup.dedup_survivors(spark, hot_docs_dir, clusters=labels).collect()
+    }
+    inline = {
+        (r["doc_id"], r["n_dupes_removed"])
+        for r in dedup.dedup_survivors(spark, hot_docs_dir).collect()
+    }
+    assert via_labels == inline and len(inline) > 0
+
+
+# ---------------------------------------------------------------------------
+# connected-components variants on an adversarial chain graph
+# ---------------------------------------------------------------------------
+
+CHAIN_N = 40  # path graph 0-1-2-...-39: diameter 39
+
+
+def _chain_edges(spark):
+    fwd = spark.createDataFrame(
+        [(i, i + 1) for i in range(CHAIN_N - 1)], "src long, dst long"
+    )
+    return fwd.union(fwd.selectExpr("dst as src", "src as dst"))
+
+
+def test_cc_star_beats_min_label_on_chains(spark):
+    """A chain is the worst case for min-label propagation (rounds =
+    diameter); large-star/small-star must resolve the same component in
+    O(log n) rounds with identical labels."""
+    edges = _chain_edges(spark)
+    lab_ml, rounds_ml = dedup._cc_min_label(edges, max_iter=CHAIN_N + 2)
+    lab_st, rounds_st = dedup._cc_star(edges, max_iter=CHAIN_N + 2)
+    want = {(i, 0) for i in range(CHAIN_N)}
+    assert {(r.id, r.label) for r in lab_ml.collect()} == want
+    assert {(r.id, r.label) for r in lab_st.collect()} == want
+    assert rounds_st <= 8, rounds_st          # ~log2(40) + alternation slack
+    assert rounds_ml >= CHAIN_N // 2, rounds_ml
+    assert rounds_st < rounds_ml / 2, (rounds_st, rounds_ml)
+
+
+def test_cc_min_label_raises_instead_of_wrong_labels(spark):
+    """Exhausting max_iter below the graph diameter must raise — never
+    return plausible-but-wrong cluster labels (ADVICE r2)."""
+    with pytest.raises(RuntimeError, match="did not reach its fixpoint"):
+        dedup._cc_min_label(_chain_edges(spark), max_iter=3)
+
+
+def test_cc_star_matches_min_label_on_mixed_graph(spark):
+    """Chain + triangle + singleton-pair + isolated star: both algorithms
+    must produce identical component labels."""
+    raw = (
+        [(i, i + 1) for i in range(10, 15)]        # chain 10..15
+        + [(0, 1), (1, 2), (2, 0)]                  # triangle
+        + [(100, 200)]                              # pair
+        + [(50, 51), (50, 52), (50, 53)]            # star centered off-min
+    )
+    fwd = spark.createDataFrame(raw, "src long, dst long")
+    edges = fwd.union(fwd.selectExpr("dst as src", "src as dst"))
+    lab_ml, _ = dedup._cc_min_label(edges, max_iter=30)
+    lab_st, _ = dedup._cc_star(edges, max_iter=30)
+    assert (
+        {(r.id, r.label) for r in lab_ml.collect()}
+        == {(r.id, r.label) for r in lab_st.collect()}
+    )
+
+
+def test_dedup_clusters_star_algo_oracle_equal(spark, hot_docs_dir):
+    """The driver query under algo='star' returns the exact same frame as
+    the default min-label algorithm (same recursive-CTE oracle semantics)."""
+    a = {tuple(r) for r in dedup.dedup_clusters(spark, hot_docs_dir).collect()}
+    b = {
+        tuple(r)
+        for r in dedup.dedup_clusters(spark, hot_docs_dir, algo="star").collect()
+    }
+    assert a == b

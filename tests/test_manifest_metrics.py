@@ -59,3 +59,24 @@ def test_observed_metrics_match_committed(spark, tmp_path):
         events = [json.loads(line) for line in f]
     assert events[-1]["type"] == "complete"
     assert any(e["type"] == "progress" for e in events)
+
+
+def test_progress_reports_failed_on_error(spark, tmp_path):
+    """A raised write must close the progress stream with {type: 'failed'},
+    never 'complete' (the reference's complete/error event split,
+    image-recognition.service.ts:360-413; ADVICE r2)."""
+    import json
+
+    import pytest
+
+    from ocr_mini_service_spark.manifest import _emit_progress
+
+    out = str(tmp_path / "failing")
+    with pytest.raises(ValueError, match="boom"):
+        with _emit_progress(spark, out):
+            raise ValueError("boom")
+    with open(f"{out}/_manifest/_progress.jsonl") as f:
+        events = [json.loads(line) for line in f]
+    assert events[-1]["type"] == "failed"
+    assert "boom" in events[-1]["error"]
+    assert not any(e["type"] == "complete" for e in events)

@@ -1,10 +1,84 @@
 """Multimodal binary plumbing: the mapInPandas decode/feature path must be
-deterministic, schema-stable, and per-row error-isolated (the stubbed decode
-stands in for PIL/ffmpeg — the Spark-side contract is what's under test)."""
+deterministic, schema-stable, and per-row error-isolated.  Uncompressed
+rasters (PPM/BMP) are REALLY decoded — header parse + pixel math in pure
+Python — through the same Arrow kernel; the stub only stands in for
+compressed/audio/video formats."""
+
+import struct
 
 from pyspark.sql import functions as F
 
 from ocr_mini_service_spark.operators import multimodal
+
+
+def _ppm(w, h, rows_rgb):
+    """Binary P6 with a comment line (header-tokenizer coverage)."""
+    head = f"P6\n# synthetic fixture\n{w} {h}\n255\n".encode()
+    return head + b"".join(bytes(px) for row in rows_rgb for px in row)
+
+
+def _bmp(w, h, rows_rgb):
+    """24-bit BI_RGB, bottom-up storage, rows padded to 4-byte stride."""
+    stride = (w * 3 + 3) // 4 * 4
+    pixel = b""
+    for row in reversed(rows_rgb):
+        rb = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        pixel += rb + b"\x00" * (stride - len(rb))
+    off = 14 + 40
+    fh = b"BM" + struct.pack("<IHHI", off + len(pixel), 0, 0, off)
+    ih = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel), 2835, 2835, 0, 0
+    )
+    return fh + ih + pixel
+
+
+# 2x2 test image: black, white, pure red, pure green (Rec.601 luma
+# 0, 1, 0.299, 0.587 -> mean 0.4715)
+_PX = [[(0, 0, 0), (255, 255, 255)], [(255, 0, 0), (0, 255, 0)]]
+_WANT_LUMA = (0.0 + 1.0 + 0.299 + 0.587) / 4
+
+
+def test_real_raster_decode_through_kernel(spark):
+    """PPM and BMP payloads produce REAL pixel statistics (exact header
+    dims, Rec.601 mean luma) through the same mapInPandas kernel; a payload
+    claiming a real format but truncated surfaces as a decode error, never
+    a silent stub fallback."""
+    rows = [
+        (1, _ppm(2, 2, _PX), "image", 99, 99),
+        (2, _bmp(2, 2, _PX), "image", 99, 99),
+        (3, _bmp(3, 2, [r + [(0, 0, 255)] for r in _PX]), "image", 99, 99),
+        (4, _ppm(4, 4, _PX), "image", 99, 99),  # truncated: claims 4x4
+    ]
+    out = {
+        r["media_id"]: r
+        for r in spark.createDataFrame(rows, schema=multimodal.MEDIA)
+        .mapInPandas(multimodal._extract_batches, schema=multimodal.FEATURES)
+        .collect()
+    }
+    for mid in (1, 2):
+        r = out[mid]
+        assert r["error"] is None
+        assert (r["width"], r["height"]) == (2, 2)  # header, not declared_w
+        assert abs(r["mean_luma"] - _WANT_LUMA) < 1e-12
+        assert r["n_frames"] == 1
+    # 3-wide BMP exercises the 4-byte row padding: blue column adds luma
+    r3 = out[3]
+    want3 = (0.0 + 1.0 + 0.299 + 0.587 + 2 * 0.114) / 6
+    assert r3["error"] is None and (r3["width"], r3["height"]) == (3, 2)
+    assert abs(r3["mean_luma"] - want3) < 1e-12
+    assert out[4]["error"] and "truncated PPM" in out[4]["error"]
+
+
+def test_prose_payload_uses_stub_not_raster_path(spark):
+    """UTF-8 text payloads (the synthetic media table) must never sniff as
+    a raster: they take the deterministic stub with declared dimensions."""
+    rows = [(1, "BMW words not a bitmap".encode(), "image", 32, 16)]
+    out = (
+        spark.createDataFrame(rows, schema=multimodal.MEDIA)
+        .mapInPandas(multimodal._extract_batches, schema=multimodal.FEATURES)
+        .collect()[0]
+    )
+    assert out["error"] is None and (out["width"], out["height"]) == (32, 16)
 
 
 def test_media_features_deterministic_and_total(spark, sf_dir):
