@@ -54,6 +54,7 @@ def record_history(
     eff: float,
     thr_1x: float,
     thr_4x: float,
+    tracked: dict | None = None,
 ) -> str:
     """Append this run to the jsonl history and render the pooled
     run-history markdown section over all runs of the SAME protocol (same
@@ -69,6 +70,8 @@ def record_history(
             "efficiency": round(eff, 3),
             "thr_1x": round(thr_1x, 1),
             "thr_4x": round(thr_4x, 1),
+            # composed-DAG + streaming-state costs tracked round over round
+            "tracked": tracked or {},
         }) + "\n")
     runs = []
     with open(hist_path) as f:
@@ -404,7 +407,13 @@ def main() -> None:
 
     os.makedirs("BENCH", exist_ok=True)
     history_md = record_history(
-        "BENCH/history.jsonl", BENCH_TURNS, ratios, eff_exec, thr_1x, thr_4x
+        "BENCH/history.jsonl", BENCH_TURNS, ratios, eff_exec, thr_1x, thr_4x,
+        tracked={
+            "curation_funnel_v2_sec": qtimes.get("curation_funnel_v2"),
+            "curation_funnel_sec": qtimes.get("curation_funnel"),
+            "stream_drain_sec": stream_drain["wall_sec"],
+            "stream_drain_rows_per_sec": stream_drain["input_rows_per_sec"],
+        },
     )
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — scaling evidence (sandbox protocol, BASELINE.md / BASELINE.json)
