@@ -137,6 +137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": corpus.source_mixture,
         "mixture_stats": corpus.mixture_stats,
         "ngram_lm_counts": corpus.ngram_lm_counts,
+        # -- new in round 3 (registered at the END so they never displace the
+        # r2-unchecked rotation set from the driver's CORRECTNESS window) --
+        "lsh_jaccard_verify": dedup.lsh_jaccard_verify,
+        "curation_funnel_v3": dedup.curation_funnel_v3,
+        "token_rarity": corpus.token_rarity,
+        "retention_cohorts": tpch.retention_cohorts,
     }
 
 
@@ -1429,4 +1435,95 @@ SELECT doc_id AS media_id,
        CAST(n_chars % 640 + 16 AS INT) AS declared_w,
        CAST(n_chars % 480 + 16 AS INT) AS declared_h
 FROM documents ORDER BY media_id""",
+        # ---------------- round-3 additions ---------------------------------
+        "lsh_jaccard_verify": f"""
+WITH {_CORPUS}, {_SHINGLE_HASHES}, {_LSH_PAIR_CTES},
+dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM hashed WHERE len(sh) > 0)
+SELECT p.doc_a, p.doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union,
+       CAST((len(list_intersect(a.sh, b.sh)) * 10000)
+            // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS BIGINT) AS jaccard_bp,
+       CAST((len(list_intersect(a.sh, b.sh)) * 10000)
+            // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= {dedup.JACCARD_MIN_BP} AS INT) AS verified
+FROM lsh_pairs p
+JOIN dsh a ON a.doc_id = p.doc_a
+JOIN dsh b ON b.doc_id = p.doc_b
+ORDER BY doc_a, doc_b""",
+        "curation_funnel_v3": f"""
+WITH RECURSIVE {_CORPUS}, {_SHINGLE_HASHES}, {_LSH_PAIR_CTES}, {_CC_CTES},
+gws AS (
+    SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM corpus),
+gst AS (
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+           CAST(length(regexp_extract_all(lower(text), '{EN_STOPWORDS}')) AS BIGINT) AS n_stop
+    FROM gws),
+gop AS (
+    SELECT doc_id,
+           (n_words BETWEEN {corpus.GOPHER_MIN_WORDS} AND {corpus.GOPHER_MAX_WORDS})
+           AND ((sum_len * 100) // n_words
+                BETWEEN {corpus.GOPHER_MEANLEN_MIN_X100} AND {corpus.GOPHER_MEANLEN_MAX_X100})
+           AND ((n_distinct * 10000) // n_words >= {corpus.GOPHER_DISTINCT_MIN_BP})
+           AND (n_stop >= {corpus.GOPHER_STOP_MIN}) AS q
+    FROM gst),
+clab AS (
+    SELECT doc_id, text,
+           CAST((instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text)), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text)), 2, 1)) - 1)
+              AS INT) AS bucket
+    FROM corpus),
+cw AS (
+    SELECT doc_id, bucket >= {corpus.VAL_UPTO} AS is_test,
+           string_split_regex(trim(text), '\\s+') AS ws
+    FROM clab),
+cg AS (
+    SELECT DISTINCT doc_id, is_test,
+           array_to_string(list_slice(ws, i, i + {corpus.DECON_N - 1}), ' ') AS gram
+    FROM cw, unnest(generate_series(1, greatest(len(ws) - {corpus.DECON_N - 1}, 0))) AS t(i)),
+cbench AS (SELECT DISTINCT gram FROM cg WHERE is_test),
+cdirty AS (SELECT DISTINCT doc_id FROM cg WHERE gram IN (SELECT gram FROM cbench)),
+fff AS (
+    SELECT g.q AS q,
+           f.cluster_id = f.doc_id AS canon,
+           d.doc_id IS NULL AS clean
+    FROM gop g JOIN final f USING (doc_id) LEFT JOIN cdirty d USING (doc_id)),
+agg AS (
+    SELECT COUNT(*) AS s0,
+           CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+           CAST(SUM(CASE WHEN q AND canon THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+           CAST(SUM(CASE WHEN q AND canon AND clean THEN 1 ELSE 0 END) AS BIGINT) AS s3
+    FROM fff)
+SELECT 0 AS stage_idx, 'raw' AS stage, s0 AS n_docs FROM agg
+UNION ALL SELECT 1, 'quality', s1 FROM agg
+UNION ALL SELECT 2, 'neardup', s2 FROM agg
+UNION ALL SELECT 3, 'decontaminated', s3 FROM agg
+ORDER BY stage_idx""",
+        "token_rarity": """
+WITH t AS (
+    SELECT doc_id,
+           unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+    FROM documents),
+tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+dfc AS (SELECT tok, COUNT(*) AS df FROM tt GROUP BY tok),
+pd AS (
+    SELECT doc_id, COUNT(*) AS n_distinct_tokens, CAST(SUM(df) AS BIGINT) AS sum_df
+    FROM tt JOIN dfc USING (tok) GROUP BY doc_id)
+SELECT doc_id,
+       CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+       sum_df,
+       (sum_df * 100) // n_distinct_tokens AS mean_df_x100
+FROM pd ORDER BY doc_id""",
+        "retention_cohorts": """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+fc AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+       COUNT(*) AS n_users
+FROM ud JOIN fc USING (user_id)
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset""",
     }

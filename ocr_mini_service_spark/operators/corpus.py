@@ -764,3 +764,40 @@ def curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("stage_idx", "stage", "n_docs")
     )
     return ordered(out, "stage_idx")
+
+
+def token_rarity(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style rarity signal (Wenzek et al. 2020 use an LM perplexity;
+    this is the integer-exact corpus-statistics analog): for each document,
+    the mean corpus document-frequency of its DISTINCT lowercased tokens.
+    A low mean-DF document is built from rare vocabulary (specialist or
+    noise); a high one from boilerplate vocabulary — the standard
+    bucket-by-rarity curation signal.
+
+    Scale shape: one explode of per-doc distinct tokens, a token-keyed
+    count (map-side partial combine collapses hot tokens), a token-keyed
+    join back, and a doc-keyed sum — every shuffle is on a natural key and
+    the token DF table is the only corpus-wide state (vocabulary-sized,
+    NOT corpus-sized).  Signals are exact integers (×100 via ``div``) so
+    the oracle comparison has no float surface."""
+    docs = (
+        load(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    per_doc = toks.join(df_counts, "tok").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_distinct_tokens"),
+        F.sum("df").cast("long").alias("sum_df"),
+    )
+    out = per_doc.select(
+        "doc_id",
+        "n_distinct_tokens",
+        "sum_df",
+        F.expr("(sum_df * 100) div n_distinct_tokens").alias("mean_df_x100"),
+    )
+    return ordered(out, "doc_id")

@@ -396,7 +396,7 @@ def _cc_star(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
     return labels, rounds
 
 
-def dedup_clusters(
+def _clusters_frame(
     spark: SparkSession,
     sf: str,
     max_iter: int = 20,
@@ -442,7 +442,19 @@ def dedup_clusters(
         F.coalesce("cid", F.col("doc_id")).alias("cluster_id"),
         F.coalesce("csz", F.lit(1)).cast("long").alias("cluster_size"),
     )
-    return ordered(out, "doc_id")
+    return out
+
+
+def dedup_clusters(
+    spark: SparkSession,
+    sf: str,
+    max_iter: int = 20,
+    algo: str = "minlabel",
+) -> DataFrame:
+    """Presentation-ordered wrapper over ``_clusters_frame`` (the driver
+    query); composed consumers (``dedup_survivors``, ``curation_funnel_v3``)
+    take the unordered frame to avoid a single-partition sort mid-DAG."""
+    return ordered(_clusters_frame(spark, sf, max_iter, algo), "doc_id")
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -636,9 +648,114 @@ def dedup_survivors(
     production path: cluster once, persist the labels table, filter it
     here; never re-derive the clustering per consumer).  Omitted in the
     standalone driver query, which derives it inline."""
-    cl = clusters if clusters is not None else dedup_clusters(spark, sf)
+    cl = clusters if clusters is not None else _clusters_frame(spark, sf)
     out = cl.filter(F.col("doc_id") == F.col("cluster_id")).select(
         "doc_id",
         (F.col("cluster_size") - 1).cast("long").alias("n_dupes_removed"),
     )
     return ordered(out, "doc_id")
+
+
+JACCARD_MIN_BP = 6_000  # verification floor: exact Jaccard >= 0.60
+
+
+def lsh_jaccard_verify(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate verification — the second half of the production MinHash
+    pipeline: LSH banding RECALLS candidate pairs cheaply (with false
+    positives by design), then each candidate is CONFIRMED by the exact
+    Jaccard similarity of the two documents' distinct shingle-hash sets.
+    Mirrors the reference's two-phase accept shape (cheap admission test,
+    then the real computation; src/ocr/preprocess.service.ts admission →
+    kernel) applied to dedup.
+
+    Scale shape: the pair list is bounded by the banded-LSH bucket cap, and
+    per-pair cost is O(|sh_a| + |sh_b|) array intersection — two hash joins
+    on doc id bring the (doc_id, shingle-set) arrays to the pairs; no
+    all-pairs product anywhere.  In a real run `pairs` is the materialized
+    candidates table and the shingle arrays come from the signature store
+    rather than being re-derived."""
+    corpus = _docs_with_mutants(spark, sf)
+    has_shingles = F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE
+    hashed = _with_words(corpus.filter(has_shingles)).select(
+        "doc_id", F.array_distinct(_hash_shingles(_shingles())).alias("sh")
+    )
+    pairs = _lsh_pairs(spark, sf)
+    a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sized = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            (F.size("sh_a") + F.size("sh_b")).cast("long").alias("n_total"),
+        )
+    )
+    out = sized.select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        (F.col("n_total") - F.col("n_inter")).alias("n_union"),
+        F.expr("(n_inter * 10000) div (n_total - n_inter)").alias("jaccard_bp"),
+    ).withColumn(
+        "verified", (F.col("jaccard_bp") >= JACCARD_MIN_BP).cast("int")
+    )
+    return ordered(out, "doc_a", "doc_b")
+
+
+def curation_funnel_v3(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAR-dup curation funnel: crawl batch (documents ∪ mutant overlay,
+    the same "new crawl" rule as ``dedup_incremental``) → Gopher quality
+    gate → MinHash-LSH near-duplicate collapse (keep = cluster canonical,
+    the ``dedup_survivors`` rule) → benchmark decontamination, audited as
+    cumulative per-stage survivor counts.
+
+    Complements ``curation_funnel`` (EXACT-hash dedup over raw documents)
+    and ``curation_funnel_v2`` (boilerplate-strip then gate): v3 is the
+    funnel a web-crawl pipeline runs where duplicates are near-misses, not
+    byte-identical.  Composition shape: quality and decontamination flags
+    are narrow/broadcast single-pass computations; the near-dup flag comes
+    from ONE clustering evaluation (iterative CC over the candidate-pair
+    graph, localCheckpointed inside); flags meet on doc_id and collapse to
+    one row of cumulative conjunction sums unpivoted by ``stack``."""
+    from .corpus import DECON_N, _doc_grams, _split_expr, gopher_flags
+
+    corpus = _docs_with_mutants(spark, sf)
+    quality = gopher_flags(corpus).select("doc_id", "pass_gopher")
+    labels = _clusters_frame(spark, sf)
+    # benchmark = held-out test split of the same batch (split rule shared
+    # with curation_funnel); contaminated ⇔ shares a DECON_N-gram with it
+    lab = corpus.withColumn("split", _split_expr())
+    bench_grams = (
+        _doc_grams(lab.filter(F.col("split") == "test")).select("gram").distinct()
+    )
+    dirty = (
+        _doc_grams(corpus)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("dirty", F.lit(True))
+    )
+    staged = (
+        quality.join(labels, "doc_id")
+        .join(dirty, "doc_id", "left")
+        .select(
+            (F.col("pass_gopher") == 1).alias("q"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("canon"),
+            (~F.coalesce("dirty", F.lit(False))).alias("clean"),
+        )
+    )
+    stage_flags = ["q", "canon", "clean"]
+    survivors = [
+        F.sum(F.expr(" AND ".join(stage_flags[: i + 1])).cast("long")).alias(f"s{i + 1}")
+        for i in range(len(stage_flags))
+    ]
+    agg = staged.agg(F.count("*").alias("s0"), *survivors)
+    out = agg.select(
+        F.expr(
+            "stack(4, 0, 'raw', s0, 1, 'quality', s1,"
+            " 2, 'neardup', s2, 3, 'decontaminated', s3)"
+        ).alias("stage_idx", "stage", "n_docs")
+    )
+    return ordered(out, "stage_idx")

@@ -459,3 +459,33 @@ def map_headers(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.map_keys(merged)).alias("n_headers"),
     )
     return ordered(out, "doc_id")
+
+
+def retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention over the event stream: users are cohorted by their
+    first active day; each (cohort_day, day_offset) cell counts the cohort
+    members active that many days later — the classic activation/retention
+    triangle of product analytics.
+
+    Scale shape: distinct (user, day) first (the big shuffle, on a
+    two-column natural key that map-side combines), then a user-keyed min
+    for the cohort, a user-keyed join (co-partitioned with the agg that
+    produced it), and a final (cohort, offset) count where rows are
+    already one-per-user — COUNT(*), no COUNT DISTINCT state."""
+    ev = (
+        load(spark, sf, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    out = (
+        ev.join(first, "user_id")
+        .groupBy(
+            # midnight timestamp, not DATE: the portable cross-engine form
+            # (pandas reads a DuckDB DATE as a Timestamp already)
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+    return ordered(out, "cohort_day", "day_offset")
