@@ -190,6 +190,55 @@ def test_semantic_decontaminate_broadcasts_the_benchmark(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_lsh_verify_joins_are_hash_joins(spark, sf_dir):
+    """Candidate verification must bring the two shingle-hash arrays to the
+    capped pair list via doc-id HASH joins — per-pair cost O(|sh_a|+|sh_b|)
+    array intersection; never a product join over documents or pairs."""
+    plan = formatted_plan(entry.queries()["lsh_jaccard_verify"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "array_intersect" in plan, plan
+
+
+def test_funnel_v3_decon_is_broadcast_and_no_product_join(spark, sf_dir):
+    """The near-dup funnel's decontamination stage must broadcast the
+    fixed-size benchmark gram set as a LeftSemi membership probe, and no
+    stage of the composed DAG may degenerate to a product join."""
+    plan = formatted_plan(entry.queries()["curation_funnel_v3"](spark, sf_dir))
+    assert re.search(r"BroadcastHashJoin LeftSemi", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_token_rarity_prunes_scan_and_uses_keyed_aggs(spark, sf_dir):
+    """The rarity signal reads only (doc_id, text) and computes via keyed
+    hash aggregates (map-side partial combine on the token key) — no Window
+    over the vocabulary, no product join."""
+    plan = formatted_plan(entry.queries()["token_rarity"](spark, sf_dir))
+    # the DF-count branch prunes even doc_id away — each scan reads a
+    # subset of (doc_id, text), never the full 5-column table
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert set(c.split(":")[0] for c in m.group(1).split(",")) <= {
+            "doc_id", "text"
+        }, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+    assert not re.search(r"\(\d+\) Window", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_retention_cohorts_prunes_scan_no_distinct_count_state(spark, sf_dir):
+    """Retention reads only (user_id, ts); the cohort cell count is a plain
+    COUNT(*) over rows already distinct per (user, day) — the plan must not
+    carry per-group distinct-count state, and every join is a hash join."""
+    plan = formatted_plan(entry.queries()["retention_cohorts"](spark, sf_dir))
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert set(c.split(":")[0] for c in m.group(1).split(",")) == {
+            "user_id", "ts"
+        }, plan
+    assert not re.search(r"count\(distinct", plan, re.IGNORECASE), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_decontaminate_is_broadcast_semi_join(spark, sf_dir):
     """The benchmark gram set (fixed-size at any corpus scale) must reach
     the membership test as a broadcast LeftSemi — never a shuffled join on
