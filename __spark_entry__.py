@@ -143,6 +143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel_v3": dedup.curation_funnel_v3,
         "token_rarity": corpus.token_rarity,
         "retention_cohorts": tpch.retention_cohorts,
+        "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,
+        "substring_dupes": dedup.substring_dupes,
+        "inverted_index": corpus.inverted_index,
+        "event_outliers": tpch.event_outliers,
     }
 
 
@@ -1526,4 +1530,60 @@ SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
 FROM ud JOIN fc USING (user_id)
 GROUP BY cohort_day, day_offset
 ORDER BY cohort_day, day_offset""",
+        "minhash_jaccard_estimate": f"""
+WITH {_CORPUS}, {_SHINGLE_HASHES}, {_LSH_PAIR_CTES}
+SELECT p.doc_a, p.doc_b,
+       CAST({dedup.n_match_sql("a.m", "b.m")} AS BIGINT) AS n_match,
+       CAST(({dedup.n_match_sql("a.m", "b.m")} * 10000)
+            // {len(MINHASH_AB)} AS BIGINT) AS est_jaccard_bp
+FROM lsh_pairs p
+JOIN sigs a ON a.doc_id = p.doc_a
+JOIN sigs b ON b.doc_id = p.doc_b
+ORDER BY doc_a, doc_b""",
+        "substring_dupes": f"""
+WITH {_CORPUS},
+w AS (
+    SELECT doc_id, i AS pos, substr(text, i, {dedup.WIN_W}) AS win
+    FROM corpus, unnest(generate_series(1, len(text) - {dedup.WIN_W - 1}, {dedup.WIN_S})) AS t(i)
+    WHERE len(text) >= {dedup.WIN_W}),
+wd AS (SELECT DISTINCT win, doc_id FROM w),
+wc AS (SELECT win, COUNT(*) AS n_docs FROM wd GROUP BY win)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(MIN(CASE WHEN n_docs >= 2 THEN pos END) AS BIGINT) AS first_shared_pos
+FROM w JOIN wc USING (win)
+GROUP BY doc_id ORDER BY doc_id""",
+        "inverted_index": f"""
+WITH wd AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+    FROM documents),
+g AS (
+    SELECT doc_id, array_to_string(list_slice(w, i, i + {corpus.IDX_N - 1}), ' ') AS term
+    FROM wd, unnest(generate_series(1, greatest(len(w) - {corpus.IDX_N - 1}, 0))) AS t(i)),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY doc_id, term),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+kept AS (
+    SELECT t.doc_id, t.term, t.tf, d.df
+    FROM tf t JOIN dfc d USING (term) WHERE d.df <= {corpus.IDX_DF_MAX}),
+rk AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rank
+    FROM kept)
+SELECT term, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM rk WHERE rank <= {corpus.IDX_TOPK} ORDER BY term, rank""",
+        "event_outliers": """
+WITH ev AS (
+    SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS v100
+    FROM events),
+st AS (
+    SELECT event_type, COUNT(*) AS n, CAST(SUM(v100) AS HUGEINT) AS s,
+           CAST(SUM(v100 * v100) AS HUGEINT) AS q
+    FROM ev GROUP BY event_type)
+SELECT event_id, ev.event_type, v100,
+       CAST(CASE WHEN (CAST(n AS HUGEINT) * v100 - s) * (CAST(n AS HUGEINT) * v100 - s)
+                      > 9 * (CAST(n AS HUGEINT) * q - s * s)
+            THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM ev JOIN st USING (event_type)
+ORDER BY event_id""",
     }

@@ -766,6 +766,60 @@ def curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(out, "stage_idx")
 
 
+IDX_N = 3  # phrase-term width; single tokens are a 31-word closed set here
+IDX_DF_MAX = 256  # stop-term cutoff: terms in more docs carry no signal
+IDX_TOPK = 8  # postings kept per term
+
+
+def inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed inverted-index build (the retrieval-side primitive of a
+    RAG / search corpus): phrase term (IDX_N-word shingle) -> top-K posting
+    list ranked by term frequency.  Terms whose document frequency exceeds
+    IDX_DF_MAX are dropped as stop terms (the same bounded-hot-key pattern
+    as the dedup DF_MAX cutoff) — which also BOUNDS the ranking window:
+    after the cutoff no term has more than IDX_DF_MAX postings, so the
+    per-term row_number sort is capped at IDX_DF_MAX rows per key at any
+    corpus scale.
+
+    Scale shape: one (doc, term)-keyed count with map-side combine, a
+    term-keyed DF count over those collapsed rows, a term-keyed join, a
+    bounded window — every shuffle on a natural key, index size bounded by
+    vocabulary x IDX_TOPK, never corpus size."""
+    docs = (
+        load(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wdocs = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w")
+    )
+    grams = wdocs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= IDX_N,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (IDX_N - 1)),
+                    lambda i: F.array_join(F.slice("w", i, IDX_N), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("term"),
+    )
+    tf = grams.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    kept = tf.join(df_counts.filter(F.col("df") <= IDX_DF_MAX), "term")
+    ranked = kept.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+        ),
+    ).filter(F.col("rank") <= IDX_TOPK)
+    out = ranked.select(
+        "term", F.col("rank").cast("long").alias("rank"), "doc_id", "tf", "df"
+    )
+    return ordered(out, "term", "rank")
+
+
 def token_rarity(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style rarity signal (Wenzek et al. 2020 use an LM perplexity;
     this is the integer-exact corpus-statistics analog): for each document,

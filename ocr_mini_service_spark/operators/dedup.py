@@ -704,6 +704,105 @@ def lsh_jaccard_verify(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(out, "doc_a", "doc_b")
 
 
+def minhash_jaccard_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Estimator calibration for the MinHash pipeline: for every LSH
+    candidate pair, the signature-agreement Jaccard ESTIMATE (fraction of
+    agreeing MinHash positions — the textbook unbiased estimator) next to
+    the EXACT shingle-set Jaccard that ``lsh_jaccard_verify`` computes.
+    This is the query a curation run uses to pick the verification
+    threshold: how much does the cheap estimate disagree with truth on
+    real candidates?
+
+    Scale shape: signatures are a fixed-width row per doc (the signature
+    store), so both joins bring O(1)-width rows to the capped pair list by
+    doc-id hash join; the exact side reuses the verify computation.  All
+    outputs are exact integers (basis points via ``div``)."""
+    sigs = _minhash_sigs(spark, sf)
+    pairs = _lsh_pairs(spark, sf)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(len(MINHASH_AB))]
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(len(MINHASH_AB))]
+    )
+    n_match = None
+    for i in range(len(MINHASH_AB)):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        n_match = term if n_match is None else n_match + term
+    out = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.cast("long").alias("n_match"),
+            F.expr(f"({n_match_sql('a', 'b')} * 10000) div {len(MINHASH_AB)}").alias(
+                "est_jaccard_bp"
+            ),
+        )
+    )
+    return ordered(out, "doc_a", "doc_b")
+
+
+def n_match_sql(pa: str, pb: str) -> str:
+    """Signature-agreement count as a SQL fragment over ``{pa}i``/``{pb}i``
+    columns — shared verbatim by the Spark expression above and the DuckDB
+    oracle so both engines evaluate the identical integer formula."""
+    return "(" + " + ".join(
+        f"(CASE WHEN {pa}{i} = {pb}{i} THEN 1 ELSE 0 END)" for i in range(len(MINHASH_AB))
+    ) + ")"
+
+
+WIN_W = 36  # char-window width for exact-substring dedup
+WIN_S = 6  # stride; divides the 12-char mutant offset so overlay dups align
+
+
+def substring_dupes(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring duplication report (the ExactSubstr signal of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    re-shaped from suffix arrays to a distributed window-hash): every doc is
+    cut into overlapping WIN_W-char windows at stride WIN_S; a window that
+    occurs verbatim in >= 2 distinct documents marks a shared span.  Per
+    doc: total windows, shared windows, and the first shared offset — the
+    span a curation run would clip.
+
+    Scale shape: explode -> distinct (window, doc) -> window-keyed count
+    (map-side combine collapses boilerplate windows) -> window-keyed join
+    back -> doc-keyed sum.  Every shuffle is on a natural key; the window
+    frequency table is bounded by distinct content, not corpus size.  At
+    10^12 turns the window string itself would be xxhash64-compressed
+    before the shuffle (identical plan shape); the driver query keeps raw
+    strings so the DuckDB oracle shares the exact key.  Suffix arrays find
+    arbitrary-length repeats; strided fixed windows trade that for a
+    shuffle-only plan and detect any repeat >= WIN_W + WIN_S - 1 chars."""
+    corpus = _docs_with_mutants(spark, sf)
+    docs = corpus.filter(F.length("text") >= WIN_W)
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.length("text") - (WIN_W - 1), F.lit(WIN_S)
+                ),
+                lambda p: F.struct(
+                    p.alias("pos"), F.col("text").substr(p, F.lit(WIN_W)).alias("win")
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.win")
+    wdocs = wins.select("win", "doc_id").distinct()
+    wcount = wdocs.groupBy("win").agg(F.count("*").alias("n_docs"))
+    flagged = wins.join(wcount, "win")
+    out = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared"),
+        F.min(F.when(F.col("n_docs") >= 2, F.col("pos"))).cast("long").alias(
+            "first_shared_pos"
+        ),
+    )
+    return ordered(out, "doc_id")
+
+
 def curation_funnel_v3(spark: SparkSession, sf: str) -> DataFrame:
     """NEAR-dup curation funnel: crawl batch (documents ∪ mutant overlay,
     the same "new crawl" rule as ``dedup_incremental``) → Gopher quality

@@ -461,6 +461,40 @@ def map_headers(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(out, "doc_id")
 
 
+def event_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type 3-sigma outlier flags over the event stream, computed with
+    an EXACT integer sigma test: values quantize to v100 = round(value*100)
+    (away-from-zero, the engine-portable rule), and |v - mean| > 3*stddev is
+    evaluated as (n*v - s)^2 > 9*(n*q - s^2) in widened DECIMAL(38,0)
+    arithmetic — no division, no sqrt, no float anywhere, so the flag is
+    bit-identical across engines even exactly on the boundary.
+
+    Scale shape: one map-side-combined aggregate produces a per-type stats
+    row (cardinality = event-type vocabulary, tiny at any scale) that
+    broadcasts back onto the stream — the big side never shuffles."""
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v100"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v100").alias("s"),
+        F.sum(F.col("v100") * F.col("v100")).alias("q"),
+    )
+    dev = "(CAST(n AS DECIMAL(38,0)) * v100 - s)"
+    var = "(CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s)"
+    out = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "v100",
+        F.expr(
+            f"CAST(CASE WHEN {dev} * {dev} > 9 * {var} THEN 1 ELSE 0 END AS INT)"
+        ).alias("is_outlier"),
+    )
+    return ordered(out, "event_id")
+
+
 def retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention over the event stream: users are cohorted by their
     first active day; each (cohort_day, day_offset) cell counts the cohort

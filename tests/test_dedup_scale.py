@@ -206,3 +206,30 @@ def test_dedup_clusters_star_algo_oracle_equal(spark, hot_docs_dir):
         for r in dedup.dedup_clusters(spark, hot_docs_dir, algo="star").collect()
     }
     assert a == b
+
+
+def test_substring_dupes_detects_the_mutant_overlay(spark, sf_dir):
+    """The mutant overlay (same text shifted 12 chars) MUST register as
+    shared substrings: WIN_S divides the 12-char offset, so original and
+    mutant windows align.  Every mutant doc long enough to carry a window
+    shares all of its windows with its original."""
+    out = dedup.substring_dupes(spark, sf_dir).collect()
+    mutants = [r for r in out if r.doc_id >= 1_000_000]
+    assert mutants, "no mutant docs produced windows"
+    assert all(r.n_shared > 0 for r in mutants), mutants[:5]
+    # the 12-char offset stays alignment-compatible with the stride
+    assert 12 % dedup.WIN_S == 0
+
+
+def test_minhash_estimate_is_bounded_and_pairs_match_lsh(spark, sf_dir):
+    """Estimates are valid basis points over the signature width, and the
+    estimator runs over exactly the LSH candidate pairs (same recall set
+    as the exact verifier)."""
+    est = dedup.minhash_jaccard_estimate(spark, sf_dir).collect()
+    assert est
+    width = len(dedup.MINHASH_AB)
+    for r in est:
+        assert 0 <= r.n_match <= width
+        assert r.est_jaccard_bp == (r.n_match * 10000) // width
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(spark, sf_dir).collect()}
+    assert {(r.doc_a, r.doc_b) for r in est} == pairs

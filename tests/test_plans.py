@@ -239,6 +239,57 @@ def test_retention_cohorts_prunes_scan_no_distinct_count_state(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_minhash_estimate_joins_signatures_by_hash_join(spark, sf_dir):
+    """The estimator brings fixed-width signature rows to the capped pair
+    list by doc-id hash joins — never a product join over signatures."""
+    plan = formatted_plan(entry.queries()["minhash_jaccard_estimate"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_substring_dupes_prunes_scan_and_is_keyed_aggs(spark, sf_dir):
+    """Exact-substring dedup reads only (doc_id, text); every shuffle is on
+    a natural key (window string / doc_id) — no Window operator over the
+    corpus, no product join."""
+    plan = formatted_plan(entry.queries()["substring_dupes"](spark, sf_dir))
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert set(c.split(":")[0] for c in m.group(1).split(",")) <= {
+            "doc_id", "text"
+        }, plan
+    assert not re.search(r"\(\d+\) Window", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_inverted_index_window_is_behind_the_df_cutoff(spark, sf_dir):
+    """The per-term ranking window must sit ABOVE the DF-cutoff join (the
+    cutoff bounds every window partition to IDX_DF_MAX rows); the scan reads
+    only (doc_id, text) and nothing degenerates to a product join."""
+    from ocr_mini_service_spark.operators.corpus import IDX_DF_MAX, IDX_TOPK
+
+    plan = formatted_plan(entry.queries()["inverted_index"](spark, sf_dir))
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert set(c.split(":")[0] for c in m.group(1).split(",")) <= {
+            "doc_id", "text"
+        }, plan
+    assert "CartesianProduct" not in plan, plan
+    # the cutoff predicate reaches the plan as a pushed filter on df
+    assert f"(df#" in plan or f"{IDX_DF_MAX}" in plan, plan
+    assert IDX_TOPK <= IDX_DF_MAX  # the window cap is the tighter bound
+
+
+def test_event_outliers_broadcasts_the_stats_row(spark, sf_dir):
+    """The per-type stats (event-type vocabulary, tiny at any scale) must
+    broadcast back onto the stream; the event side never shuffles to be
+    flagged."""
+    plan = formatted_plan(entry.queries()["event_outliers"](spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert set(c.split(":")[0] for c in m.group(1).split(",")) <= {
+            "event_id", "event_type", "value"
+        }, plan
+
+
 def test_decontaminate_is_broadcast_semi_join(spark, sf_dir):
     """The benchmark gram set (fixed-size at any corpus scale) must reach
     the membership test as a broadcast LeftSemi — never a shuffled join on
