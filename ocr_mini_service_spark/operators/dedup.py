@@ -162,10 +162,14 @@ def _shingles(words_col: str = "w"):
     )
 
 
-def _lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+def _lsh_buckets(
+    spark: SparkSession, sf: str, sigs: DataFrame | None = None
+) -> DataFrame:
     """(band_id, h1, h2) → sorted doc_id list with pre-cap size (building
-    block for pairs and for the drop-stats audit)."""
-    sigs = _minhash_sigs(spark, sf)
+    block for pairs and for the drop-stats audit).  ``sigs`` — a previously
+    materialized signature frame (pass it when the caller also consumes the
+    signatures directly, so the minhash pipeline is evaluated once)."""
+    sigs = _minhash_sigs(spark, sf) if sigs is None else sigs
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -205,10 +209,12 @@ def lsh_drop_stats(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(out, "band_id")
 
 
-def _lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+def _lsh_pairs(
+    spark: SparkSession, sf: str, sigs: DataFrame | None = None
+) -> DataFrame:
     """Unordered distinct candidate pairs (building block — also the edge
     list for ``dedup_clusters``)."""
-    buckets = _lsh_buckets(spark, sf).filter(F.size("ds") > 1)
+    buckets = _lsh_buckets(spark, sf, sigs).filter(F.size("ds") > 1)
     pairs = buckets.select(
         F.explode(
             F.flatten(
@@ -717,8 +723,12 @@ def minhash_jaccard_estimate(spark: SparkSession, sf: str) -> DataFrame:
     store), so both joins bring O(1)-width rows to the capped pair list by
     doc-id hash join; the exact side reuses the verify computation.  All
     outputs are exact integers (basis points via ``div``)."""
-    sigs = _minhash_sigs(spark, sf)
-    pairs = _lsh_pairs(spark, sf)
+    # the signature frame feeds THREE consumers (the LSH pair derivation
+    # and both join sides); Spark does not dedupe shared subtrees, so it
+    # is localCheckpointed once — driver-query-sized (one fixed-width row
+    # per doc), the same pattern as semantic_decontaminate
+    sigs = _minhash_sigs(spark, sf).localCheckpoint()
+    pairs = _lsh_pairs(spark, sf, sigs)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(len(MINHASH_AB))]
     )
