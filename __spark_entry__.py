@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dupes": dedup.substring_dupes,
         "inverted_index": corpus.inverted_index,
         "event_outliers": tpch.event_outliers,
+        "media_resize": multimodal.media_resize,
+        "frame_sample": multimodal.frame_sample,
     }
 
 
@@ -1586,4 +1588,50 @@ SELECT event_id, ev.event_type, v100,
             THEN 1 ELSE 0 END AS INT) AS is_outlier
 FROM ev JOIN st USING (event_type)
 ORDER BY event_id""",
+        # stub-tier grids/frames are digest-derived, so the oracle
+        # re-derives them from sha256 hex pairs (the text payloads of the
+        # driver's media table never carry real raster magics; the REAL
+        # decode/resize tier is value-tested in tests/test_multimodal.py)
+        "media_resize": f"""
+WITH m AS (
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+           sha256(text) AS hx
+    FROM documents),
+g AS (
+    SELECT media_id, media_type,
+           list_transform(
+               generate_series(0, {multimodal.THUMB * multimodal.THUMB - 1}),
+               i -> (instr('0123456789abcdef', substr(hx, (i % 32) * 2 + 1, 1)) - 1) * 16
+                  + (instr('0123456789abcdef', substr(hx, (i % 32) * 2 + 2, 1)) - 1)
+           ) AS grid
+    FROM m)
+SELECT media_id, media_type,
+       CAST({multimodal.THUMB} AS INT) AS grid_w,
+       CAST({multimodal.THUMB} AS INT) AS grid_h,
+       array_to_string(list_transform(grid, v -> CAST(v AS VARCHAR)), ',') AS luma_csv,
+       CAST(list_sum(grid) AS BIGINT) AS luma_sum,
+       CAST(NULL AS VARCHAR) AS error
+FROM g ORDER BY media_id""",
+        "frame_sample": f"""
+WITH m AS (
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS hx
+    FROM documents
+    WHERE doc_id % 3 <> 0 AND octet_length(encode(text)) > 0),
+f AS (
+    SELECT media_id, media_type, n_bytes,
+           (instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) + 1 AS n_frames
+    FROM m),
+s AS (
+    SELECT f.*, CAST(k AS BIGINT) AS sample_k
+    FROM f, unnest(generate_series(0, {multimodal.K_FRAMES - 1})) AS t(k))
+SELECT media_id, media_type, sample_k,
+       (sample_k * n_frames) // {multimodal.K_FRAMES} AS frame_idx,
+       (n_bytes // n_frames) * ((sample_k * n_frames) // {multimodal.K_FRAMES}) AS byte_off,
+       n_bytes // n_frames AS chunk_len
+FROM s ORDER BY media_id, sample_k""",
     }

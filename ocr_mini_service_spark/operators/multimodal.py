@@ -212,6 +212,169 @@ def media_features(spark: SparkSession, sf: str) -> DataFrame:
     return media_table(spark, sf).mapInPandas(_extract_batches, schema=FEATURES)
 
 
+THUMB = 8  # thumbnail grid edge (8x8 luma grid)
+K_FRAMES = 4  # uniform samples per audio/video payload
+
+RESIZED = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("grid_w", IntegerType(), True),
+        StructField("grid_h", IntegerType(), True),
+        StructField("luma_csv", StringType(), True),
+        StructField("luma_sum", LongType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def _resize_grid(payload: bytes, media_type: str, w: int, h: int) -> list[int]:
+    """THUMB x THUMB integer luma grid, row-major.
+
+    Real rasters (PPM/BMP) are genuinely resized: nearest-neighbor index
+    mapping src = (dst * src_dim) // THUMB, per-pixel integer luma
+    (299R + 587G + 114B) // 1000 — all floor arithmetic, so the grid is
+    bit-stable across platforms.  Stubbed formats derive the grid from the
+    payload digest (value i = digest[i mod 32]) — deterministic and
+    oracle-reproducible from sha256 alone."""
+    if payload[:2] == b"P6" and payload[2:3].isspace():
+        raster = _decode_ppm_pixels(payload)
+    elif payload[:2] == b"BM" and len(payload) >= 54:
+        import struct
+
+        raster = (
+            _decode_bmp_pixels(payload)
+            if struct.unpack_from("<I", payload, 2)[0] == len(payload)
+            else None
+        )
+    else:
+        raster = None
+    if raster is None:
+        if payload is None or len(payload) == 0:
+            raise ValueError("empty payload")
+        digest = hashlib.sha256(payload).digest()
+        return [digest[i % 32] for i in range(THUMB * THUMB)]
+    px = raster.astype(np.int64)
+    sh, sw = px.shape[0], px.shape[1]
+    ys = [(ty * sh) // THUMB for ty in range(THUMB)]
+    xs = [(tx * sw) // THUMB for tx in range(THUMB)]
+    luma = (px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114) // 1000
+    return [int(luma[y, x]) for y in ys for x in xs]
+
+
+def _decode_ppm_pixels(payload: bytes) -> np.ndarray:
+    """Pixel array of a P6 PPM (reuses the header walk of _decode_ppm)."""
+    meta = _decode_ppm(payload)  # validates header + sizes
+    w, h = meta["width"], meta["height"]
+    # re-walk the header to find the pixel offset (same token scan)
+    tokens, i = 0, 2
+    while tokens < 3:
+        while payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while payload[i] != 0x0A:
+                i += 1
+            continue
+        while not payload[i : i + 1].isspace():
+            i += 1
+        tokens += 1
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i + 1).reshape(
+        h, w, 3
+    )
+
+
+def _decode_bmp_pixels(payload: bytes) -> np.ndarray:
+    """Pixel array of a 24-bit BI_RGB BMP (same layout walk as _decode_bmp)."""
+    import struct
+
+    _decode_bmp(payload)  # validates
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    height = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=off).reshape(
+        height, stride
+    )[:, : w * 3]
+    px = rows.reshape(height, w, 3)[:, :, ::-1]
+    if h > 0:
+        px = px[::-1]
+    return px
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for r in pdf.itertuples(index=False):
+            payload = bytes(r.payload) if r.payload is not None else b""
+            row = {
+                "media_id": int(r.media_id),
+                "media_type": r.media_type,
+                "grid_w": THUMB,
+                "grid_h": THUMB,
+                "luma_csv": None,
+                "luma_sum": None,
+                "error": None,
+            }
+            try:
+                grid = _resize_grid(payload, r.media_type, r.declared_w, r.declared_h)
+                row["luma_csv"] = ",".join(str(v) for v in grid)
+                row["luma_sum"] = int(sum(grid))
+            except Exception as e:
+                row["error"] = f"resize_failed: {e}"
+            out.append(row)
+        yield pd.DataFrame(out, columns=[f.name for f in RESIZED.fields])
+
+
+def media_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Thumbnail/resize over mapInPandas: the batch-decode-and-downsample
+    stage of an image-curation pipeline (dedup on thumbnails, filter on
+    luma stats).  Real nearest-neighbor resize for the decodable raster
+    tier, digest-derived stub grid for the rest — identical schema, batch
+    shape, and per-row error isolation either way.
+
+    Scale shape: embarrassingly parallel one-pass map, no shuffle at all
+    before the presentation sort; Arrow batch size caps Python memory."""
+    from . import ordered
+
+    out = media_table(spark, sf).mapInPandas(_resize_batches, schema=RESIZED)
+    return ordered(out, "media_id")
+
+
+def frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling over audio/video payloads: the decode UDF reports
+    n_frames; K_FRAMES uniform sample points explode JVM-side as
+    frame_idx = (k * n_frames) div K with byte-range addressing
+    (chunk_len = n_bytes div n_frames) — the slice a real pipeline would
+    hand to the frame decoder.  Spark-native after the one decode pass:
+    the explosion, arithmetic, and ordering never leave the JVM.
+
+    Scale shape: one mapInPandas decode pass -> generator explode (xK) ->
+    presentation sort; no join, no keyed shuffle."""
+    from . import ordered
+
+    feats = media_features(spark, sf).filter(
+        F.col("media_type").isin("audio", "video") & F.col("error").isNull()
+    )
+    frames = feats.select(
+        "media_id",
+        "media_type",
+        "n_frames",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.explode(F.sequence(F.lit(0), F.lit(K_FRAMES - 1))).alias("sample_k"),
+    )
+    out = frames.select(
+        "media_id",
+        "media_type",
+        F.col("sample_k").cast("long").alias("sample_k"),
+        F.expr(f"(sample_k * n_frames) div {K_FRAMES}").alias("frame_idx"),
+        F.expr(
+            f"(n_bytes div n_frames) * ((sample_k * n_frames) div {K_FRAMES})"
+        ).alias("byte_off"),
+        F.expr("n_bytes div n_frames").alias("chunk_len"),
+    )
+    return ordered(out, "media_id", "sample_k")
+
+
 def media_meta_sql(spark: SparkSession, sf: str) -> DataFrame:
     """The SQL-checkable half of the multimodal plumbing: byte length +
     content hash + type tagging of the binary column (no stubbed decode)."""

@@ -110,3 +110,64 @@ def test_media_features_error_isolation(spark):
     assert out[1]["error"] and "decode_failed" in out[1]["error"]
     assert out[1]["sha"] is not None  # metadata half still produced
     assert out[2]["error"] is None and out[2]["n_frames"] >= 1
+
+
+def test_real_raster_resize_nearest_neighbor(spark):
+    """A 2x2 raster resized to the 8x8 grid: nearest-neighbor index
+    (t * src) // 8 maps quadrants exactly — integer lumas
+    (299R+587G+114B)//1000 per source pixel, tiled 4x4 each."""
+    rows = [(1, _ppm(2, 2, _PX), "image", 99, 99),
+            (2, _bmp(2, 2, _PX), "image", 99, 99)]
+    out = {
+        r["media_id"]: r
+        for r in spark.createDataFrame(rows, schema=multimodal.MEDIA)
+        .mapInPandas(multimodal._resize_batches, schema=multimodal.RESIZED)
+        .collect()
+    }
+    # quadrant lumas: black=0, white=255, red=(299*255)//1000=76,
+    # green=(587*255)//1000=149
+    q = [[0, 255], [76, 149]]
+    want = [q[(ty * 2) // 8][(tx * 2) // 8] for ty in range(8) for tx in range(8)]
+    for mid in (1, 2):
+        r = out[mid]
+        assert r["error"] is None and (r["grid_w"], r["grid_h"]) == (8, 8)
+        assert [int(v) for v in r["luma_csv"].split(",")] == want
+        assert r["luma_sum"] == sum(want)
+
+
+def test_resize_stub_grid_is_digest_derived(spark):
+    """Prose payloads take the stub grid: value i = sha256(payload)[i%32]."""
+    import hashlib
+
+    payload = "not an image at all".encode()
+    out = (
+        spark.createDataFrame([(7, payload, "image", 4, 4)], schema=multimodal.MEDIA)
+        .mapInPandas(multimodal._resize_batches, schema=multimodal.RESIZED)
+        .collect()[0]
+    )
+    digest = hashlib.sha256(payload).digest()
+    want = [digest[i % 32] for i in range(64)]
+    assert [int(v) for v in out["luma_csv"].split(",")] == want
+
+
+def test_frame_sample_uniform_and_byte_addressed(spark, sf_dir):
+    """Every audio/video payload yields exactly K_FRAMES samples with
+    monotone frame indices and in-range byte windows."""
+    rows = multimodal.frame_sample(spark, sf_dir).collect()
+    assert rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.media_features(spark, sf_dir).collect()
+    }
+    for mid, grp in by_media.items():
+        assert [g["sample_k"] for g in grp] == list(range(multimodal.K_FRAMES))
+        f = feats[mid]
+        assert f["media_type"] in ("audio", "video")
+        idxs = [g["frame_idx"] for g in grp]
+        assert idxs == sorted(idxs) and all(0 <= i < f["n_frames"] for i in idxs)
+        for g in grp:
+            assert g["byte_off"] + g["chunk_len"] <= f["n_bytes"]
+            assert g["frame_idx"] == (g["sample_k"] * f["n_frames"]) // multimodal.K_FRAMES

@@ -290,6 +290,25 @@ def test_event_outliers_broadcasts_the_stats_row(spark, sf_dir):
         }, plan
 
 
+def test_media_resize_is_one_pass_no_shuffle(spark, sf_dir):
+    """Thumbnailing is an embarrassingly parallel map: one scan, one Arrow
+    kernel, no Join, and no Exchange beyond the presentation repartition."""
+    plan = formatted_plan(entry.queries()["media_resize"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_frame_sample_explodes_jvm_side_no_join(spark, sf_dir):
+    """Frame sampling is decode -> JVM-side Generate (explode) ->
+    arithmetic: one scan, no Join, no keyed shuffle."""
+    plan = formatted_plan(entry.queries()["frame_sample"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert re.search(r"\(\d+\) Generate", plan), plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
 def test_decontaminate_is_broadcast_semi_join(spark, sf_dir):
     """The benchmark gram set (fixed-size at any corpus scale) must reach
     the membership test as a broadcast LeftSemi — never a shuffled join on
