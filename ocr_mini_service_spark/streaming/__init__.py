@@ -210,6 +210,113 @@ def run_dedup_stream(
     return q
 
 
+SESSION_OUT = (
+    "conv_id string, session_start timestamp, session_end timestamp, "
+    "n_turns long, n_chars long"
+)
+SESSION_STATE = "start_us long, last_us long, n_turns long, n_chars long"
+
+
+def run_session_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    gap-based conversation sessionization.  Per conv_id the state holds ONE
+    open session (start, last-activity, counts); a turn arriving more than
+    ``gap_minutes`` after the last closes the session (emitted) and opens a
+    new one; an open session with no further turns is flushed by an
+    EVENT-TIME TIMEOUT when the watermark passes last + gap — so emission
+    is driven by stream progress, never wall-clock, and a drain is
+    reproducible.
+
+    This is the semantics ``session_gap_events`` computes in batch (lag +
+    cumulative gap-flag window); the streaming twin needs custom state
+    because the lag window is unbounded over an infinite stream.  Scale
+    shape: state is O(1) per ACTIVE conversation (four longs — the
+    watermark horizon bounds how long a conversation stays active), turns
+    reach the operator partitioned by conv_id, and late turns beyond the
+    watermark are fenced by Spark before the kernel sees them.  Checkpoint
+    resume carries open sessions across drains (pinned by test)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize(key, pdfs, state):
+        import pandas as pd  # executor-side
+
+        conv_id = key[0]
+        cols = ["conv_id", "session_start", "session_end", "n_turns", "n_chars"]
+
+        def closed_row(start_us, last_us, n, c):
+            return {
+                "conv_id": conv_id,
+                "session_start": pd.Timestamp(start_us, unit="us"),
+                "session_end": pd.Timestamp(last_us, unit="us"),
+                "n_turns": n,
+                "n_chars": c,
+            }
+
+        if state.hasTimedOut:
+            start, last, n, c = state.get
+            state.remove()
+            yield pd.DataFrame([closed_row(start, last, n, c)], columns=cols)
+            return
+        start = last = None
+        n = c = 0
+        if state.exists:
+            start, last, n, c = state.get
+        closed = []
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "n_chars"], kind="mergesort"
+        )
+        for r in batch.itertuples(index=False):
+            ts_us = int(pd.Timestamp(r.ts).value // 1_000)
+            if last is not None and ts_us - last > gap_us:
+                closed.append(closed_row(start, last, n, c))
+                start, n, c = None, 0, 0
+            if start is None:
+                start = ts_us
+            last = ts_us
+            n += 1
+            c += int(r.n_chars)
+        state.update((int(start), int(last), int(n), int(c)))
+        # event-time timeout at last + gap (ms): fires once the watermark
+        # passes it — the no-more-turns flush
+        state.setTimeoutTimestamp(last // 1_000 + gap_us // 1_000)
+        yield pd.DataFrame(closed, columns=cols)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    turns = stream.select(
+        "conv_id", "ts", F.length("text").cast("long").alias("n_chars")
+    ).withWatermark("ts", watermark)
+    sessions = turns.groupBy("conv_id").applyInPandasWithState(
+        sessionize,
+        SESSION_OUT,
+        SESSION_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        sessions.writeStream.option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def attach_progress_listener(spark: SparkSession, progress_path: str):
     """Register a StreamingQueryListener appending one JSON line per
     micro-batch progress event (the SSE progress-stream analog).  Returns the
