@@ -1596,10 +1596,11 @@ ORDER BY event_id""",
 WITH m AS (
     SELECT doc_id AS media_id,
            ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-           sha256(text) AS hx
+           sha256(text) AS hx,
+           octet_length(encode(text)) AS n_bytes
     FROM documents),
 g AS (
-    SELECT media_id, media_type,
+    SELECT media_id, media_type, n_bytes,
            list_transform(
                generate_series(0, {multimodal.THUMB * multimodal.THUMB - 1}),
                i -> (instr('0123456789abcdef', substr(hx, (i % 32) * 2 + 1, 1)) - 1) * 16
@@ -1609,9 +1610,13 @@ g AS (
 SELECT media_id, media_type,
        CAST({multimodal.THUMB} AS INT) AS grid_w,
        CAST({multimodal.THUMB} AS INT) AS grid_h,
-       array_to_string(list_transform(grid, v -> CAST(v AS VARCHAR)), ',') AS luma_csv,
-       CAST(list_sum(grid) AS BIGINT) AS luma_sum,
-       CAST(NULL AS VARCHAR) AS error
+       CASE WHEN n_bytes = 0 THEN NULL
+            ELSE array_to_string(list_transform(grid, v -> CAST(v AS VARCHAR)), ',')
+       END AS luma_csv,
+       CASE WHEN n_bytes = 0 THEN NULL
+            ELSE CAST(list_sum(grid) AS BIGINT) END AS luma_sum,
+       CASE WHEN n_bytes = 0 THEN 'resize_failed: empty payload'
+            ELSE CAST(NULL AS VARCHAR) END AS error
 FROM g ORDER BY media_id""",
         "frame_sample": f"""
 WITH m AS (

@@ -735,20 +735,18 @@ def minhash_jaccard_estimate(spark: SparkSession, sf: str) -> DataFrame:
     b = sigs.select(
         F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(len(MINHASH_AB))]
     )
-    n_match = None
-    for i in range(len(MINHASH_AB)):
-        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        n_match = term if n_match is None else n_match + term
+    # ONE agreement-count formula, shared verbatim with the DuckDB oracle —
+    # both output columns derive from it (two hand-built variants would
+    # desynchronize on edit)
+    nm = n_match_sql("a", "b")
     out = (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            n_match.cast("long").alias("n_match"),
-            F.expr(f"({n_match_sql('a', 'b')} * 10000) div {len(MINHASH_AB)}").alias(
-                "est_jaccard_bp"
-            ),
+            F.expr(f"CAST({nm} AS BIGINT)").alias("n_match"),
+            F.expr(f"({nm} * 10000) div {len(MINHASH_AB)}").alias("est_jaccard_bp"),
         )
     )
     return ordered(out, "doc_a", "doc_b")

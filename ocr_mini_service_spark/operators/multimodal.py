@@ -85,10 +85,11 @@ def media_table(spark: SparkSession, sf: str) -> DataFrame:
 _LUMA = np.array([0.299, 0.587, 0.114])
 
 
-def _decode_ppm(payload: bytes) -> dict:
-    """Real decode of a binary netpbm PPM (``P6``): ASCII header of three
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Header walk of a binary netpbm PPM (``P6``): ASCII header of three
     integers (width, height, maxval; '#' comments allowed), one whitespace
-    byte, then w*h RGB triplets.  Pure Python/numpy — no codec library."""
+    byte, then pixels.  Returns (w, h, maxval, pixel_offset) — the single
+    source of truth for the layout (decode and resize both consume it)."""
     tokens: list[int] = []
     i = 2  # past the P6 magic
     while len(tokens) < 3:
@@ -108,7 +109,14 @@ def _decode_ppm(payload: bytes) -> dict:
     w, h, maxval = tokens
     if not (0 < maxval < 256):
         raise ValueError(f"unsupported PPM maxval {maxval}")
-    data = payload[i + 1 : i + 1 + w * h * 3]  # single whitespace after maxval
+    return w, h, maxval, i + 1  # single whitespace after maxval
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """Real decode of a binary PPM: header walk + RGB triplet extraction.
+    Pure Python/numpy — no codec library."""
+    w, h, maxval, off = _ppm_header(payload)
+    data = payload[off : off + w * h * 3]
     if len(data) < w * h * 3:
         raise ValueError("truncated PPM pixel data")
     px = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
@@ -207,9 +215,16 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=[f.name for f in FEATURES.fields])
 
 
-def media_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Binary decode/feature-extract over mapInPandas (Arrow batches)."""
-    return media_table(spark, sf).mapInPandas(_extract_batches, schema=FEATURES)
+def media_features(
+    spark: SparkSession, sf: str, table: DataFrame | None = None
+) -> DataFrame:
+    """Binary decode/feature-extract over mapInPandas (Arrow batches).
+    ``table`` — a pre-filtered media frame (pass it to keep row pruning
+    BELOW the decode: Catalyst cannot push a filter through the
+    MapInPandas node, so filtering on the UDF output decodes and then
+    discards)."""
+    src = media_table(spark, sf) if table is None else table
+    return src.mapInPandas(_extract_batches, schema=FEATURES)
 
 
 THUMB = 8  # thumbnail grid edge (8x8 luma grid)
@@ -263,22 +278,11 @@ def _resize_grid(payload: bytes, media_type: str, w: int, h: int) -> list[int]:
 
 
 def _decode_ppm_pixels(payload: bytes) -> np.ndarray:
-    """Pixel array of a P6 PPM (reuses the header walk of _decode_ppm)."""
-    meta = _decode_ppm(payload)  # validates header + sizes
-    w, h = meta["width"], meta["height"]
-    # re-walk the header to find the pixel offset (same token scan)
-    tokens, i = 0, 2
-    while tokens < 3:
-        while payload[i : i + 1].isspace():
-            i += 1
-        if payload[i : i + 1] == b"#":
-            while payload[i] != 0x0A:
-                i += 1
-            continue
-        while not payload[i : i + 1].isspace():
-            i += 1
-        tokens += 1
-    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i + 1).reshape(
+    """Pixel array of a P6 PPM (same _ppm_header walk as _decode_ppm)."""
+    w, h, _maxval, off = _ppm_header(payload)
+    if len(payload) < off + w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off).reshape(
         h, w, 3
     )
 
@@ -348,13 +352,14 @@ def frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     hand to the frame decoder.  Spark-native after the one decode pass:
     the explosion, arithmetic, and ordering never leave the JVM.
 
-    Scale shape: one mapInPandas decode pass -> generator explode (xK) ->
-    presentation sort; no join, no keyed shuffle."""
+    Scale shape: one mapInPandas decode pass OVER THE AUDIO/VIDEO ROWS
+    ONLY (media_type is known pre-decode, and a filter cannot push through
+    the MapInPandas node — so the pruning happens below it) -> generator
+    explode (xK) -> presentation sort; no join, no keyed shuffle."""
     from . import ordered
 
-    feats = media_features(spark, sf).filter(
-        F.col("media_type").isin("audio", "video") & F.col("error").isNull()
-    )
+    src = media_table(spark, sf).filter(F.col("media_type").isin("audio", "video"))
+    feats = media_features(spark, sf, table=src).filter(F.col("error").isNull())
     frames = feats.select(
         "media_id",
         "media_type",

@@ -471,7 +471,11 @@ def event_outliers(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: one map-side-combined aggregate produces a per-type stats
     row (cardinality = event-type vocabulary, tiny at any scale) that
-    broadcasts back onto the stream — the big side never shuffles."""
+    broadcasts back onto the stream — the big side never shuffles.  Sums
+    aggregate in DECIMAL(38,0) (never int64 — a BIGINT sum of squares
+    wraps silently in non-ANSI Spark while DuckDB raises, breaking the
+    bit-identity claim); the 38-digit envelope holds through dev² for
+    |v100| <= ~1e6 at up to ~1e12 rows per type."""
     ev = load(spark, sf, "events").select(
         "event_id",
         "event_type",
@@ -479,11 +483,11 @@ def event_outliers(spark: SparkSession, sf: str) -> DataFrame:
     )
     stats = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("v100").alias("s"),
-        F.sum(F.col("v100") * F.col("v100")).alias("q"),
+        F.sum(F.expr("CAST(v100 AS DECIMAL(38,0))")).alias("s"),
+        F.sum(F.expr("CAST(v100 AS DECIMAL(38,0)) * v100")).alias("q"),
     )
     dev = "(CAST(n AS DECIMAL(38,0)) * v100 - s)"
-    var = "(CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s)"
+    var = "(CAST(n AS DECIMAL(38,0)) * q - s * s)"
     out = ev.join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",

@@ -278,10 +278,19 @@ def run_session_stream(
             ts_us = int(pd.Timestamp(r.ts).value // 1_000)
             if last is not None and ts_us - last > gap_us:
                 closed.append(closed_row(start, last, n, c))
-                start, n, c = None, 0, 0
+                start, last, n, c = None, None, 0, 0
             if start is None:
                 start = ts_us
-            last = ts_us
+            # clamp, don't assign: a late-but-within-watermark turn from a
+            # later micro-batch may be out of order ACROSS batches (the
+            # per-batch sort only fixes within-batch order); letting it
+            # regress last-activity would mis-time subsequent gap splits
+            # and emit a session_end earlier than a member turn.  Lateness
+            # is bounded by the watermark delay, so the clamp absorbs it
+            # into the open session — the same session the sorted batch
+            # twin assigns it to when delay <= gap.
+            start = min(start, ts_us)
+            last = max(last, ts_us) if last is not None else ts_us
             n += 1
             c += int(r.n_chars)
         state.update((int(start), int(last), int(n), int(c)))

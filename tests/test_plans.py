@@ -272,8 +272,16 @@ def test_inverted_index_window_is_behind_the_df_cutoff(spark, sf_dir):
             "doc_id", "text"
         }, plan
     assert "CartesianProduct" not in plan, plan
-    # the cutoff predicate reaches the plan as a pushed filter on df
-    assert f"(df#" in plan or f"{IDX_DF_MAX}" in plan, plan
+    # the DF cutoff is a real filter node on the df column
+    assert re.search(rf"df#\d+L? <= {IDX_DF_MAX}\b", plan), plan
+    # formatted-plan ids are post-order (higher = closer to root): the
+    # ranking Window must sit ABOVE the cutoff join, so its partition is
+    # bounded by IDX_DF_MAX rows
+    win = re.search(r"\((\d+)\) Window\b", plan)
+    join = re.search(r"\((\d+)\) \w*Join", plan)
+    assert win and join and int(win.group(1)) > int(join.group(1)), plan
+    # and Spark pushes the rank<=K limit into the window itself
+    assert "WindowGroupLimit" in plan, plan
     assert IDX_TOPK <= IDX_DF_MAX  # the window cap is the tighter bound
 
 

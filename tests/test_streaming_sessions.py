@@ -90,3 +90,47 @@ def test_session_stream_gap_close_timeout_flush_and_resume(spark, tmp_path):
         if r["conv_id"] in ("A", "B")
     }
     assert got3 == want
+
+
+def test_session_stream_late_turn_does_not_regress_last_activity(spark, tmp_path):
+    """A late-but-within-watermark turn arriving in a LATER micro-batch must
+    not move last-activity backwards: with regression, the next turn at
+    exactly the gap boundary would wrongly split the session."""
+    import os
+
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(inp)
+    a = _turns([("A", 0, "aa", 60)])
+    # late 30s-old turn (inside the 1-minute watermark slack) + a turn at
+    # EXACTLY gap seconds after the true last activity (60s): same session
+    b = _turns([("A", 1, "b", 30), ("A", 2, "cccc", 60 + 30 * 60)])
+    pq.write_table(pa.Table.from_pandas(a, preserve_index=False), f"{inp}/a.parquet")
+    pq.write_table(pa.Table.from_pandas(b, preserve_index=False), f"{inp}/b.parquet")
+    run_session_stream(spark, inp, out, ckpt, gap_minutes=30, watermark="1 minute")
+    # flush via far-future sentinels
+    pq.write_table(
+        pa.Table.from_pandas(_turns([("Z1", 0, "x", 2 * 86400)]), preserve_index=False),
+        f"{inp}/c.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(_turns([("Z2", 0, "y", 3 * 86400)]), preserve_index=False),
+        f"{inp}/d.parquet",
+    )
+    run_session_stream(spark, inp, out, ckpt, gap_minutes=30, watermark="1 minute")
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("conv_id", "session_start", "session_end", "n_turns", "n_chars")
+        .collect()
+        if r["conv_id"] == "A"
+    }
+    want = {
+        (
+            "A",
+            (T0 + pd.Timedelta(seconds=30)).to_pydatetime(),
+            (T0 + pd.Timedelta(seconds=60 + 1800)).to_pydatetime(),
+            3,
+            2 + 1 + 4,
+        )
+    }
+    assert got == want
