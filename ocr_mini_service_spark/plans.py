@@ -198,6 +198,43 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "no driver-side loop.",
             formatted_plan(q["curation_funnel"](spark, sf_dir)),
         ),
+        "inverted_index": (
+            "phrase-term postings: (doc, term) tf agg → term-keyed DF count "
+            "→ the df<=cap cutoff filter → BroadcastHashJoin → ranking "
+            "Window ABOVE the cutoff (every window partition bounded by "
+            "IDX_DF_MAX) with WindowGroupLimit pushing rank<=K into the "
+            "sort — the index is vocabulary-sized, never corpus-sized.",
+            formatted_plan(q["inverted_index"](spark, sf_dir)),
+        ),
+        "substring_dupes": (
+            "ExactSubstr-style window-hash dedup: strided char windows "
+            "explode → distinct (window, doc) → window-keyed count with "
+            "map-side combine (boilerplate windows collapse before the "
+            "shuffle) → window-keyed join back → doc-keyed sum.  Every "
+            "shuffle on a natural key; no Window operator, no product join.",
+            formatted_plan(q["substring_dupes"](spark, sf_dir)),
+        ),
+        "lsh_jaccard_verify": (
+            "candidate verification: two doc-id hash joins bring the "
+            "distinct shingle-hash arrays to the capped LSH pair list; "
+            "per-pair cost is one array_intersect — no all-pairs product, "
+            "and the pair list bounds everything downstream.",
+            formatted_plan(q["lsh_jaccard_verify"](spark, sf_dir)),
+        ),
+        "event_outliers": (
+            "exact-integer 3-sigma flags: one map-side-combined aggregate "
+            "produces the per-type DECIMAL(38,0) stats row, which returns "
+            "to the stream as a BroadcastExchange — the event side never "
+            "shuffles to be flagged.",
+            formatted_plan(q["event_outliers"](spark, sf_dir)),
+        ),
+        "frame_sample": (
+            "multimodal sampling plumbing: media_type prunes BELOW the "
+            "decode (a filter cannot push through MapInPandas) → one Arrow "
+            "decode pass → JVM-side Generate (K uniform sample points) → "
+            "byte-range arithmetic.  No join, no keyed shuffle.",
+            formatted_plan(q["frame_sample"](spark, sf_dir)),
+        ),
     }
 
 
