@@ -129,6 +129,14 @@ def _minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
     hashed = _with_words(corpus.filter(has_shingles)).select(
         "doc_id", _hash_shingles(_shingles()).alias("sh")
     )
+    return _sigs_from_hashed(hashed)
+
+
+def _sigs_from_hashed(hashed: DataFrame) -> DataFrame:
+    """Signatures from a (doc_id, sh) shingle-hash frame — split out so a
+    caller that also consumes the shingle arrays directly can evaluate the
+    expensive hash UDF ONCE (localCheckpoint the hashed frame, derive both
+    views from it)."""
     cols = [
         F.array_min(
             F.transform("sh", lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MOD)))
@@ -679,13 +687,22 @@ def lsh_jaccard_verify(spark: SparkSession, sf: str) -> DataFrame:
     on doc id bring the (doc_id, shingle-set) arrays to the pairs; no
     all-pairs product anywhere.  In a real run `pairs` is the materialized
     candidates table and the shingle arrays come from the signature store
-    rather than being re-derived."""
+    rather than being re-derived.
+
+    The shingle-hash UDF pass feeds THREE subtrees (both join sides and
+    the signature/pair derivation), so the hashed frame is evaluated once
+    behind a localCheckpoint and everything derives from it."""
     corpus = _docs_with_mutants(spark, sf)
     has_shingles = F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE
-    hashed = _with_words(corpus.filter(has_shingles)).select(
-        "doc_id", F.array_distinct(_hash_shingles(_shingles())).alias("sh")
+    hashed = (
+        _with_words(corpus.filter(has_shingles))
+        .select("doc_id", _hash_shingles(_shingles()).alias("raw_sh"))
+        .localCheckpoint()
     )
-    pairs = _lsh_pairs(spark, sf)
+    pairs = _lsh_pairs(
+        spark, sf, sigs=_sigs_from_hashed(hashed.select("doc_id", F.col("raw_sh").alias("sh")))
+    )
+    hashed = hashed.select("doc_id", F.array_distinct("raw_sh").alias("sh"))
     a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     sized = (

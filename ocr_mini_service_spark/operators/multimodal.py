@@ -107,6 +107,10 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
         tokens.append(int(payload[i:j]))
         i = j
     w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        # a vacuous w*h*3 <= 0 would pass the truncation check and emit
+        # NaN luma over an empty array as a "successful" decode
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
     if not (0 < maxval < 256):
         raise ValueError(f"unsupported PPM maxval {maxval}")
     return w, h, maxval, i + 1  # single whitespace after maxval
@@ -142,6 +146,8 @@ def _decode_bmp(payload: bytes) -> dict:
     comp = struct.unpack_from("<I", payload, 30)[0]
     if bpp != 24 or comp != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{h}")
     height = abs(h)
     stride = (w * 3 + 3) // 4 * 4
     if len(payload) < off + stride * height:
@@ -160,20 +166,35 @@ def _decode_bmp(payload: bytes) -> dict:
     }
 
 
+_DIB_HEADER_SIZES = (40, 52, 56, 108, 124)  # known BITMAPINFO header widths
+
+
+def _sniff_bmp(payload: bytes) -> bool:
+    """BMP claim test: 'BM' magic + a KNOWN DIB-header-size field at offset
+    14.  Deliberately does NOT require the bfSize field to match the payload
+    length — the spec allows a stale/zero bfSize for uncompressed files, and
+    gating on it would silently downgrade a truncated real BMP to the stub
+    (fake plausible stats, error=None) instead of surfacing the truncation
+    error.  Prose bytes that happen to start with 'BM' fail the header-size
+    probe and take the stub, as before."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return False
+    import struct
+
+    return struct.unpack_from("<I", payload, 14)[0] in _DIB_HEADER_SIZES
+
+
 def _decode(payload: bytes, media_type: str, w: int, h: int) -> dict:
     """Tiered dispatcher: real pure-Python decode for uncompressed rasters
-    (magic-sniffed — PPM needs 'P6'+whitespace, BMP needs 'BM' plus a file
-    size field matching the payload, so prose bytes can't false-positive),
-    deterministic stub for everything else.  A payload that CLAIMS a real
-    format but fails to parse surfaces as a decode error — never silently
-    downgraded to the stub."""
+    (magic-sniffed — PPM needs 'P6'+whitespace, BMP needs 'BM' plus a known
+    DIB header size, so prose bytes can't false-positive), deterministic
+    stub for everything else.  A payload that CLAIMS a real format but
+    fails to parse surfaces as a decode error — never silently downgraded
+    to the stub."""
     if payload[:2] == b"P6" and payload[2:3].isspace():
         return _decode_ppm(payload)
-    if payload[:2] == b"BM" and len(payload) >= 54:
-        import struct
-
-        if struct.unpack_from("<I", payload, 2)[0] == len(payload):
-            return _decode_bmp(payload)
+    if _sniff_bmp(payload):
+        return _decode_bmp(payload)
     return _decode_stub(payload, media_type, w, h)
 
 
@@ -254,14 +275,8 @@ def _resize_grid(payload: bytes, media_type: str, w: int, h: int) -> list[int]:
     oracle-reproducible from sha256 alone."""
     if payload[:2] == b"P6" and payload[2:3].isspace():
         raster = _decode_ppm_pixels(payload)
-    elif payload[:2] == b"BM" and len(payload) >= 54:
-        import struct
-
-        raster = (
-            _decode_bmp_pixels(payload)
-            if struct.unpack_from("<I", payload, 2)[0] == len(payload)
-            else None
-        )
+    elif _sniff_bmp(payload):
+        raster = _decode_bmp_pixels(payload)
     else:
         raster = None
     if raster is None:

@@ -114,22 +114,46 @@ class IcebergIO(TableIO):
     ) -> None:
         # contract mirror of ParquetIO.write (ADVICE r2): honor mode and
         # partition_by; dynamic=True means idempotent per-partition
-        # recommit, creating the (partitioned) table on first write
+        # recommit; every mode creates the (partitioned) table on first
+        # write, because ParquetIO's first write always succeeds too
         if mode == "append":
-            df.writeTo(location).append()
+            try:
+                df.writeTo(location).append()
+            except Exception as e:
+                if not self._is_missing_table(e):
+                    raise
+                self._builder(df, location, partition_by).create()
             return
         if dynamic:
-            from pyspark.errors import AnalysisException
-
             try:
                 df.writeTo(location).overwritePartitions()
-            except AnalysisException:
-                # first write: table does not exist yet — create it with
-                # the declared partitioning (subsequent runs take the
-                # overwritePartitions path above)
+            except Exception as e:
+                # ONLY the missing-table condition means first write; any
+                # other analysis failure (schema mismatch, unresolved
+                # column, catalog misconfig) must surface as itself, not
+                # as a misleading downstream create() error
+                if not self._is_missing_table(e):
+                    raise
                 self._builder(df, location, partition_by).create()
             return
         self._builder(df, location, partition_by).createOrReplace()
+
+    @staticmethod
+    def _is_missing_table(e: Exception) -> bool:
+        from pyspark.errors import AnalysisException
+
+        if not isinstance(e, AnalysisException):
+            return False
+        cond = ""
+        for attr in ("getCondition", "getErrorClass"):  # Spark 4 / legacy
+            getter = getattr(e, attr, None)
+            if getter is not None and not cond:
+                try:
+                    cond = getter() or ""
+                except Exception:
+                    cond = ""
+        hay = f"{cond} {e}"
+        return "TABLE_OR_VIEW_NOT_FOUND" in hay or "NoSuchTable" in hay
 
     def append(self, df: DataFrame, location: str) -> None:
         df.writeTo(location).append()

@@ -39,10 +39,9 @@ def main(argv: list[str] | None = None) -> int:
                         "small-star, O(log n) rounds on chain-shaped graphs)")
     args = p.parse_args(argv)
 
-    from ocr_mini_service_spark.operators.dedup import (
-        dedup_clusters,
-        dedup_survivors,
-    )
+    from pyspark.sql import functions as F
+
+    from ocr_mini_service_spark.operators.dedup import _clusters_frame
     from ocr_mini_service_spark.session import get_spark
     from ocr_mini_service_spark.sources import DEFAULT_IO
 
@@ -52,15 +51,23 @@ def main(argv: list[str] | None = None) -> int:
     labels_path = f"{args.output}/cluster_labels"
     survivors_path = f"{args.output}/survivors"
 
-    # stage 1: cluster once, persist the labels table (the artifact)
-    labels = dedup_clusters(spark, args.sf_dir, algo=args.algo)
+    # stage 1: cluster once, persist the labels table (the artifact).
+    # UNORDERED frames throughout: the driver queries' ordered() wrapper is
+    # a repartition(1) presentation sort — funneling a corpus-wide labels
+    # table through one task is exactly the single-partition bottleneck the
+    # clustering docstring warns composed consumers about.  Readers sort.
+    labels = _clusters_frame(spark, args.sf_dir, algo=args.algo)
     DEFAULT_IO.write(labels, labels_path)
     t_cluster = time.time() - t0
 
-    # stage 2: survivors filter the PERSISTED labels — no re-clustering
+    # stage 2: survivors filter the PERSISTED labels — no re-clustering,
+    # no shuffle (a doc_id == cluster_id filter over the read-back table)
     t1 = time.time()
     persisted = DEFAULT_IO.read(spark, labels_path)
-    survivors = dedup_survivors(spark, args.sf_dir, clusters=persisted)
+    survivors = persisted.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id",
+        (F.col("cluster_size") - 1).cast("long").alias("n_dupes_removed"),
+    )
     DEFAULT_IO.write(survivors, survivors_path)
     t_survive = time.time() - t1
 

@@ -171,3 +171,24 @@ def test_frame_sample_uniform_and_byte_addressed(spark, sf_dir):
         for g in grp:
             assert g["byte_off"] + g["chunk_len"] <= f["n_bytes"]
             assert g["frame_idx"] == (g["sample_k"] * f["n_frames"]) // multimodal.K_FRAMES
+
+
+def test_degenerate_raster_headers_error_not_nan(spark):
+    """Zero/negative header dims must surface as decode errors — never a
+    'successful' NaN-luma row (the empty-array mean)."""
+    rows = [
+        (1, b"P6\n0 0 255\n", "image", 9, 9),
+        (2, b"P6\n-2 2 255\n" + b"\x00" * 64, "image", 9, 9),
+        # a REAL truncated BMP (stale bfSize is legal, so the sniff must
+        # still claim it and the decode must error — never the stub)
+        (3, _bmp(2, 2, _PX)[:-1], "image", 9, 9),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in spark.createDataFrame(rows, schema=multimodal.MEDIA)
+        .mapInPandas(multimodal._extract_batches, schema=multimodal.FEATURES)
+        .collect()
+    }
+    assert out[1]["error"] and "invalid PPM dimensions" in out[1]["error"]
+    assert out[2]["error"] and "invalid PPM dimensions" in out[2]["error"]
+    assert out[3]["error"] and "truncated BMP" in out[3]["error"]
