@@ -159,6 +159,29 @@ class IcebergIO(TableIO):
         df.writeTo(location).append()
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int,
+    path: str | None = None,
+    sort_by: tuple[str, ...] = (),
+) -> None:
+    """Bucketed (+ sorted) table write — the co-located-join layout: two
+    tables bucketed by the same key into the same bucket count join WITHOUT
+    a shuffle on either side (each bucket pair is a map-side sort-merge),
+    the layout a 100 TB pipeline gives its repeatedly-joined spine tables
+    (transcripts x labels x metrics on conv_id).  Bucket metadata lives in
+    the session catalog; ``path`` makes the table external.  Plan-pinned by
+    tests/test_bucketing.py (zero Exchange under the join)."""
+    w = df.write.mode("overwrite").format("parquet")
+    if path:
+        w = w.option("path", path)
+    w = w.bucketBy(n_buckets, bucket_by)
+    w = w.sortBy(*(sort_by or (bucket_by,)))
+    w.saveAsTable(table)
+
+
 DEFAULT_IO: TableIO = ParquetIO()
 
 
