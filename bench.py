@@ -345,6 +345,39 @@ def _stream_drain_bench(spark) -> dict:
     }
 
 
+def _session_drain_bench(spark) -> dict:
+    """Custom-stateful-operator cost tracked round over round: one
+    AvailableNow drain of the applyInPandasWithState sessionization over
+    the warm dataset.  Reports wall, emitted sessions, input rows/sec."""
+    import glob
+
+    from ocr_mini_service_spark.streaming import run_session_stream
+    from ocr_mini_service_spark.synth import write_transcripts_dataset
+
+    sdir = "/tmp/spark_graft_bench/sessions"
+    base = write_transcripts_dataset(f"{sdir}/base", WARM_TURNS)
+    inp, out, ckpt = f"{sdir}/in", f"{sdir}/out", f"{sdir}/ckpt"
+    for d in (inp, out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(inp)
+    for i, p in enumerate(sorted(glob.glob(f"{base}/part-*.parquet"))):
+        shutil.copy(p, f"{inp}/d{i}.parquet")
+    t0 = time.time()
+    run_session_stream(
+        spark, inp, out, ckpt, gap_minutes=30, watermark="1 minute",
+        trigger_files=16,
+    )
+    wall = time.time() - t0
+    n_sessions = spark.read.parquet(out).count() if os.path.exists(out) else 0
+    n_in = spark.read.parquet(base).count()
+    return {
+        "n_input_rows": n_in,
+        "n_sessions_closed": n_sessions,
+        "wall_sec": round(wall, 3),
+        "input_rows_per_sec": round(n_in / wall, 1),
+    }
+
+
 def main() -> None:
     from ocr_mini_service_spark.synth import write_transcripts_dataset
 
@@ -379,6 +412,7 @@ def main() -> None:
             fn(spark, SF_DIR).count()
             qtimes[name] = round(time.time() - t0, 3)
         stream_drain = _stream_drain_bench(spark)
+        session_drain = _session_drain_bench(spark)
     finally:
         spark.stop()
 
@@ -388,6 +422,7 @@ def main() -> None:
         "unit": "turns/sec",
         "queries": qtimes,
         "stream_drain": stream_drain,
+        "session_drain": session_drain,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "bench_turns": BENCH_TURNS,
         "turns_per_sec": {
@@ -412,6 +447,7 @@ def main() -> None:
             "curation_funnel_v2_sec": qtimes.get("curation_funnel_v2"),
             "curation_funnel_sec": qtimes.get("curation_funnel"),
             "stream_drain_sec": stream_drain["wall_sec"],
+            "session_drain_sec": session_drain["wall_sec"],
             "stream_drain_rows_per_sec": stream_drain["input_rows_per_sec"],
         },
     )

@@ -224,6 +224,7 @@ def run_session_stream(
     checkpoint_dir: str,
     gap_minutes: int = 30,
     watermark: str = "1 minute",
+    trigger_files: int = 1,
 ):
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     gap-based conversation sessionization.  Per conv_id the state holds ONE
@@ -301,7 +302,12 @@ def run_session_stream(
 
     stream = (
         spark.readStream.schema(TRANSCRIPTS)
-        .option("maxFilesPerTrigger", 1)
+        # trigger_files=1 gives the finest micro-batch granularity (tests
+        # pin cross-batch state semantics with it); a drain over many
+        # files should batch more coarsely — per-BATCH cost is dominated
+        # by the per-active-key pandas kernel invocation, so batches ∝
+        # files multiplies that by the file count
+        .option("maxFilesPerTrigger", trigger_files)
         .parquet(input_dir)
     )
     turns = stream.select(
