@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_outliers": tpch.event_outliers,
         "media_resize": multimodal.media_resize,
         "frame_sample": multimodal.frame_sample,
+        "winnowing_fingerprints": dedup.winnowing_fingerprints,
     }
 
 
@@ -1639,4 +1640,18 @@ SELECT media_id, media_type, sample_k,
        (n_bytes // n_frames) * ((sample_k * n_frames) // {multimodal.K_FRAMES}) AS byte_off,
        n_bytes // n_frames AS chunk_len
 FROM s ORDER BY media_id, sample_k""",
+        "winnowing_fingerprints": f"""
+WITH {_CORPUS}, {_SHINGLE_HASHES},
+sel AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, greatest(len(sh) - {dedup.WINNOW_W - 1}, 0)),
+               i -> {{'pos': i + list_position(sh[i : i + {dedup.WINNOW_W - 1}],
+                                               list_min(sh[i : i + {dedup.WINNOW_W - 1}])) - 1,
+                      'fp': list_min(sh[i : i + {dedup.WINNOW_W - 1}])}}
+           ) AS fps
+    FROM hashed)
+SELECT DISTINCT doc_id, CAST(f.pos AS BIGINT) AS pos, CAST(f.fp AS BIGINT) AS fp
+FROM sel, unnest(fps) AS t(f)
+ORDER BY doc_id, pos, fp""",
     }

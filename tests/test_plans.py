@@ -325,3 +325,15 @@ def test_decontaminate_is_broadcast_semi_join(spark, sf_dir):
     assert re.search(r"BroadcastHashJoin LeftSemi", plan), plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_winnowing_is_per_doc_array_work_no_join(spark, sf_dir):
+    """Fingerprint selection is per-doc array work: one scan, no Join, no
+    Window; the only shuffles are the selected-set distinct and the
+    presentation repartition."""
+    plan = formatted_plan(entry.queries()["winnowing_fingerprints"](spark, sf_dir))
+    # two scans = the docs ∪ mutant-overlay union branches, nothing more
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
+    assert "Join" not in plan, plan
+    assert not re.search(r"\(\d+\) Window", plan), plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
