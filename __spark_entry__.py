@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": multimodal.media_resize,
         "frame_sample": multimodal.frame_sample,
         "winnowing_fingerprints": dedup.winnowing_fingerprints,
+        "quality_classifier": corpus.quality_classifier,
+        "embedding_hygiene": similarity.embedding_hygiene,
     }
 
 
@@ -1654,4 +1656,53 @@ sel AS (
 SELECT DISTINCT doc_id, CAST(f.pos AS BIGINT) AS pos, CAST(f.fp AS BIGINT) AS fp
 FROM sel, unnest(fps) AS t(f)
 ORDER BY doc_id, pos, fp""",
+        "quality_classifier": f"""
+WITH ws AS (
+    SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+st AS (
+    SELECT doc_id,
+           CAST(len(w) AS INT) AS n_words,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+           CAST(length(regexp_extract_all(lower(text), '{EN_STOPWORDS}')) AS INT) AS n_stop
+    FROM ws),
+sig AS (
+    SELECT doc_id, n_words,
+           (sum_len * 100) // n_words AS mean_wlen_x100,
+           (n_distinct * 10000) // n_words AS distinct_bp,
+           n_stop
+    FROM st),
+sc AS (
+    SELECT doc_id,
+           CAST(CASE WHEN n_words BETWEEN {corpus.GOPHER_MIN_WORDS} AND {corpus.GOPHER_MAX_WORDS}
+                THEN {corpus.QUAL_W_WORDS} ELSE 0 END
+              + CASE WHEN mean_wlen_x100 BETWEEN {corpus.GOPHER_MEANLEN_MIN_X100} AND {corpus.GOPHER_MEANLEN_MAX_X100}
+                THEN {corpus.QUAL_W_MLEN} ELSE 0 END
+              + CASE WHEN distinct_bp >= {corpus.GOPHER_DISTINCT_MIN_BP}
+                THEN {corpus.QUAL_W_DISTINCT} ELSE 0 END
+              + CASE WHEN n_stop >= {corpus.GOPHER_STOP_MIN}
+                THEN {corpus.QUAL_W_STOPFLAG} ELSE 0 END
+              + least(n_stop, {corpus.QUAL_STOP_CAP}) AS BIGINT) AS quality_score
+    FROM sig)
+SELECT doc_id, quality_score,
+       CAST(quality_score >= {corpus.QUAL_ACCEPT} AS INT) AS accept
+FROM sc ORDER BY doc_id""",
+        "embedding_hygiene": """
+WITH per AS (
+    SELECT label,
+           CAST(len(embedding) AS INT) AS dim,
+           COALESCE(list_sum(list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                  * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))), 0) AS norm2,
+           CASE WHEN len(list_filter(embedding,
+                x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) > 0
+                THEN 1 ELSE 0 END AS bad
+    FROM embeddings WHERE embedding IS NOT NULL)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(bad) AS BIGINT) AS n_bad_component,
+       CAST(SUM(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       MIN(dim) AS min_dim,
+       MAX(dim) AS max_dim
+FROM per GROUP BY label ORDER BY label""",
     }

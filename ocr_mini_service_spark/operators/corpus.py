@@ -698,6 +698,44 @@ def gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(gopher_flags(load(spark, sf, "documents")), "doc_id")
 
 
+# linear quality-classifier weights (integer; a fastText-style scorer's
+# exact-arithmetic analog): rule flags carry most of the mass, the capped
+# stop-word count adds a graded fluency term
+QUAL_W_WORDS = 3
+QUAL_W_MLEN = 2
+QUAL_W_DISTINCT = 2
+QUAL_W_STOPFLAG = 1
+QUAL_STOP_CAP = 5  # graded term: min(n_stop, cap)
+QUAL_ACCEPT = 7  # accept ⇔ score >= this
+
+
+def quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Graded quality score (the exact-integer analog of a fastText-style
+    linear quality classifier, CCNet/Gopher lineage): a fixed-weight dot
+    product over the rule-gate signals plus a capped stop-word fluency
+    term, thresholded into an accept flag.  Unlike the hard `gopher_rules`
+    conjunction, the score RANKS documents — the bucket-by-quality signal
+    a curation run uses to trade corpus size against quality.
+
+    Scale shape: rides the same one-scan narrow projection chain as
+    `gopher_flags` — no shuffle before the presentation sort; all signals
+    and the score are exact integers."""
+    flags = gopher_flags(load(spark, sf, "documents"))
+    score = (
+        F.col("words_ok") * QUAL_W_WORDS
+        + F.col("mean_len_ok") * QUAL_W_MLEN
+        + F.col("distinct_ok") * QUAL_W_DISTINCT
+        + F.col("stopword_ok") * QUAL_W_STOPFLAG
+        + F.least(F.col("n_stop"), F.lit(QUAL_STOP_CAP))
+    ).cast("long")
+    out = flags.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= QUAL_ACCEPT).cast("int").alias("accept"),
+    )
+    return ordered(out, "doc_id")
+
+
 QUAL_MIN_WORDS = DECON_N  # quality gate: enough words to carry one decon gram
 
 

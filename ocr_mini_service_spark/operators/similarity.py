@@ -568,3 +568,40 @@ def label_centroids(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("qsum") / F.col("n_vectors") / 1000.0, 6).alias("centroid"),
     )
     return ordered(out, "label", "pos")
+
+
+def embedding_hygiene(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector-store hygiene audit — the validation pass a pipeline runs
+    before indexing embeddings: per label, the vector count, vectors with
+    any non-finite/null component, zero-norm vectors (undefined cosine),
+    and the dimension envelope (min = max ⇔ the store is rectangular).
+    Norms are exact integers (quantized x1000 squared sums, the same rule
+    as every similarity operator here), so the audit is bit-stable.
+
+    Scale shape: one scan, per-row array folds, one keyed aggregation with
+    map-side combine on the label key — the audit table is label-sized."""
+    q = "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)"
+    emb = (
+        load(spark, sf, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    per = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.expr(
+            f"COALESCE(aggregate(transform(embedding, x -> {q} * {q}),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v), 0)"
+        ).alias("norm2_q"),
+        F.expr(
+            "CAST(exists(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE))) AS INT)"
+        ).alias("bad"),
+    )
+    out = per.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("bad").cast("long").alias("n_bad_component"),
+        F.sum((F.col("norm2_q") == 0).cast("long")).alias("n_zero_norm"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+    )
+    return ordered(out, "label")

@@ -337,3 +337,22 @@ def test_winnowing_is_per_doc_array_work_no_join(spark, sf_dir):
     assert "Join" not in plan, plan
     assert not re.search(r"\(\d+\) Window", plan), plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+
+
+def test_quality_classifier_is_single_scan_no_shuffle(spark, sf_dir):
+    """The graded scorer rides the same one-scan narrow projection chain
+    as the rule gate — no Exchange before the presentation sort."""
+    plan = formatted_plan(entry.queries()["quality_classifier"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_embedding_hygiene_is_one_keyed_aggregate(spark, sf_dir):
+    """The audit is per-row array folds + ONE label-keyed aggregation with
+    a map-side partial (two HashAggregates, one label Exchange) — the
+    output is label-sized, never corpus-sized."""
+    plan = formatted_plan(entry.queries()["embedding_hygiene"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
