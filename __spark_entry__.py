@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": dedup.winnowing_fingerprints,
         "quality_classifier": corpus.quality_classifier,
         "embedding_hygiene": similarity.embedding_hygiene,
+        "extraction_funnel": transcribe.extraction_funnel,
     }
 
 
@@ -1705,4 +1706,36 @@ SELECT label,
        MIN(dim) AS min_dim,
        MAX(dim) AS max_dim
 FROM per GROUP BY label ORDER BY label""",
+        # the flagship composition: the SAME independent arithmetic oracle
+        # as extract_fulltext derives the extracted text, then the curation
+        # stages re-derive over it
+        "extraction_funnel": f"""
+WITH {_EXTRACT_WORDS},
+agg AS (
+    SELECT doc_id,
+           string_agg(word, ' ' ORDER BY line, CASE WHEN has_desc THEN 0 ELSE 1 END, col) AS et
+    FROM kept GROUP BY doc_id),
+docs2 AS (
+    SELECT d.doc_id, COALESCE(a.et, '') AS et
+    FROM documents d LEFT JOIN agg a USING (doc_id)),
+sig AS (
+    SELECT doc_id, et,
+           len(string_split_regex(trim(et), '\\s+')) AS n_words,
+           (len(list_distinct(string_split_regex(trim(et), '\\s+'))) * 10000)
+               // len(string_split_regex(trim(et), '\\s+')) AS distinct_bp
+    FROM docs2),
+fl AS (
+    SELECT (n_words >= {transcribe.EXF_MIN_WORDS}
+            AND distinct_bp >= {transcribe.EXF_DISTINCT_MIN_BP}) AS q,
+           doc_id = MIN(doc_id) OVER (PARTITION BY et) AS canon
+    FROM sig),
+a2 AS (
+    SELECT COUNT(*) AS s0,
+           CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+           CAST(SUM(CASE WHEN q AND canon THEN 1 ELSE 0 END) AS BIGINT) AS s2
+    FROM fl)
+SELECT 0 AS stage_idx, 'raw' AS stage, s0 AS n_docs FROM a2
+UNION ALL SELECT 1, 'quality', s1 FROM a2
+UNION ALL SELECT 2, 'dedup', s2 FROM a2
+ORDER BY stage_idx""",
     }

@@ -381,3 +381,61 @@ def loss_mask_spans(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("role") == "assistant").cast("int").alias("mask"),
     )
     return ordered(out, "conv_id", "turn_idx")
+
+
+EXF_MIN_WORDS = 20  # extraction-funnel quality gate: word floor
+EXF_DISTINCT_MIN_BP = 3_000  # >= 30% distinct words
+
+
+def extraction_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship COMPOSITION: the extraction engine's output feeds the
+    curation operators in one declarative DAG — run the real fused Arrow
+    kernel over transcripts, quality-gate the EXTRACTED text (word floor +
+    distinct-ratio repetition gate), then exact-dedup it (canonical = min
+    doc_id per identical extracted text), audited as cumulative per-stage
+    survivor counts.  This is the "would a user switch" pipeline: the
+    reference's per-turn extraction followed by the training-data curation
+    the reference never had, with the whole thing oracle-checked against
+    an INDEPENDENT SQL derivation of the extraction arithmetic.
+
+    Scale shape: one kernel pass (no shuffle), flags in one narrow
+    projection, the dedup keeper via a window on the extracted-text key
+    (duplicate groups are tiny by construction), one global aggregate row
+    unpivoted by stack."""
+    from pyspark.sql.window import Window
+
+    ex = extract_fused(build_transcripts(spark, sf)).select(
+        F.col("conv_id").cast("bigint").alias("doc_id"), "extracted_text"
+    )
+    staged = ex.select(
+        "doc_id",
+        "extracted_text",
+        F.split(F.trim(F.col("extracted_text")), r"\s+").alias("w"),
+    )
+    sig = staged.select(
+        "doc_id",
+        "extracted_text",
+        F.size("w").alias("n_words"),
+        F.expr("(size(array_distinct(w)) * 10000) div size(w)").alias("distinct_bp"),
+    )
+    flags = sig.select(
+        (
+            (F.col("n_words") >= EXF_MIN_WORDS)
+            & (F.col("distinct_bp") >= EXF_DISTINCT_MIN_BP)
+        ).alias("q"),
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("extracted_text"))
+        ).alias("canon"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("s0"),
+        F.sum(F.col("q").cast("long")).alias("s1"),
+        F.sum((F.col("q") & F.col("canon")).cast("long")).alias("s2"),
+    )
+    out = agg.select(
+        F.expr(
+            "stack(3, 0, 'raw', s0, 1, 'quality', s1, 2, 'dedup', s2)"
+        ).alias("stage_idx", "stage", "n_docs")
+    )
+    return ordered(out, "stage_idx")

@@ -356,3 +356,13 @@ def test_embedding_hygiene_is_one_keyed_aggregate(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+
+
+def test_extraction_funnel_runs_the_kernel_exactly_once(spark, sf_dir):
+    """The flagship composition evaluates the fused Arrow kernel ONCE: one
+    MapInArrow node feeding the gate projection, the dedup window, and the
+    final aggregate — no join, no second kernel pass."""
+    plan = formatted_plan(entry.queries()["extraction_funnel"](spark, sf_dir))
+    assert len(set(re.findall(r"\((\d+)\) MapInArrow", plan))) == 1, plan
+    assert "Join" not in plan, plan
+    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) <= 4, plan
