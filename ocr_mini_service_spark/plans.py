@@ -235,6 +235,14 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "byte-range arithmetic.  No join, no keyed shuffle.",
             formatted_plan(q["frame_sample"](spark, sf_dir)),
         ),
+        "extraction_funnel": (
+            "the flagship composition — extraction engine into curation: "
+            "ONE MapInArrow kernel pass feeds the quality-gate projection, "
+            "the dedup window on the extracted-text key, and the final "
+            "partial+final aggregate unpivoted by stack.  No join, no "
+            "second kernel evaluation.",
+            formatted_plan(q["extraction_funnel"](spark, sf_dir)),
+        ),
     }
 
 
