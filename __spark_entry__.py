@@ -1688,13 +1688,17 @@ sc AS (
 SELECT doc_id, quality_score,
        CAST(quality_score >= {corpus.QUAL_ACCEPT} AS INT) AS accept
 FROM sc ORDER BY doc_id""",
+        # a bad (null/NaN) component must neither crash the norm cast nor
+        # leak into the zero-norm count — bad vectors count only as bad
         "embedding_hygiene": """
 WITH per AS (
     SELECT label,
            CAST(len(embedding) AS INT) AS dim,
            COALESCE(list_sum(list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-                  * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))), 0) AS norm2,
+               x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 0
+                         ELSE CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                            * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                    END)), 0) AS norm2,
            CASE WHEN len(list_filter(embedding,
                 x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) > 0
                 THEN 1 ELSE 0 END AS bad
@@ -1702,7 +1706,7 @@ WITH per AS (
 SELECT label,
        COUNT(*) AS n_vecs,
        CAST(SUM(bad) AS BIGINT) AS n_bad_component,
-       CAST(SUM(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       CAST(SUM(CASE WHEN bad = 0 AND norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
        MIN(dim) AS min_dim,
        MAX(dim) AS max_dim
 FROM per GROUP BY label ORDER BY label""",

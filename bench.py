@@ -310,26 +310,35 @@ def _abba_rounds(
     return thrNs, thr4Ns, ratios, raw
 
 
-def _stream_drain_bench(spark) -> dict:
-    """Streaming-state cost tracked round over round (dedup stream drain):
-    every generated turn file delivered TWICE (producer-retry analog), one
-    AvailableNow drain through ``dropDuplicatesWithinWatermark``.  Reports
-    wall, deduped output rows, and input rows/sec."""
+def _drain_scaffold(subdir: str, duplicate_delivery: bool):
+    """Shared drain-bench scaffolding: warm dataset, fresh in/out/ckpt dirs,
+    part files staged into the input dir (twice when the drain models a
+    retrying producer).  Returns (base, inp, out, ckpt)."""
     import glob
 
-    from ocr_mini_service_spark.streaming import run_dedup_stream
     from ocr_mini_service_spark.synth import write_transcripts_dataset
 
-    sdir = "/tmp/spark_graft_bench/stream"
+    sdir = f"/tmp/spark_graft_bench/{subdir}"
     base = write_transcripts_dataset(f"{sdir}/base", WARM_TURNS)
     inp, out, ckpt = f"{sdir}/in", f"{sdir}/out", f"{sdir}/ckpt"
     for d in (inp, out, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(inp)
-    parts = sorted(glob.glob(f"{base}/part-*.parquet"))
-    for i, p in enumerate(parts):
+    for i, p in enumerate(sorted(glob.glob(f"{base}/part-*.parquet"))):
         shutil.copy(p, f"{inp}/d{i}.parquet")
-        shutil.copy(p, f"{inp}/d{i}_retry.parquet")  # duplicate delivery
+        if duplicate_delivery:
+            shutil.copy(p, f"{inp}/d{i}_retry.parquet")
+    return base, inp, out, ckpt
+
+
+def _stream_drain_bench(spark) -> dict:
+    """Streaming-state cost tracked round over round (dedup stream drain):
+    every generated turn file delivered TWICE (producer-retry analog), one
+    AvailableNow drain through ``dropDuplicatesWithinWatermark``.  Reports
+    wall, deduped output rows, and input rows/sec."""
+    from ocr_mini_service_spark.streaming import run_dedup_stream
+
+    base, inp, out, ckpt = _drain_scaffold("stream", duplicate_delivery=True)
     t0 = time.time()
     # delay must exceed the synthetic ts spread (see tests/
     # test_streaming_resume.py): keys stay in-horizon for the whole drain
@@ -349,19 +358,9 @@ def _session_drain_bench(spark) -> dict:
     """Custom-stateful-operator cost tracked round over round: one
     AvailableNow drain of the applyInPandasWithState sessionization over
     the warm dataset.  Reports wall, emitted sessions, input rows/sec."""
-    import glob
-
     from ocr_mini_service_spark.streaming import run_session_stream
-    from ocr_mini_service_spark.synth import write_transcripts_dataset
 
-    sdir = "/tmp/spark_graft_bench/sessions"
-    base = write_transcripts_dataset(f"{sdir}/base", WARM_TURNS)
-    inp, out, ckpt = f"{sdir}/in", f"{sdir}/out", f"{sdir}/ckpt"
-    for d in (inp, out, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(inp)
-    for i, p in enumerate(sorted(glob.glob(f"{base}/part-*.parquet"))):
-        shutil.copy(p, f"{inp}/d{i}.parquet")
+    base, inp, out, ckpt = _drain_scaffold("sessions", duplicate_delivery=False)
     t0 = time.time()
     run_session_stream(
         spark, inp, out, ckpt, gap_minutes=30, watermark="1 minute",

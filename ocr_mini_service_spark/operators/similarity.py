@@ -570,7 +570,9 @@ def label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(out, "label", "pos")
 
 
-def embedding_hygiene(spark: SparkSession, sf: str) -> DataFrame:
+def embedding_hygiene(
+    spark: SparkSession, sf: str, table: DataFrame | None = None
+) -> DataFrame:
     """Vector-store hygiene audit — the validation pass a pipeline runs
     before indexing embeddings: per label, the vector count, vectors with
     any non-finite/null component, zero-norm vectors (undefined cosine),
@@ -578,19 +580,30 @@ def embedding_hygiene(spark: SparkSession, sf: str) -> DataFrame:
     Norms are exact integers (quantized x1000 squared sums, the same rule
     as every similarity operator here), so the audit is bit-stable.
 
-    Scale shape: one scan, per-row array folds, one keyed aggregation with
-    map-side combine on the label key — the audit table is label-sized."""
+    Semantics on degenerate inputs (pinned cross-engine by
+    tests/test_similarity.py over synthetic bad vectors): a vector with
+    ANY null/NaN component counts ONLY as bad — its norm is undefined, so
+    it is excluded from the zero-norm count (a null component would
+    otherwise poison the fold into a fake zero).
+
+    Scale shape: one scan, per-row array folds (cheap — no input
+    repartition, unlike the heavy-compute knn operators), one keyed
+    aggregation with map-side combine on the label key — the audit table
+    is label-sized.  ``table`` — an alternative embeddings frame (tests
+    inject degenerate vectors through it)."""
+    # the per-component guard (not try_cast) keeps NaN from aborting the
+    # fold under ANSI semantics AND matches the oracle's CASE exactly
     q = "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)"
-    emb = (
-        load(spark, sf, "embeddings")
-        .filter(F.col("embedding").isNotNull())
-        .repartition(spark.sparkContext.defaultParallelism)
+    term = (
+        "CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN CAST(0 AS BIGINT) "
+        f"ELSE {q} * {q} END"
     )
-    per = emb.select(
+    src = load(spark, sf, "embeddings") if table is None else table
+    per = src.filter(F.col("embedding").isNotNull()).select(
         "label",
         F.size("embedding").alias("dim"),
         F.expr(
-            f"COALESCE(aggregate(transform(embedding, x -> {q} * {q}),"
+            f"COALESCE(aggregate(transform(embedding, x -> {term}),"
             f" CAST(0 AS BIGINT), (acc, v) -> acc + v), 0)"
         ).alias("norm2_q"),
         F.expr(
@@ -600,7 +613,9 @@ def embedding_hygiene(spark: SparkSession, sf: str) -> DataFrame:
     out = per.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
         F.sum("bad").cast("long").alias("n_bad_component"),
-        F.sum((F.col("norm2_q") == 0).cast("long")).alias("n_zero_norm"),
+        F.sum(((F.col("bad") == 0) & (F.col("norm2_q") == 0)).cast("long")).alias(
+            "n_zero_norm"
+        ),
         F.min("dim").alias("min_dim"),
         F.max("dim").alias("max_dim"),
     )

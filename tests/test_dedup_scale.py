@@ -253,4 +253,15 @@ def test_winnowing_detects_shared_runs_and_respects_density(spark, sf_dir):
     counts = {}
     for r in fps:
         counts[r.doc_id] = counts.get(r.doc_id, 0) + 1
-    assert all(c >= 1 for c in counts.values())
+    # REAL density bounds per doc: selections are distinct (pos, hash) over
+    # n_windows = n_shingles - W + 1 windows, so counts <= n_windows; and a
+    # single selection can serve at most W consecutive windows, so
+    # counts >= ceil(n_windows / W)
+    corpus = {r.doc_id: r.text for r in dedup._docs_with_mutants(spark, sf_dir).collect()}
+    w = dedup.WINNOW_W
+    for doc_id, c in counts.items():
+        n_shingles = max(len(corpus[doc_id].split()) - (dedup.SHINGLE - 1), 0)
+        n_windows = n_shingles - w + 1
+        assert n_windows >= 1, doc_id
+        assert c <= n_windows, (doc_id, c, n_windows)
+        assert c >= -(-n_windows // w), (doc_id, c, n_windows)

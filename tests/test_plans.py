@@ -356,6 +356,9 @@ def test_embedding_hygiene_is_one_keyed_aggregate(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+    # exactly the label Exchange + the presentation repartition — no input
+    # repartition shuffling the wide embedding column for a cheap fold
+    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) <= 2, plan
 
 
 def test_extraction_funnel_runs_the_kernel_exactly_once(spark, sf_dir):

@@ -52,3 +52,44 @@ def test_kmeans_step_partitions_and_averages(spark, sf_dir):
         want = member_q.sum(axis=0) / len(member_q) / 1000.0
         got = out[out["cid"] == cid].sort_values("pos")["centroid"].to_numpy()
         assert np.abs(got - want).max() <= 5.001e-7
+
+
+def test_embedding_hygiene_degenerate_vectors_cross_engine(spark):
+    """Bad (null/NaN-component) vectors count ONLY as bad — never as
+    zero-norm (a null would poison the fold into a fake zero) — and the
+    oracle must not crash casting NaN; Spark and DuckDB agree row for row
+    on a synthetic table that exercises every degenerate class."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    rows = [
+        (1, [1.0, 2.0], 0),            # normal
+        (2, [0.0, 0.0], 0),            # zero-norm
+        (3, [None, 2.0], 0),           # null component
+        (4, [math.nan, 1.0], 1),       # NaN component
+        (5, [0.0004, 0.0], 1),         # rounds to zero at x1000 quantum
+        (6, [1.0, 2.0, 3.0], 1),       # ragged dim
+    ]
+    sdf = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r["label"]: tuple(r)
+        for r in similarity.embedding_hygiene(spark, "", table=sdf).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]),
+    )
+    want = {r[0]: (r[0], *r[1:]) for r in
+            con.sql(entry.oracle_sql()["embedding_hygiene"]).fetchall()}
+    assert got == want
+    # label 0: the null-component vector is bad, NOT zero-norm
+    assert got[0][1:] == (3, 1, 1, 2, 2)
+    # label 1: NaN vector bad; quantized-to-zero vector IS zero-norm
+    assert got[1][1:] == (3, 1, 1, 2, 3)
