@@ -42,73 +42,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's CORRECTNESS gate checks the FIRST 50
-    # entries in dict order per round.  Round 3 rotation (VERDICT r2 item 1):
-    # the 28 queries registered after the r2 window (dedup / similarity /
-    # ANN / boilerplate / vocab / media) sit FIRST so they earn a hard-signal
-    # row, followed by queries whose code or oracle changed this round
-    # (pivot_event_matrix oracle cast, hierarchy persist, range_join pmod).
-    # Long-green §2 stalwarts (green in BOTH r1 and r2) rotate to the back.
+    # entries in dict order per round.  STANDING RULE (VERDICT r3 item 1):
+    # queries that have never earned a driver row go FIRST, then queries whose
+    # code or oracle changed this round, then the least-recently-checked
+    # stalwarts as window filler; everything green in the previous round's
+    # window rotates to the back.
     return {
-        # --- driver-unchecked as of r2: boilerplate / corpus gates ---
-        "boilerplate_blocks": boilerplate.boilerplate_blocks,
-        "boilerplate_strip": boilerplate.boilerplate_strip,
-        "curation_funnel_v2": boilerplate.curation_funnel_v2,
-        "vocab_coverage": corpus.vocab_coverage,
-        "tokenize_ids": corpus.tokenize_ids,
-        "gopher_rules": corpus.gopher_rules,
-        # --- driver-unchecked as of r2: dedup family ---
-        "dedup_exact": dedup.dedup_exact,
-        "minhash_signatures": dedup.minhash_signatures,
-        "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "simhash_docs": dedup.simhash_docs,
-        "dedup_clusters": dedup.dedup_clusters,
-        "lsh_drop_stats": dedup.lsh_drop_stats,
-        "dedup_incremental": dedup.dedup_incremental,
-        "dedup_survivors": dedup.dedup_survivors,
+        # --- never driver-checked: the 14 round-3 additions (VERDICT r3) ---
+        "extraction_funnel": transcribe.extraction_funnel,
+        "lsh_jaccard_verify": dedup.lsh_jaccard_verify,
+        "curation_funnel_v3": dedup.curation_funnel_v3,
+        "token_rarity": corpus.token_rarity,
+        "retention_cohorts": tpch.retention_cohorts,
+        "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,
+        "substring_dupes": dedup.substring_dupes,
+        "inverted_index": corpus.inverted_index,
+        "event_outliers": tpch.event_outliers,
+        "media_resize": multimodal.media_resize,
+        "frame_sample": multimodal.frame_sample,
+        "winnowing_fingerprints": dedup.winnowing_fingerprints,
+        "quality_classifier": corpus.quality_classifier,
+        "embedding_hygiene": similarity.embedding_hygiene,
+        # --- new in r4: value checks for the xxhash64 production path ---
+        # fast_parity: per-pair exact Jaccard computed from xxhash64 shingle
+        # sets on the portable candidate list, oracled from raw strings;
+        # substring_dupes_fast: hash-compressed windows, value-identical to
+        # substring_dupes and sharing its oracle verbatim
+        "fast_parity": dedup.fast_parity,
+        "substring_dupes_fast": dedup.substring_dupes_fast,
+        # --- changed this round (r4): must re-earn a green row ---
+        "curation_funnel": corpus.curation_funnel,
         # dedup production variants (seeded xxhash64, JVM-side end to end);
-        # deliberately NO oracle_sql twin — the hash values are
-        # engine-specific, so the driver records the weaker rows-only check
+        # their data plane is value-checked by fast_parity /
+        # substring_dupes_fast above; the raw signature/pair outputs keep
+        # the rows-only check (the hash VALUES are engine-specific by
+        # construction — and the band recall differs legitimately between
+        # hash families, so even set-level oracles don't exist; see the
+        # fast_parity docstring)
         "minhash_signatures_fast": dedup.minhash_signatures_fast,
         "lsh_candidate_pairs_fast": dedup.lsh_candidate_pairs_fast,
         "simhash_docs_fast": dedup.simhash_docs_fast,
-        # --- driver-unchecked as of r2: similarity / ANN family ---
-        "array_stats": similarity.array_stats,
-        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
-        "ann_lsh_buckets": similarity.ann_lsh_buckets,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "embedding_cosine_dups": similarity.embedding_cosine_dups,
-        "label_centroids": similarity.label_centroids,
-        "kmeans_step": similarity.kmeans_step,
-        "lsh_bucket_stats": similarity.lsh_bucket_stats,
-        "semantic_decontaminate": similarity.semantic_decontaminate,
-        # multimodal plumbing (SQL-checkable half; decode is pytest-only)
-        "media_meta_sql": multimodal.media_meta_sql,
-        # --- changed this round: must re-earn a green row ---
-        "pivot_event_matrix": tpch.pivot_event_matrix,
-        "hierarchy_lines": transcribe.hierarchy_lines,
-        "hierarchy_parents": transcribe.hierarchy_parents,
-        "range_join_events": asof.range_join_events,
-        "asof_join_events": asof.asof_join_events,
-        # --- window filler: core extraction + funnel (green r2, keep hot) ---
-        "extract_fulltext": transcribe.extract_fulltext,
-        "extract_word_boxes": transcribe.extract_word_boxes,
-        "extract_metrics_by_source": transcribe.extract_metrics_by_source,
-        "loss_mask_spans": transcribe.loss_mask_spans,
-        "conversation_stats": transcribe.conversation_stats,
-        "curation_funnel": corpus.curation_funnel,
-        "decontaminate": corpus.decontaminate,
-        "line_dedup": corpus.line_dedup,
-        "q1_pricing_summary": tpch.q1_pricing_summary,
-        "overlap_anti_join_geometric": tpch.overlap_anti_join_geometric,
-        "rollup_lineitem": tpch.rollup_lineitem,
-        "ordered_agg_lineitems": tpch.ordered_agg_lineitems,
-        "window_hourly_events": tpch.window_hourly_events,
-        # ---------------- position 51+: long-green r1+r2 stalwarts ----------
-        "broadcast_region_customers": tpch.broadcast_region_customers,
-        "anti_join_quiet_orders": tpch.anti_join_quiet_orders,
-        "window_rownum_orders": tpch.window_rownum_orders,
-        "session_gap_events": tpch.session_gap_events,
+        # --- window filler: least recently checked (last green in r2) ------
         "topk_orders": tpch.topk_orders,
         "min_by_supplier": tpch.min_by_supplier,
         "union_by_name": tpch.union_by_name,
@@ -137,22 +111,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": corpus.source_mixture,
         "mixture_stats": corpus.mixture_stats,
         "ngram_lm_counts": corpus.ngram_lm_counts,
-        # -- new in round 3 (registered at the END so they never displace the
-        # r2-unchecked rotation set from the driver's CORRECTNESS window) --
-        "lsh_jaccard_verify": dedup.lsh_jaccard_verify,
-        "curation_funnel_v3": dedup.curation_funnel_v3,
-        "token_rarity": corpus.token_rarity,
-        "retention_cohorts": tpch.retention_cohorts,
-        "minhash_jaccard_estimate": dedup.minhash_jaccard_estimate,
-        "substring_dupes": dedup.substring_dupes,
-        "inverted_index": corpus.inverted_index,
-        "event_outliers": tpch.event_outliers,
-        "media_resize": multimodal.media_resize,
-        "frame_sample": multimodal.frame_sample,
-        "winnowing_fingerprints": dedup.winnowing_fingerprints,
-        "quality_classifier": corpus.quality_classifier,
-        "embedding_hygiene": similarity.embedding_hygiene,
-        "extraction_funnel": transcribe.extraction_funnel,
+        # ------------- position 51+: green in the r3 window — rotate back ----
+        "broadcast_region_customers": tpch.broadcast_region_customers,
+        "anti_join_quiet_orders": tpch.anti_join_quiet_orders,
+        "window_rownum_orders": tpch.window_rownum_orders,
+        "session_gap_events": tpch.session_gap_events,
+        "boilerplate_blocks": boilerplate.boilerplate_blocks,
+        "boilerplate_strip": boilerplate.boilerplate_strip,
+        "curation_funnel_v2": boilerplate.curation_funnel_v2,
+        "vocab_coverage": corpus.vocab_coverage,
+        "tokenize_ids": corpus.tokenize_ids,
+        "gopher_rules": corpus.gopher_rules,
+        "dedup_exact": dedup.dedup_exact,
+        "minhash_signatures": dedup.minhash_signatures,
+        "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "simhash_docs": dedup.simhash_docs,
+        "dedup_clusters": dedup.dedup_clusters,
+        "lsh_drop_stats": dedup.lsh_drop_stats,
+        "dedup_incremental": dedup.dedup_incremental,
+        "dedup_survivors": dedup.dedup_survivors,
+        "array_stats": similarity.array_stats,
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "ann_lsh_buckets": similarity.ann_lsh_buckets,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "embedding_cosine_dups": similarity.embedding_cosine_dups,
+        "label_centroids": similarity.label_centroids,
+        "kmeans_step": similarity.kmeans_step,
+        "lsh_bucket_stats": similarity.lsh_bucket_stats,
+        "semantic_decontaminate": similarity.semantic_decontaminate,
+        "media_meta_sql": multimodal.media_meta_sql,
+        "pivot_event_matrix": tpch.pivot_event_matrix,
+        "hierarchy_lines": transcribe.hierarchy_lines,
+        "hierarchy_parents": transcribe.hierarchy_parents,
+        "range_join_events": asof.range_join_events,
+        "asof_join_events": asof.asof_join_events,
+        "extract_fulltext": transcribe.extract_fulltext,
+        "extract_word_boxes": transcribe.extract_word_boxes,
+        "extract_metrics_by_source": transcribe.extract_metrics_by_source,
+        "loss_mask_spans": transcribe.loss_mask_spans,
+        "conversation_stats": transcribe.conversation_stats,
+        "decontaminate": corpus.decontaminate,
+        "line_dedup": corpus.line_dedup,
+        "q1_pricing_summary": tpch.q1_pricing_summary,
+        "overlap_anti_join_geometric": tpch.overlap_anti_join_geometric,
+        "rollup_lineitem": tpch.rollup_lineitem,
+        "ordered_agg_lineitems": tpch.ordered_agg_lineitems,
+        "window_hourly_events": tpch.window_hourly_events,
     }
 
 
@@ -378,6 +383,22 @@ kept AS (
     SELECT * FROM geom
     WHERE NOT (doc_id % 5 = 0 AND line = 1)
 )"""
+
+
+_SUBSTRING_DUPES_SQL = f"""
+WITH {_CORPUS},
+w AS (
+    SELECT doc_id, i AS pos, substr(text, i, {dedup.WIN_W}) AS win
+    FROM corpus, unnest(generate_series(1, len(text) - {dedup.WIN_W - 1}, {dedup.WIN_S})) AS t(i)
+    WHERE len(text) >= {dedup.WIN_W}),
+wd AS (SELECT DISTINCT win, doc_id FROM w),
+wc AS (SELECT win, COUNT(*) AS n_docs FROM wd GROUP BY win)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(MIN(CASE WHEN n_docs >= 2 THEN pos END) AS BIGINT) AS first_shared_pos
+FROM w JOIN wc USING (win)
+GROUP BY doc_id ORDER BY doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1546,20 +1567,30 @@ FROM lsh_pairs p
 JOIN sigs a ON a.doc_id = p.doc_a
 JOIN sigs b ON b.doc_id = p.doc_b
 ORDER BY doc_a, doc_b""",
-        "substring_dupes": f"""
-WITH {_CORPUS},
-w AS (
-    SELECT doc_id, i AS pos, substr(text, i, {dedup.WIN_W}) AS win
-    FROM corpus, unnest(generate_series(1, len(text) - {dedup.WIN_W - 1}, {dedup.WIN_S})) AS t(i)
-    WHERE len(text) >= {dedup.WIN_W}),
-wd AS (SELECT DISTINCT win, doc_id FROM w),
-wc AS (SELECT win, COUNT(*) AS n_docs FROM wd GROUP BY win)
-SELECT doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_windows,
-       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-       CAST(MIN(CASE WHEN n_docs >= 2 THEN pos END) AS BIGINT) AS first_shared_pos
-FROM w JOIN wc USING (win)
-GROUP BY doc_id ORDER BY doc_id""",
+        "substring_dupes": _SUBSTRING_DUPES_SQL,
+        # the hash-compressed production twin is value-identical (window
+        # counts depend only on window EQUALITY, which xxhash64 preserves
+        # modulo 64-bit collisions) — same oracle verbatim
+        "substring_dupes_fast": _SUBSTRING_DUPES_SQL,
+        # fast_parity: Spark computes per-pair exact Jaccard from
+        # xxhash64-hashed shingle sets; the oracle recomputes the same
+        # integers from the raw shingle STRINGS on the same (portable,
+        # SQL-reproducible) candidate list — any divergence in the fast
+        # path's tokenization/hashing/set arithmetic mismatches pair by pair
+        "fast_parity": f"""
+WITH {_CORPUS}, {_SHINGLE_HASHES}, {_LSH_PAIR_CTES},
+dss AS (
+    SELECT doc_id, list_distinct(shingles) AS ss
+    FROM shingled WHERE len(shingles) > 0)
+SELECT p.doc_a, p.doc_b,
+       CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) AS n_inter,
+       CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS BIGINT) AS n_union,
+       CAST((len(list_intersect(a.ss, b.ss)) * 10000)
+            // (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) AS BIGINT) AS jaccard_bp
+FROM lsh_pairs p
+JOIN dss a ON a.doc_id = p.doc_a
+JOIN dss b ON b.doc_id = p.doc_b
+ORDER BY doc_a, doc_b""",
         "inverted_index": f"""
 WITH wd AS (
     SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w

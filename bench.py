@@ -445,6 +445,8 @@ def main() -> None:
         tracked={
             "curation_funnel_v2_sec": qtimes.get("curation_funnel_v2"),
             "curation_funnel_sec": qtimes.get("curation_funnel"),
+            "curation_funnel_v3_sec": qtimes.get("curation_funnel_v3"),
+            "extraction_funnel_sec": qtimes.get("extraction_funnel"),
             "stream_drain_sec": stream_drain["wall_sec"],
             "session_drain_sec": session_drain["wall_sec"],
             "stream_drain_rows_per_sec": stream_drain["input_rows_per_sec"],

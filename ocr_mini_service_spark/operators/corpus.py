@@ -748,17 +748,23 @@ def curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     surviving-doc counts per stage.
 
     Composition shape: every flag is computed in a single pass over the
-    corpus — one window on the content-hash key (dedup), one broadcast
-    LeftSemi against the fixed-size benchmark gram set (decontamination),
-    then a single partial+final aggregation of the six cumulative
+    corpus — one broadcast LeftSemi against the fixed-size benchmark gram
+    set (decontamination), then ONE aggregation on the content-hash key
+    that IS the dedup (the ``line_dedup`` keeper principle: a content key
+    duplicated 10^6 times collapses in the map-side partial aggregate,
+    where the window keeper this replaces would sort the whole hot key in
+    one task — VERDICT r3 item 3).  Text-determined flags (quality,
+    contamination) are group constants; doc-determined flags (split,
+    mixture) ride along on ``min(struct(doc_id, …))`` so the canonical
+    member's values — the only ones the post-dedup stages can see — survive
+    the group.  Finally one global aggregation of the six cumulative
     conjunctions unpivoted by ``stack``.  No stage re-scans the corpus; the
     funnel costs the same as its most expensive member."""
     docs = load(spark, sf, "documents")
     flags = docs.select(
         "doc_id",
-        "text",
+        F.md5("text").alias("ck"),
         (F.size(_words()) >= QUAL_MIN_WORDS).alias("q"),
-        (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy(F.md5("text")))).alias("canon"),
         (_split_expr() == "train").alias("is_train"),
     )
     # contamination flag for train docs (same grams + broadcast semi-join as decontaminate)
@@ -780,21 +786,37 @@ def curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
         .join(mix, "doc_id")
         .select(
             "doc_id",
+            "ck",
             "q",
-            "canon",
             "is_train",
             (~F.coalesce("dirty", F.lit(False))).alias("clean"),
             (F.col("kept") == 1).alias("mixed"),
         )
     )
-    stage_flags = ["q", "canon", "is_train", "clean", "mixed"]
-    survivors = [
+    # the dedup aggregation: group size, the text-determined flags (any
+    # member's value — they are group constants), and the canonical
+    # (min-doc_id) member's doc-determined flags
+    grouped = staged.groupBy("ck").agg(
+        F.count("*").alias("n"),
+        F.max(F.col("q").cast("long")).alias("q"),
+        F.max(F.col("clean").cast("long")).alias("clean"),
+        F.min(F.struct("doc_id", "is_train", "mixed")).alias("k"),
+    )
+    agg = grouped.agg(
+        F.sum("n").alias("s0"),
+        F.sum(F.col("n") * F.col("q")).alias("s1"),
+        F.sum("q").alias("s2"),
+        F.sum(F.col("q") * F.col("k.is_train").cast("long")).alias("s3"),
         F.sum(
-            F.expr(" AND ".join(stage_flags[: i + 1])).cast("long")
-        ).alias(f"s{i + 1}")
-        for i in range(len(stage_flags))
-    ]
-    agg = staged.agg(F.count("*").alias("s0"), *survivors)
+            F.col("q") * F.col("k.is_train").cast("long") * F.col("clean")
+        ).alias("s4"),
+        F.sum(
+            F.col("q")
+            * F.col("k.is_train").cast("long")
+            * F.col("clean")
+            * F.col("k.mixed").cast("long")
+        ).alias("s5"),
+    )
     out = agg.select(
         F.expr(
             "stack(6, 0, 'raw', s0, 1, 'quality', s1, 2, 'dedup', s2,"

@@ -801,6 +801,15 @@ def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", _hash_shingles(_shingles()).alias("sh")
     )
     w = WINNOW_W
+    # two-stage transform so the window slice is bound ONCE per position
+    # (a single transform would re-evaluate F.slice three times — inside
+    # array_position and twice via array_min; nested transforms materialize
+    # the w-element slice in the inner pass and the outer pass only reads
+    # it, ~3× less array churn on the hottest per-doc loop)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size("sh") - (w - 1)),
+        lambda i: F.struct(i.alias("i"), F.slice("sh", i, w).alias("win")),
+    )
     sel = hashed.select(
         "doc_id",
         F.explode(
@@ -808,16 +817,14 @@ def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
                 F.size("sh") >= w,
                 F.array_distinct(
                     F.transform(
-                        F.sequence(F.lit(1), F.size("sh") - (w - 1)),
-                        lambda i: F.struct(
+                        windows,
+                        lambda s: F.struct(
                             (
-                                i
-                                + F.array_position(
-                                    F.slice("sh", i, w), F.array_min(F.slice("sh", i, w))
-                                )
+                                s["i"]
+                                + F.array_position(s["win"], F.array_min(s["win"]))
                                 - 1
                             ).cast("long").alias("pos"),
-                            F.array_min(F.slice("sh", i, w)).alias("fp"),
+                            F.array_min(s["win"]).alias("fp"),
                         ),
                     )
                 ),
@@ -932,3 +939,103 @@ def curation_funnel_v3(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("stage_idx", "stage", "n_docs")
     )
     return ordered(out, "stage_idx")
+
+
+def fast_parity(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-visible VALUE check for the xxhash64 production data plane.
+
+    The ``_fast`` variants hash with a different family, so their band
+    collisions — and hence their raw candidate sets — are legitimately
+    different from the portable pipeline's (measured at sf0.01: 7 pairs
+    found only by portable bands, 7 only by fast bands; the differences
+    persist even after exact-Jaccard verification because a 2-band × 2-row
+    scheme has sub-1 recall per family).  Set equality is therefore not a
+    checkable property.  What IS exact is the data plane every fast stage
+    rides on: shingling → xxhash64 → distinct-set semantics.  On the
+    PORTABLE candidate pair list (reproducible in SQL), the exact Jaccard
+    computed from xxhash64-hashed shingle sets must equal the exact Jaccard
+    the oracle computes from the raw shingle STRINGS — hashing is injective
+    modulo 64-bit collisions, so any divergence in the fast path's
+    tokenization, hashing, null handling, or set arithmetic mismatches
+    these integers pair by pair.
+
+    Scale shape: identical to ``lsh_jaccard_verify`` — capped banded pair
+    list, two doc-id hash joins, per-pair O(|sh_a| + |sh_b|) intersection;
+    the double-hashed frame feeds three subtrees and is localCheckpointed
+    once (driver-query-sized: one row per doc)."""
+    corpus = _docs_with_mutants(spark, sf)
+    has_shingles = F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE
+    both = (
+        _with_words(corpus.filter(has_shingles))
+        .select("doc_id", _shingles().alias("shs"))
+        .select(
+            "doc_id",
+            _hash_shingles(F.col("shs")).alias("slow_sh"),
+            F.transform("shs", lambda s: F.xxhash64(s)).alias("fast_sh"),
+        )
+        .localCheckpoint()
+    )
+    pairs = _lsh_pairs(
+        spark, sf, sigs=_sigs_from_hashed(both.select("doc_id", F.col("slow_sh").alias("sh")))
+    )
+    fsets = both.select("doc_id", F.array_distinct("fast_sh").alias("sh"))
+    a = fsets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = fsets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    out = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            (F.size("sh_a") + F.size("sh_b"))
+            .cast("long")
+            .alias("n_total"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("n_total") - F.col("n_inter")).alias("n_union"),
+            F.expr("(n_inter * 10000) div (n_total - n_inter)").alias("jaccard_bp"),
+        )
+    )
+    return ordered(out, "doc_a", "doc_b")
+
+
+def substring_dupes_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """Production twin of ``substring_dupes``: the WIN_W-char window string
+    is xxhash64-compressed BEFORE the explode, so the shuffle moves 8-byte
+    keys instead of 36-char strings — the exact plan shape the
+    ``substring_dupes`` docstring promises for 10^12 turns.  Window counts
+    only depend on window EQUALITY, which the hash preserves (injective
+    modulo 64-bit collisions), so the per-doc output is value-identical to
+    the raw-string variant and shares its DuckDB oracle verbatim — a full
+    driver-visible correctness row for the fast path."""
+    corpus = _docs_with_mutants(spark, sf)
+    docs = corpus.filter(F.length("text") >= WIN_W)
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.length("text") - (WIN_W - 1), F.lit(WIN_S)
+                ),
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    F.xxhash64(F.col("text").substr(p, F.lit(WIN_W))).alias("win_h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.win_h")
+    wdocs = wins.select("win_h", "doc_id").distinct()
+    wcount = wdocs.groupBy("win_h").agg(F.count("*").alias("n_docs"))
+    flagged = wins.join(wcount, "win_h")
+    out = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared"),
+        F.min(F.when(F.col("n_docs") >= 2, F.col("pos"))).cast("long").alias(
+            "first_shared_pos"
+        ),
+    )
+    return ordered(out, "doc_id")

@@ -10,14 +10,17 @@ over ``mapInPandas``.
 Decode support is tiered by what a container without codec libraries can
 honestly do:
 
-- **uncompressed rasters are REALLY decoded** in pure Python/numpy:
-  binary PPM (netpbm ``P6``) and 24-bit BI_RGB BMP — header parse, pixel
-  extraction, Rec.601 mean luma (``_decode_ppm`` / ``_decode_bmp``);
-- compressed formats (JPEG/PNG) and audio/video remain STUBBED behind a
-  deterministic fake seeded from the payload hash (``_decode_stub``) —
-  swap for PIL/pyav in production.  The Spark-side plumbing (schema,
-  batch shape, partitioning, UDF signature, per-row error isolation) is
-  identical for both tiers and is what's under test.
+- **rasters the container can honestly decode are REALLY decoded** in
+  pure Python/stdlib/numpy: binary PPM (netpbm ``P6``), 24-bit BI_RGB
+  BMP, and — since zlib is stdlib — non-interlaced 8-bit PNG
+  (gray / gray+alpha / RGB / RGBA, all five filter types;
+  ``_decode_png``).  Header parse, inflate, unfilter, Rec.601 mean luma.
+- JPEG and audio/video remain STUBBED behind a deterministic fake seeded
+  from the payload hash (``_decode_stub``) — those genuinely need a codec
+  library (DCT/entropy decode) the container doesn't ship; swap for
+  PIL/pyav in production.  The Spark-side plumbing (schema, batch shape,
+  partitioning, UDF signature, per-row error isolation) is identical for
+  both tiers and is what's under test.
 """
 
 from __future__ import annotations
@@ -166,6 +169,137 @@ def _decode_bmp(payload: bytes) -> dict:
     }
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth only; palette needs PLTE
+# indirection and is rejected explicitly rather than half-supported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Iterate (type, data) over the PNG chunk stream.  Length-framed walk;
+    CRCs are present but not verified (zlib.crc32 over 100 TB of thumbnails
+    buys nothing the inflate itself won't catch — truncation and garbage
+    both fail the decompress or the size check below)."""
+    import struct
+
+    i = 8  # past the magic
+    n = len(payload)
+    while i + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, data
+        i += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG stream ended without IEND")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the per-row PNG filters (spec §6: 0 none, 1 sub, 2 up,
+    3 average, 4 paeth).  Row-sequential by construction (each row may
+    reference the reconstructed row above); within a row, sub is a grouped
+    cumulative sum (vectorized per byte-phase), average/paeth are the
+    genuinely sequential ones and loop per byte — fine for thumbnail-sized
+    rasters, and the whole decode runs inside the Arrow-batched worker."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y * (stride + 1)])
+        row = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y > 0 else np.zeros(stride, np.int64)
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:  # sub: rec[x] = row[x] + rec[x-bpp]
+            rec = row.copy()
+            for c in range(bpp):
+                rec[c::bpp] = np.cumsum(rec[c::bpp]) % 256
+        elif ftype == 2:  # up
+            rec = row + prev
+        elif ftype == 3:  # average — predictor reads RECONSTRUCTED (mod-256)
+            rec = np.zeros(stride, np.int64)  # bytes, so wrap at every step
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (row[x] + (left + prev[x]) // 2) % 256
+        elif ftype == 4:  # paeth — same wrap-at-every-step requirement
+            rec = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = (rec % 256).astype(np.uint8)
+    return out
+
+
+def _decode_png_pixels(payload: bytes) -> np.ndarray:
+    """Real decode of a non-interlaced 8-bit PNG via stdlib zlib: IHDR
+    parse, concatenated-IDAT inflate, per-row unfilter, channel expansion
+    to (h, w, 3) RGB.  Gray expands to three equal channels; alpha is
+    dropped (straight, not premultiplied — luma is computed over the color
+    samples as stored, the same numbers Jimp's bitmap exposes).  Palette,
+    16-bit, and interlaced files raise — unsupported is an error, never a
+    silent stub downgrade (the reference decodes these via Jimp,
+    src/ocr/code-reader.service.ts:22-30)."""
+    import struct
+    import zlib
+
+    ihdr = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG (depth={depth}, color_type={color})")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (compression={comp}, filter={filt}, interlace={interlace})"
+        )
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data size {raw.size} != expected {h * (stride + 1)}"
+        )
+    px = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    if color == 0:  # gray
+        return np.repeat(px, 3, axis=2)
+    if color == 4:  # gray + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGB / RGBA (alpha dropped)
+
+
+def _decode_png(payload: bytes) -> dict:
+    px = _decode_png_pixels(payload)
+    return {
+        "width": px.shape[1],
+        "height": px.shape[0],
+        "mean_luma": float((px.astype(np.float64) @ _LUMA).mean() / 255.0),
+        "n_frames": 1,
+    }
+
+
 _DIB_HEADER_SIZES = (40, 52, 56, 108, 124)  # known BITMAPINFO header widths
 
 
@@ -185,16 +319,18 @@ def _sniff_bmp(payload: bytes) -> bool:
 
 
 def _decode(payload: bytes, media_type: str, w: int, h: int) -> dict:
-    """Tiered dispatcher: real pure-Python decode for uncompressed rasters
-    (magic-sniffed — PPM needs 'P6'+whitespace, BMP needs 'BM' plus a known
-    DIB header size, so prose bytes can't false-positive), deterministic
-    stub for everything else.  A payload that CLAIMS a real format but
+    """Tiered dispatcher: real pure-Python decode for the decodable
+    raster tier (magic-sniffed — PPM needs 'P6'+whitespace, BMP needs 'BM'
+    plus a known DIB header size, PNG its full 8-byte magic, so prose
+    bytes can't false-positive), deterministic stub for everything else.  A payload that CLAIMS a real format but
     fails to parse surfaces as a decode error — never silently downgraded
     to the stub."""
     if payload[:2] == b"P6" and payload[2:3].isspace():
         return _decode_ppm(payload)
     if _sniff_bmp(payload):
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
     return _decode_stub(payload, media_type, w, h)
 
 
@@ -267,7 +403,7 @@ RESIZED = StructType(
 def _resize_grid(payload: bytes, media_type: str, w: int, h: int) -> list[int]:
     """THUMB x THUMB integer luma grid, row-major.
 
-    Real rasters (PPM/BMP) are genuinely resized: nearest-neighbor index
+    Real rasters (PPM/BMP/PNG) are genuinely resized: nearest-neighbor index
     mapping src = (dst * src_dim) // THUMB, per-pixel integer luma
     (299R + 587G + 114B) // 1000 — all floor arithmetic, so the grid is
     bit-stable across platforms.  Stubbed formats derive the grid from the
@@ -277,6 +413,8 @@ def _resize_grid(payload: bytes, media_type: str, w: int, h: int) -> list[int]:
         raster = _decode_ppm_pixels(payload)
     elif _sniff_bmp(payload):
         raster = _decode_bmp_pixels(payload)
+    elif payload[:8] == _PNG_MAGIC:
+        raster = _decode_png_pixels(payload)
     else:
         raster = None
     if raster is None:

@@ -399,11 +399,16 @@ def extraction_funnel(spark: SparkSession, sf: str) -> DataFrame:
     an INDEPENDENT SQL derivation of the extraction arithmetic.
 
     Scale shape: one kernel pass (no shuffle), flags in one narrow
-    projection, the dedup keeper via a window on the extracted-text key
-    (duplicate groups are tiny by construction), one global aggregate row
-    unpivoted by stack."""
-    from pyspark.sql.window import Window
-
+    projection, then ONE aggregation on the content-hash key that IS the
+    dedup: per-text group size + the (text-determined, hence
+    group-constant) quality flag, so the stage counts fall out as plain
+    sums — s2 counts groups, i.e. exactly one canonical per duplicate set.
+    This is the ``line_dedup`` keeper principle taken one step further:
+    a mass-duplicated extraction collapses in the map-side partial
+    aggregate, never sorts a hot content key in one task (the window
+    keeper this replaces would — VERDICT r3 item 3), and the funnel needs
+    no mark-back join at all because no per-doc flag survives past the
+    group."""
     ex = extract_fused(build_transcripts(spark, sf)).select(
         F.col("conv_id").cast("bigint").alias("doc_id"), "extracted_text"
     )
@@ -418,20 +423,21 @@ def extraction_funnel(spark: SparkSession, sf: str) -> DataFrame:
         F.size("w").alias("n_words"),
         F.expr("(size(array_distinct(w)) * 10000) div size(w)").alias("distinct_bp"),
     )
-    flags = sig.select(
-        (
-            (F.col("n_words") >= EXF_MIN_WORDS)
-            & (F.col("distinct_bp") >= EXF_DISTINCT_MIN_BP)
+    grouped = sig.groupBy(F.md5("extracted_text").alias("ck")).agg(
+        F.count("*").alias("n"),
+        # q derives from extracted_text alone, so it is constant within a
+        # content group; max() just picks that constant
+        F.max(
+            (
+                (F.col("n_words") >= EXF_MIN_WORDS)
+                & (F.col("distinct_bp") >= EXF_DISTINCT_MIN_BP)
+            ).cast("long")
         ).alias("q"),
-        (
-            F.col("doc_id")
-            == F.min("doc_id").over(Window.partitionBy("extracted_text"))
-        ).alias("canon"),
     )
-    agg = flags.agg(
-        F.count("*").alias("s0"),
-        F.sum(F.col("q").cast("long")).alias("s1"),
-        F.sum((F.col("q") & F.col("canon")).cast("long")).alias("s2"),
+    agg = grouped.agg(
+        F.sum("n").alias("s0"),
+        F.sum(F.col("n") * F.col("q")).alias("s1"),
+        F.sum("q").alias("s2"),
     )
     out = agg.select(
         F.expr(

@@ -192,3 +192,148 @@ def test_degenerate_raster_headers_error_not_nan(spark):
     assert out[1]["error"] and "invalid PPM dimensions" in out[1]["error"]
     assert out[2]["error"] and "invalid PPM dimensions" in out[2]["error"]
     assert out[3]["error"] and "truncated BMP" in out[3]["error"]
+
+# ---------------------------------------------------------------------------
+# PNG: real stdlib-zlib decode (non-interlaced 8-bit gray/GA/RGB/RGBA,
+# filters 0-4)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype, data):
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png(w, h, rows_px, color_type=2, filters=None):
+    """Minimal PNG encoder for fixtures: 8-bit, non-interlaced, one IDAT.
+    ``rows_px`` — per row, per pixel, a tuple with the channel count of
+    ``color_type`` (0 gray, 2 RGB, 4 gray+alpha, 6 RGBA).  ``filters`` —
+    per-row filter type (default all 0); the encoder applies the spec's
+    forward transform so the decoder must invert it exactly."""
+    import zlib
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    filters = filters or [0] * h
+    stride = w * ch
+    raw = bytearray()
+    prev = [0] * stride
+    for y, row in enumerate(rows_px):
+        cur = [v for px in row for v in px]
+        assert len(cur) == stride
+        f = filters[y]
+        raw.append(f)
+        for x in range(stride):
+            left = cur[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:  # paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            raw.append((cur[x] - pred) % 256)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_color_types_exact():
+    """Exact dims + Rec.601 luma for gray, gray+alpha, RGB, RGBA — alpha
+    dropped, gray expanded; all values bit-checked against hand math."""
+    rgb = multimodal._decode_png(_png(2, 2, [[(0, 0, 0), (255, 255, 255)],
+                                             [(255, 0, 0), (0, 255, 0)]], 2))
+    assert (rgb["width"], rgb["height"], rgb["n_frames"]) == (2, 2, 1)
+    assert abs(rgb["mean_luma"] - _WANT_LUMA) < 1e-12
+
+    gray = multimodal._decode_png(_png(2, 1, [[(0,), (102,)]], 0))
+    assert abs(gray["mean_luma"] - (0 + 102) / 2 / 255.0) < 1e-12
+
+    ga = multimodal._decode_png(_png(2, 1, [[(0, 7), (102, 200)]], 4))
+    assert abs(ga["mean_luma"] - (0 + 102) / 2 / 255.0) < 1e-12  # alpha ignored
+
+    rgba = multimodal._decode_png(
+        _png(2, 2, [[(0, 0, 0, 9), (255, 255, 255, 9)],
+                    [(255, 0, 0, 9), (0, 255, 0, 9)]], 6)
+    )
+    assert abs(rgba["mean_luma"] - _WANT_LUMA) < 1e-12
+
+
+def test_png_all_five_filters_roundtrip():
+    """A gradient image stored once per filter type (and once with mixed
+    per-row filters) must reconstruct to identical pixels: the unfilter
+    pass inverts sub/up/average/paeth exactly."""
+    import numpy as np
+
+    w, h = 7, 5
+    rows = [
+        [((x * 37 + y * 11) % 256, (x * 5 + y * 83) % 256, (x * x + y) % 256)
+         for x in range(w)]
+        for y in range(h)
+    ]
+    want = multimodal._decode_png_pixels(_png(w, h, rows, 2))
+    for f in (1, 2, 3, 4):
+        got = multimodal._decode_png_pixels(_png(w, h, rows, 2, filters=[f] * h))
+        assert np.array_equal(got, want), f"filter {f} mismatch"
+    mixed = multimodal._decode_png_pixels(
+        _png(w, h, rows, 2, filters=[0, 1, 2, 3, 4])
+    )
+    assert np.array_equal(mixed, want)
+
+
+def test_png_unsupported_and_corrupt_error_not_stub(spark):
+    """Palette/16-bit/interlaced/truncated PNGs surface as decode errors
+    through the kernel — a file claiming PNG magic never silently takes
+    the stub."""
+    good = _png(2, 2, _PX, 2)
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    png16 = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr16) + _png_chunk(b"IEND", b"")
+    ihdr_pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    png_pal = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_pal) + _png_chunk(b"IEND", b"")
+    ihdr_il = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    png_il = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_il) + _png_chunk(b"IEND", b"")
+    rows = [
+        (1, good, "image", 9, 9),
+        (2, png16, "image", 9, 9),
+        (3, png_pal, "image", 9, 9),
+        (4, png_il, "image", 9, 9),
+        (5, good[:-20], "image", 9, 9),  # IEND (and IDAT crc) clipped
+    ]
+    out = {
+        r["media_id"]: r
+        for r in spark.createDataFrame(rows, schema=multimodal.MEDIA)
+        .mapInPandas(multimodal._extract_batches, schema=multimodal.FEATURES)
+        .collect()
+    }
+    assert out[1]["error"] is None and (out[1]["width"], out[1]["height"]) == (2, 2)
+    assert abs(out[1]["mean_luma"] - _WANT_LUMA) < 1e-12
+    assert out[2]["error"] and "depth=16" in out[2]["error"]
+    assert out[3]["error"] and "color_type=3" in out[3]["error"]
+    assert out[4]["error"] and "interlace=1" in out[4]["error"]
+    assert out[5]["error"]
+
+
+def test_png_resize_nearest_neighbor():
+    """media_resize's grid path consumes the PNG decode: quadrant lumas
+    tile the 8x8 grid exactly as the PPM/BMP tier does."""
+    grid = multimodal._resize_grid(_png(2, 2, _PX, 2), "image", 99, 99)
+    q = [[0, 255], [76, 149]]
+    want = [q[(ty * 2) // 8][(tx * 2) // 8] for ty in range(8) for tx in range(8)]
+    assert grid == want

@@ -363,9 +363,53 @@ def test_embedding_hygiene_is_one_keyed_aggregate(spark, sf_dir):
 
 def test_extraction_funnel_runs_the_kernel_exactly_once(spark, sf_dir):
     """The flagship composition evaluates the fused Arrow kernel ONCE: one
-    MapInArrow node feeding the gate projection, the dedup window, and the
-    final aggregate — no join, no second kernel pass."""
+    MapInArrow node feeding the gate projection, the content-key dedup
+    aggregation, and the final aggregate — no join, no second kernel pass."""
     plan = formatted_plan(entry.queries()["extraction_funnel"](spark, sf_dir))
     assert len(set(re.findall(r"\((\d+)\) MapInArrow", plan))) == 1, plan
     assert "Join" not in plan, plan
     assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) <= 4, plan
+
+
+def test_extraction_funnel_keeper_is_aggregation_not_window(spark, sf_dir):
+    """The exact-dedup keeper over the extracted text must be an AGGREGATION
+    on the content-hash key (map-side partial agg collapses a
+    mass-duplicated extraction per input partition before the shuffle) — a
+    window over the content key would sort the whole hot key in one task
+    (VERDICT r3 item 3)."""
+    plan = formatted_plan(entry.queries()["extraction_funnel"](spark, sf_dir))
+    assert not re.search(r"\(\d+\) Window", plan), plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+
+
+def test_curation_funnel_keeper_is_aggregation_not_window(spark, sf_dir):
+    """Same keeper rule for the exact-dedup stage of the curation funnel:
+    groupBy(md5(text)) aggregation (group size + text-constant flags +
+    min(struct) for the canonical member's doc-determined flags), never a
+    window over the content key (VERDICT r3 item 3)."""
+    plan = formatted_plan(entry.queries()["curation_funnel"](spark, sf_dir))
+    assert not re.search(r"\(\d+\) Window", plan), plan
+    assert re.search(r"partial_min|HashAggregate.*min", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_fast_parity_is_capped_pairs_plus_hash_joins(spark, sf_dir):
+    """fast_parity rides the lsh_jaccard_verify shape: banded capped pair
+    list + two doc-id hash joins bringing the xxhash64 shingle sets to the
+    pairs — no all-pairs product anywhere.  (The xxhash64 stage itself sits
+    behind the shared localCheckpoint, so it is not visible in this final
+    plan; its values are pinned by the DuckDB oracle instead.)"""
+    plan = formatted_plan(entry.queries()["fast_parity"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert len(re.findall(r"\(\d+\) \w*HashJoin", plan)) >= 2, plan
+
+
+def test_substring_dupes_fast_shuffles_hashes_not_strings(spark, sf_dir):
+    """The production twin must shuffle 8-byte xxhash64 window keys, not
+    raw 36-char window strings: every Exchange that carries a window key
+    hashes on win_h (LONG), and the plan contains no `win` string column."""
+    plan = formatted_plan(entry.queries()["substring_dupes_fast"](spark, sf_dir))
+    assert "xxhash64" in plan, plan
+    assert "win_h" in plan, plan
+    assert not re.search(r"\bwin#\d+(?! *L)", plan), plan
+    assert "CartesianProduct" not in plan, plan
