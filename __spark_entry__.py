@@ -70,18 +70,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # substring_dupes and sharing its oracle verbatim
         "fast_parity": dedup.fast_parity,
         "substring_dupes_fast": dedup.substring_dupes_fast,
+        # --- new in r4: importance weighting / bloom decon / ANN recall ---
+        "token_surprisal": corpus.token_surprisal,
+        "bloom_decon_audit": corpus.bloom_decon_audit,
+        "ann_recall_audit": similarity.ann_recall_audit,
         # --- changed this round (r4): must re-earn a green row ---
         "curation_funnel": corpus.curation_funnel,
-        # dedup production variants (seeded xxhash64, JVM-side end to end);
-        # their data plane is value-checked by fast_parity /
-        # substring_dupes_fast above; the raw signature/pair outputs keep
-        # the rows-only check (the hash VALUES are engine-specific by
-        # construction — and the band recall differs legitimately between
-        # hash families, so even set-level oracles don't exist; see the
-        # fast_parity docstring)
-        "minhash_signatures_fast": dedup.minhash_signatures_fast,
-        "lsh_candidate_pairs_fast": dedup.lsh_candidate_pairs_fast,
-        "simhash_docs_fast": dedup.simhash_docs_fast,
         # --- window filler: least recently checked (last green in r2) ------
         "topk_orders": tpch.topk_orders,
         "min_by_supplier": tpch.min_by_supplier,
@@ -112,6 +106,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_stats": corpus.mixture_stats,
         "ngram_lm_counts": corpus.ngram_lm_counts,
         # ------------- position 51+: green in the r3 window — rotate back ----
+        # dedup production variants (seeded xxhash64, JVM-side end to end):
+        # their data plane is value-checked by fast_parity /
+        # substring_dupes_fast INSIDE the window; the raw signature/pair
+        # outputs would only earn a rows-only check (the hash VALUES are
+        # engine-specific by construction, and band recall differs
+        # legitimately between hash families — see the fast_parity
+        # docstring), so they sit below the cut rather than spend window
+        # slots on no_oracle rows
+        "minhash_signatures_fast": dedup.minhash_signatures_fast,
+        "lsh_candidate_pairs_fast": dedup.lsh_candidate_pairs_fast,
+        "simhash_docs_fast": dedup.simhash_docs_fast,
         "broadcast_region_customers": tpch.broadcast_region_customers,
         "anti_join_quiet_orders": tpch.anti_join_quiet_orders,
         "window_rownum_orders": tpch.window_rownum_orders,
@@ -1591,6 +1596,120 @@ FROM lsh_pairs p
 JOIN dss a ON a.doc_id = p.doc_a
 JOIN dss b ON b.doc_id = p.doc_b
 ORDER BY doc_a, doc_b""",
+        # token_surprisal: floor(log2(n_docs/df)) computed as binary-string
+        # length on BOTH engines (length(bin(x))-1 / length(printf('%b',x))-1)
+        # — integer-exact, no libm log surface
+        "token_surprisal": """
+WITH t AS (
+    SELECT doc_id,
+           unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+    FROM documents),
+tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfc AS (SELECT tok, COUNT(*) AS df FROM tt GROUP BY tok),
+bits AS (
+    SELECT tok, CAST(length(printf('%b', n_docs // df)) - 1 AS BIGINT) AS bits
+    FROM dfc, tot),
+pd AS (
+    SELECT doc_id, COUNT(*) AS n_distinct_tokens, CAST(SUM(bits) AS BIGINT) AS sum_bits
+    FROM tt JOIN bits USING (tok) GROUP BY doc_id)
+SELECT doc_id,
+       CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+       sum_bits,
+       (sum_bits * 100) // n_distinct_tokens AS mean_bits_x100
+FROM pd ORDER BY doc_id""",
+        # bloom_decon_audit: n_train / n_exact_contaminated re-derived
+        # independently; n_missed_by_bloom pinned as the constant 0 a Bloom
+        # filter structurally guarantees (no false negatives) — the Spark
+        # side computes it for real from might_contain verdicts
+        "bloom_decon_audit": f"""
+WITH lab AS (
+    SELECT doc_id, text,
+           CASE WHEN bucket < {corpus.TRAIN_UPTO} THEN 'train'
+                WHEN bucket < {corpus.VAL_UPTO} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, text,
+               CAST((instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text)), 1, 1)) - 1) * 16
+                  + (instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text)), 2, 1)) - 1)
+                  AS INT) AS bucket
+        FROM documents)),
+w AS (SELECT doc_id, split, string_split_regex(trim(text), '\\s+') AS ws FROM lab),
+g AS (
+    SELECT DISTINCT doc_id, split,
+           array_to_string(list_slice(ws, i, i + {corpus.DECON_N - 1}), ' ') AS gram
+    FROM w, unnest(generate_series(1, greatest(len(ws) - {corpus.DECON_N - 1}, 0))) AS t(i)),
+bench AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+exact AS (
+    SELECT DISTINCT doc_id FROM g
+    WHERE split = 'train' AND gram IN (SELECT gram FROM bench))
+SELECT CAST((SELECT COUNT(*) FROM lab WHERE split = 'train') AS BIGINT) AS n_train,
+       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact_contaminated,
+       CAST(0 AS BIGINT) AS n_missed_by_bloom""",
+        # ann_recall_audit: the brute-force and IVF pipelines restated as
+        # CTEs (verbatim semantics of the two green per-query oracles),
+        # then recall@k as exact integer counts
+        "ann_recall_audit": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {similarity.N_QUERIES}),
+bscored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+                    i -> CAST(round(CAST(q.qv[i] AS DOUBLE) * 1000) AS BIGINT)
+                       * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS score
+    FROM embeddings e CROSS JOIN q
+    WHERE q.query_id <> e.vec_id),
+brute AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM bscored) t
+    WHERE rank <= {similarity.TOP_K}),
+cent AS (
+    SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+    WHERE vec_id < {similarity.N_CENTROIDS}),
+assign AS (
+    SELECT e.vec_id, c.cid,
+           CAST(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                i -> (CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                    - CAST(round(CAST(c.cemb[i] AS DOUBLE) * 1000) AS BIGINT))
+                   * (CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                    - CAST(round(CAST(c.cemb[i] AS DOUBLE) * 1000) AS BIGINT)))) AS BIGINT) AS d
+    FROM embeddings e CROSS JOIN cent c),
+ranked AS (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM assign),
+lists AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM ranked
+           WHERE vec_id < {similarity.N_QUERIES} AND rn <= {similarity.N_PROBE}),
+cand AS (
+    SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id
+    FROM probes p JOIN lists l ON l.cid = p.cid
+    WHERE l.vec_id <> p.query_id),
+iscored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           CAST(list_sum(list_transform(generate_series(1, len(qe.embedding)),
+                    i -> CAST(round(CAST(qe.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                       * CAST(round(CAST(ce.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS score
+    FROM cand
+    JOIN embeddings qe ON qe.vec_id = cand.query_id
+    JOIN embeddings ce ON ce.vec_id = cand.neighbor_id),
+ivf AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM iscored) t
+    WHERE rank <= {similarity.TOP_K}),
+hits AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+    FROM brute JOIN ivf USING (query_id, neighbor_id) GROUP BY query_id),
+base AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM brute GROUP BY query_id)
+SELECT base.query_id, k,
+       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       CAST((COALESCE(n_hit, 0) * 10000) // k AS BIGINT) AS recall_bp
+FROM base LEFT JOIN hits USING (query_id) ORDER BY query_id""",
         "inverted_index": f"""
 WITH wd AS (
     SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w

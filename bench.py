@@ -179,12 +179,12 @@ def _kernel_calibration(levels=(2, 8)) -> dict[int, float]:
     return out
 
 
-def _timed_run(spark, transcripts) -> tuple[float, int]:
+def _timed_run(spark, transcripts, n_buckets: int = N_BUCKETS) -> tuple[float, int]:
     shutil.rmtree(OUT, ignore_errors=True)
     from ocr_mini_service_spark.manifest import run_with_manifest
 
     t0 = time.time()
-    stats = run_with_manifest(spark, transcripts, OUT, n_buckets=N_BUCKETS, resume=False)
+    stats = run_with_manifest(spark, transcripts, OUT, n_buckets=n_buckets, resume=False)
     return time.time() - t0, stats["n_turns"]
 
 
@@ -192,7 +192,9 @@ _EXEC_CORES = 2
 _EXEC_MEM_MB = 6144
 
 
-def _session_runs(master: str, n_timed: int, app: str = "bench") -> list[float]:
+def _session_runs(
+    master: str, n_timed: int, app: str = "bench", n_buckets: int = N_BUCKETS
+) -> list[float]:
     """One SparkSession at the given master: untimed warm-up job (small
     input) + n_timed timed runs on the main input; returns throughputs."""
     from ocr_mini_service_spark.manifest import load_transcripts
@@ -211,10 +213,10 @@ def _session_runs(master: str, n_timed: int, app: str = "bench") -> list[float]:
     try:
         transcripts = load_transcripts(spark, DATA)
         transcripts.count()
-        _timed_run(spark, load_transcripts(spark, WARM_DATA))  # warm-up, discarded
+        _timed_run(spark, load_transcripts(spark, WARM_DATA), n_buckets)  # warm-up, discarded
         thrs = []
         for _ in range(n_timed):
-            dt, n = _timed_run(spark, transcripts)
+            dt, n = _timed_run(spark, transcripts, n_buckets)
             thrs.append(n / dt)
         return thrs
     finally:
@@ -395,8 +397,19 @@ def main() -> None:
     thr_1x = max(thrNs)
     thr_4x = max(thr4Ns)
     eff_exec = statistics.median(ratios) / 4.0
-    thr8 = max(_session_runs("local[8]", 1, app="bench-local8"))
-    thr32 = max(_session_runs("local[32]", 2, app="bench-local32"))
+    # thread-pair transparency points, WAVE-MATCHED: 8 task waves per slot
+    # count on both sides (64 buckets / 8 slots, 256 / 32).  The r4
+    # profiling session (tools/profile_scaling.py) attributed most of the
+    # historical 8->32 gap (0.52 measured vs 0.80 busy ceiling) to wave
+    # quantization: the fixed 64-bucket job is 8 waves at local[8] but only
+    # 2 waves at local[32], where one straggler in the last wave idles up
+    # to 31 slots — moving local[32] to 256 buckets measured 1.37x (median
+    # of 3 interleaved rounds; 4-JVM split 0.91x, arrow 8k batches 1.07x —
+    # both noise).  The ABBA executor criterion above keeps the fixed
+    # 64-bucket job: its 2- and 8-slot sides run 32 and 8 waves, both
+    # already fine-grained.
+    thr8 = max(_session_runs("local[8]", 1, app="bench-local8", n_buckets=64))
+    thr32 = max(_session_runs("local[32]", 2, app="bench-local32", n_buckets=256))
     eff_8_32 = (thr32 / thr8) / 4.0
 
     # --- driver queries at SF_DIR on local[CPUS] ---
@@ -486,9 +499,33 @@ probes, and the used-round indices are in the bench JSON
 | pair | thr @ N (turns/s) | thr @ 4N (turns/s) | efficiency | busy-loop ceiling | kernel-mp ceiling |
 |---|---|---|---|---|---|
 | **1 exec -> 4 execs x 2 cores (headline)** | {thr_1x:.0f} | {thr_4x:.0f} | **{eff_exec:.3f}** (median of ABBA ratios {", ".join(f"{r:.2f}" for r in ratios)}, /4) | {busy_eff_2_8:.3f} | {kern_eff_2_8:.3f} |
-| local[8] -> local[32] threads (transparency) | {thr8:.0f} | {thr32:.0f} | {eff_8_32:.3f} | {busy_eff_8_32:.3f} | — |
+| local[8] -> local[32] threads (transparency, wave-matched buckets 64/256) | {thr8:.0f} | {thr32:.0f} | {eff_8_32:.3f} | {busy_eff_8_32:.3f} | — |
 
 {history_md}
+## Thread-scaling attribution (round-4 profiling session)
+
+The historical local[8]->local[32] gap (0.52 measured in r3 vs the 0.80
+busy-loop ceiling) was profiled with ``tools/profile_scaling.py``: five
+configurations interleaved over 3 rounds on the same 600k-turn input, each
+session warm-up + best-of-2, all at 32 cores unless noted.  Median ratio
+vs the baseline (local[32], 64 buckets, arrow batch 2048):
+
+| hypothesis | config | median ratio | verdict |
+|---|---|---|---|
+| wave quantization | 256 buckets (8 waves instead of 2) | **1.37x** (1.30-1.90 per round) | CONFIRMED — the gap |
+| single-JVM co-tenancy | local-cluster[4,8] (same 32 cores, 4 JVMs) | 0.91x | no effect |
+| Arrow batch amortization | maxRecordsPerBatch 8192 | 1.07x | within noise |
+
+With only 2 task waves, one straggler in the last wave idles up to 31
+slots; at 8 waves the tail amortizes.  Consequences applied: (a)
+``run_with_manifest``'s default is now **8 x defaultParallelism** buckets
+(was 2x), (b) the thread-pair row above is measured wave-matched (8 waves
+per slot count on both sides; the ABBA executor criterion keeps the fixed
+64-bucket job — its 2- and 8-slot sides run 32 and 8 waves, both already
+fine-grained).  Residual 8->32 inefficiency (~0.7 vs the 0.80 busy-loop
+ceiling) tracks the hypervisor's own >16-thread cycle cap, not a pipeline
+property.
+
 Two machine calibrations contextualize these numbers on this shared VM:
 
 - **busy-loop ceiling** — the same N->4N measurement for a trivial pure-CPU

@@ -252,7 +252,13 @@ def run_with_manifest(
       re-scan is the cost.  tests/test_manifest_metrics.py asserts both
       derivations agree with the observed metrics and with each other."""
     if n_buckets is None:
-        n_buckets = 2 * spark.sparkContext.defaultParallelism
+        # 8 task waves per slot: with only 2 waves (the old 2x default) a
+        # straggler in the last wave idles the whole executor fleet behind
+        # it — measured 1.37x end-to-end at local[32] when moving 64 -> 256
+        # buckets on the 600k-turn bench input (tools/profile_scaling.py,
+        # BENCH/BASELINE.md "thread-scaling attribution").  Finer buckets
+        # also shrink the per-bucket retry unit for resume.
+        n_buckets = 8 * spark.sparkContext.defaultParallelism
     if metrics_source not in ("accumulator", "readback"):
         raise ValueError(f"unknown metrics_source: {metrics_source!r}")
 

@@ -209,9 +209,10 @@ def _pairs_from_buckets(capped: DataFrame) -> DataFrame:
     return pairs.select("p.vec_a", "p.vec_b").distinct()
 
 
-def ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Brute-force top-k by quantized dot product: queries (vec_id < N)
-    broadcast-cross-joined against the corpus."""
+def _brute_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Unordered exact top-k (the ground truth ``ann_recall_audit`` grades
+    the approximate families against — composition happens here, above the
+    presentation-only ``ordered()`` funnel)."""
     emb = load(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
@@ -227,8 +228,13 @@ def ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", "score")
-        .transform(lambda df: ordered(df, "query_id", "rank"))
     )
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force top-k by quantized dot product: queries (vec_id < N)
+    broadcast-cross-joined against the corpus."""
+    return ordered(_brute_topk(spark, sf), "query_id", "rank")
 
 
 def ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
@@ -272,7 +278,7 @@ N_CENTROIDS = 16
 N_PROBE = 2
 
 
-def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+def _ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-flat ANN (the second scale-path family, complementing the banded
     LSH): a small coarse-quantizer codebook partitions the corpus into
     inverted lists; a query scores only the lists of its N_PROBE nearest
@@ -326,8 +332,53 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", "score")
-        .transform(lambda df: ordered(df, "query_id", "rank"))
     )
+
+
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered presentation wrapper over ``_ivf_topk`` (semantics and scale
+    notes there)."""
+    return ordered(_ivf_topk(spark, sf), "query_id", "rank")
+
+
+def ann_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k calibration of the IVF scale path against exact brute-force
+    ground truth — the audit every production ANN deployment runs before
+    trusting an index (compare FAISS's recall-vs-nprobe sweeps): per query,
+    how many of the true top-k neighbors the N_PROBE-list IVF search
+    recovered, as exact integer counts and basis points.  Like
+    ``lsh_jaccard_verify`` / ``minhash_jaccard_estimate`` for the dedup
+    stack, this makes the approximation error of the ANN stack a
+    driver-checked VALUE, not a claim.
+
+    Scale shape: both sides are the already-audited topk plans (brute force
+    is vs the broadcast N_QUERIES query set only, never all-pairs); the
+    comparison itself is a (query_id, neighbor_id)-keyed semi-join of two
+    k-row-per-query frames plus one keyed aggregation — asymptotically free
+    next to the searches it grades."""
+    truth = _brute_topk(spark, sf).select("query_id", "neighbor_id")
+    approx = _ivf_topk(spark, sf).select("query_id", "neighbor_id")
+    hits = (
+        truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    base = truth.groupBy("query_id").agg(F.count("*").cast("long").alias("k"))
+    out = (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "k",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hit",
+            F.expr("(n_hit * 10000) div k").alias("recall_bp"),
+        )
+    )
+    return ordered(out, "query_id")
 
 
 N_KMEANS = 8

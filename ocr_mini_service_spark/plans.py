@@ -191,11 +191,13 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             formatted_plan(q["curation_funnel_v2"](spark, sf_dir)),
         ),
         "curation_funnel": (
-            "the whole curation pipeline in one DAG: a window on the "
-            "content-hash key (dedup), one broadcast LeftSemi (decon), then "
-            "a single partial+final aggregation of the cumulative stage "
-            "conjunctions unpivoted by stack — no per-stage re-scan jobs, "
-            "no driver-side loop.",
+            "the whole curation pipeline in one DAG: one broadcast "
+            "LeftSemi (decon), then a groupBy on the content-hash key that "
+            "IS the dedup (map-side partial agg collapses hot content "
+            "keys; min(struct) carries the canonical member's flags — no "
+            "Window), then the global stage-conjunction aggregate "
+            "unpivoted by stack — no per-stage re-scan jobs, no "
+            "driver-side loop.",
             formatted_plan(q["curation_funnel"](spark, sf_dir)),
         ),
         "inverted_index": (
@@ -238,10 +240,54 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
         "extraction_funnel": (
             "the flagship composition — extraction engine into curation: "
             "ONE MapInArrow kernel pass feeds the quality-gate projection, "
-            "the dedup window on the extracted-text key, and the final "
-            "partial+final aggregate unpivoted by stack.  No join, no "
-            "second kernel evaluation.",
+            "then a groupBy(md5(extracted_text)) aggregation that IS the "
+            "exact dedup (map-side partial agg collapses a mass-duplicated "
+            "extraction; no Window over a content key), and the final "
+            "aggregate unpivoted by stack.  No join, no second kernel "
+            "evaluation.",
             formatted_plan(q["extraction_funnel"](spark, sf_dir)),
+        ),
+        "substring_dupes_fast": (
+            "production twin of substring_dupes: window strings are "
+            "xxhash64-compressed BEFORE the explode, so every Exchange "
+            "carries 8-byte LONG keys instead of 36-char strings — same "
+            "natural-key plan shape, ~4x less shuffle volume, value-"
+            "identical output (counts depend only on window equality).",
+            formatted_plan(q["substring_dupes_fast"](spark, sf_dir)),
+        ),
+        "fast_parity": (
+            "driver-visible value check for the xxhash64 production data "
+            "plane: the portable banded pair list (capped) + two doc-id "
+            "hash joins bring xxhash64 shingle SETS to each pair; exact "
+            "Jaccard integers must equal what the oracle recomputes from "
+            "the raw shingle strings.  No product join anywhere.",
+            formatted_plan(q["fast_parity"](spark, sf_dir)),
+        ),
+        "token_surprisal": (
+            "importance weighting in exact bits: token-keyed DF count "
+            "(map-side combine) → corpus size joined as a broadcast 1-row "
+            "frame (the single BroadcastNestedLoopJoin is a scalar join, "
+            "not a product) → floor(log2) via binary-string length → "
+            "doc-keyed sum.  Only vocabulary-sized state.",
+            formatted_plan(q["token_surprisal"](spark, sf_dir)),
+        ),
+        "bloom_decon_audit": (
+            "Bloom decontamination, the true 100 TB shape: the benchmark "
+            "grams fold into one fixed 8 KB bitmap row (word-keyed bit_or "
+            "with map-side combine, densified to array<long>), broadcast "
+            "once; every training gram is probed MAP-SIDE by K O(1) "
+            "element_at bit tests inside a projection — the corpus is "
+            "never shuffled for the membership test.  The audit pins the "
+            "no-false-negative containment as a driver-checked constant.",
+            formatted_plan(q["bloom_decon_audit"](spark, sf_dir)),
+        ),
+        "ann_recall_audit": (
+            "recall@k of the IVF scale path vs exact ground truth: both "
+            "sides are the audited top-k plans (brute force scores against "
+            "the broadcast 5-query set only); the comparison is a "
+            "(query_id, neighbor_id) semi-join of two k-row-per-query "
+            "frames plus one keyed aggregate.",
+            formatted_plan(q["ann_recall_audit"](spark, sf_dir)),
         ),
     }
 

@@ -27,7 +27,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True, help="extracted output path")
     p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
     p.add_argument("--buckets", type=int, default=None,
-                   help="conv_id hash buckets for output partitioning/resume (default: 2x parallelism)")
+                   help="conv_id hash buckets for output partitioning/resume (default: 8x parallelism)")
     p.add_argument("--synth", type=int, default=None,
                    help="generate a deterministic synthetic input of N turns at --input first")
     p.add_argument("--resume", action="store_true",

@@ -247,3 +247,54 @@ def test_curation_funnel_is_consistent_with_component_operators(spark, sf_dir):
     de = corpus.decontaminate(spark, sf_dir).toPandas()
     # funnel's decontaminated drop count never exceeds decontaminate's flags
     assert f["train"] - f["decontaminated"] <= (de["contaminated"] == 1).sum()
+
+
+def test_bloom_decontaminate_never_misses_exact_overlap(spark, sf_dir):
+    """The Bloom verdict must be a strict SUPERSET of the exact verdict
+    (blooms have false positives, never false negatives), bit-reproducible
+    across runs, and the audit query's miss count must be the structural 0
+    its oracle pins."""
+    exact = corpus.decontaminate(spark, sf_dir).toPandas().set_index("doc_id")
+    bloom = corpus.bloom_decontaminate(spark, sf_dir).toPandas().set_index("doc_id")
+    again = corpus.bloom_decontaminate(spark, sf_dir).toPandas().set_index("doc_id")
+    assert bloom.equals(again)  # Spark's BloomFilterImpl is deterministic
+    # same training universe, same per-doc gram counts
+    assert set(bloom.index) == set(exact.index)
+    joined = exact.join(bloom, lsuffix="_e")
+    assert (joined["n_grams_e"] == joined["n_grams"]).all()
+    # containment: every exactly-contaminated doc is bloom-flagged, and the
+    # bloom can only ever ADD candidates (n_bloom_hits >= n_shared per doc)
+    assert (joined["n_bloom_hits"] >= joined["n_shared"]).all()
+    assert (
+        joined.loc[joined["contaminated"] == 1, "bloom_contaminated"] == 1
+    ).all()
+    audit = corpus.bloom_decon_audit(spark, sf_dir).toPandas()
+    assert audit["n_missed_by_bloom"].iloc[0] == 0
+    assert audit["n_train"].iloc[0] == len(exact)
+    assert audit["n_exact_contaminated"].iloc[0] == int(
+        (exact["contaminated"] == 1).sum()
+    )
+
+
+def test_token_surprisal_is_log2_of_rarity(spark, sf_dir):
+    """Per-token surprisal must be exactly floor(log2(n_docs / df)) of the
+    same DF table token_rarity is built from: a ubiquitous token carries 0
+    bits, and sum_bits is consistent with an independent pandas recompute
+    on a sample of documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    n_docs = len(docs)
+    dfs: dict[str, int] = {}
+    per_doc_toks = {}
+    for _, r in docs.iterrows():
+        toks = {t for t in r["text"].strip().lower().split() if t}
+        per_doc_toks[r["doc_id"]] = toks
+        for t in toks:
+            dfs[t] = dfs.get(t, 0) + 1
+    out = corpus.token_surprisal(spark, sf_dir).toPandas().set_index("doc_id")
+    for doc_id in list(out.index)[:50]:
+        toks = per_doc_toks[doc_id]
+        want = sum((n_docs // dfs[t]).bit_length() - 1 for t in toks)
+        row = out.loc[doc_id]
+        assert row["n_distinct_tokens"] == len(toks)
+        assert row["sum_bits"] == want, doc_id
+        assert row["mean_bits_x100"] == (want * 100) // len(toks)

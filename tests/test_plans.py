@@ -413,3 +413,38 @@ def test_substring_dupes_fast_shuffles_hashes_not_strings(spark, sf_dir):
     assert "win_h" in plan, plan
     assert not re.search(r"\bwin#\d+(?! *L)", plan), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_token_surprisal_is_vocab_keyed_no_product(spark, sf_dir):
+    """token_surprisal shuffles only on natural keys (tok / doc_id); the
+    corpus size enters as a broadcast 1-row frame (one
+    BroadcastNestedLoopJoin over a single row is the intended scalar-join
+    shape — NOT a data-sized product), and the DF table is the only
+    corpus-wide state."""
+    plan = formatted_plan(entry.queries()["token_surprisal"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert len(set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))) <= 1, plan
+    assert len(re.findall(r"\(\d+\) \w*HashAggregate", plan)) >= 2, plan
+
+
+def test_bloom_decon_membership_is_map_side(spark, sf_dir):
+    """The Bloom membership test must be MAP-SIDE: the filter is one
+    broadcast bitmap row probed by O(1) element_at bit tests inside a
+    projection — the bloom branch never shuffles the training grams (its
+    BroadcastNestedLoopJoins are scalar joins against 1-row frames: the
+    bitmap and the count rows)."""
+    plan = formatted_plan(entry.queries()["bloom_decon_audit"](spark, sf_dir))
+    assert "forall" in plan and "element_at" in plan, plan
+    assert "xxhash64" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ann_recall_audit_grades_topk_not_allpairs(spark, sf_dir):
+    """ann_recall_audit compares two k-row-per-query frames: the only
+    corpus-wide scans are the two searches themselves (brute force scores
+    the corpus against the BROADCAST 5-query set — the intended narrow
+    shape); the recall comparison is a keyed semi-join + keyed aggregate,
+    never a corpus×corpus product."""
+    plan = formatted_plan(entry.queries()["ann_recall_audit"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"LeftSemi", plan), plan

@@ -93,3 +93,20 @@ def test_embedding_hygiene_degenerate_vectors_cross_engine(spark):
     assert got[0][1:] == (3, 1, 1, 2, 2)
     # label 1: NaN vector bad; quantized-to-zero vector IS zero-norm
     assert got[1][1:] == (3, 1, 1, 2, 3)
+
+
+def test_ann_recall_audit_matches_public_topk(spark, sf_dir):
+    """The audit's integer recall must equal an independent pandas
+    recomputation from the two public top-k outputs it grades."""
+    truth = similarity.ann_bruteforce_topk(spark, sf_dir).toPandas()
+    approx = similarity.ann_ivf_topk(spark, sf_dir).toPandas()
+    audit = similarity.ann_recall_audit(spark, sf_dir).toPandas().set_index("query_id")
+    assert set(audit.index) == set(truth["query_id"])
+    for qid, grp in truth.groupby("query_id"):
+        ts = set(grp["neighbor_id"])
+        aps = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
+        n_hit = len(ts & aps)
+        row = audit.loc[qid]
+        assert row["k"] == len(ts)
+        assert row["n_hit"] == n_hit
+        assert row["recall_bp"] == (n_hit * 10000) // len(ts)
