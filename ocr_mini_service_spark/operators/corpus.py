@@ -973,6 +973,9 @@ def token_surprisal(spark: SparkSession, sf: str) -> DataFrame:
 # guarantee.
 BLOOM_M = 1 << 16
 BLOOM_K = 4
+_BLOOM_WORD_BITS = 32  # 32-bit packing keeps every mask a positive long
+_BLOOM_WORDS = BLOOM_M // _BLOOM_WORD_BITS
+_BLOOM_MASKS = [1 << i for i in range(_BLOOM_WORD_BITS)]
 
 
 def _bloom_positions(gram_col):
@@ -987,38 +990,52 @@ def _bloom_positions(gram_col):
     )
 
 
-def _bloom_build(grams: DataFrame) -> DataFrame:
-    """Fold a gram set into a 1-row Bloom bitmap: explode the K positions,
-    distinct them (map-side combine collapses hot positions before the
-    shuffle; at most BLOOM_M survive regardless of input size), collect as
-    a position->true map, then densify to a fixed-length array<boolean> so
-    membership probes are O(1) index lookups, not array scans."""
-    pos = grams.select(
-        F.explode(_bloom_positions(F.col("gram"))).alias("pos")
-    ).distinct()
-    m = pos.agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(F.col("pos").cast("int").alias("k"), F.lit(True).alias("v"))
-            )
-        ).alias("m")
+def _bloom_build(grams: DataFrame) -> list[int]:
+    """Fold a gram set into a dense BLOOM_M-bit bitmap as _BLOOM_WORDS
+    32-bit words: explode the K positions, OR them into words with one
+    word-keyed distributed aggregate (map-side combine collapses hot
+    positions; at most _BLOOM_WORDS rows survive regardless of input
+    size), then collect that CONFIG-BOUNDED result and densify on the
+    driver.  The collect is the scalar-subquery materialization Spark's
+    own runtime bloom filters perform — the filter value must reach the
+    probe EXPRESSION as a constant; it is never corpus-sized."""
+    word = F.expr(f"CAST(pos div {_BLOOM_WORD_BITS} AS INT)")
+    bit = F.pmod(F.col("pos"), F.lit(_BLOOM_WORD_BITS)).cast("int")
+    mask = F.element_at(
+        F.array(*[F.lit(m).cast("long") for m in _BLOOM_MASKS]), bit + 1
     )
-    return m.select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(BLOOM_M - 1)),
-            lambda i: F.coalesce(F.element_at("m", i), F.lit(False)),
-        ).alias("bits")
+    rows = (
+        grams.select(F.explode(_bloom_positions(F.col("gram"))).alias("pos"))
+        .select(word.alias("widx"), mask.alias("mask"))
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("word"))
+        .collect()
     )
+    dense = [0] * _BLOOM_WORDS
+    for r in rows:
+        dense[r["widx"]] = r["word"]
+    return dense
 
 
-def _bloom_might_contain(bits_col, gram_col):
-    """Map-side membership probe: all BLOOM_K positions set.  ``F.get`` on
-    the dense bitmap array is an O(1) index lookup; no join, no shuffle,
-    no data-sized state — exactly what might_contain compiles to in
-    Spark's runtime filters."""
+def _bloom_might_contain(bits: list[int], gram_col):
+    """Map-side membership probe: all BLOOM_K positions set.  The bitmap
+    enters the expression as a LITERAL array (constant-folded once per
+    plan, shared across rows — the same inlining Spark's runtime bloom
+    filters use), so each probe is an O(1) ``F.get`` word load plus a mask
+    AND: no join, no per-row copy of the filter, no data-sized state."""
+    lit_words = F.array(*[F.lit(int(w)).cast("long") for w in bits])
+    lit_masks = F.array(*[F.lit(m).cast("long") for m in _BLOOM_MASKS])
     return F.forall(
         _bloom_positions(gram_col),
-        lambda p: F.get(bits_col, p.cast("int")),
+        lambda p: (
+            F.get(lit_words, (p / F.lit(_BLOOM_WORD_BITS)).cast("int"))
+            .bitwiseAND(
+                F.element_at(
+                    lit_masks, F.pmod(p, F.lit(_BLOOM_WORD_BITS)).cast("int") + 1
+                )
+            )
+            != 0
+        ),
     )
 
 
@@ -1031,11 +1048,11 @@ def _bloom_flags(spark: SparkSession, sf: str) -> DataFrame:
     bench_grams = (
         _doc_grams(docs.filter(F.col("split") == "test")).select("gram").distinct()
     )
-    bloom = _bloom_build(bench_grams)
+    bits = _bloom_build(bench_grams)
     tg = _doc_grams(train)
-    flagged = tg.crossJoin(F.broadcast(bloom)).select(
+    flagged = tg.select(
         "doc_id",
-        _bloom_might_contain(F.col("bits"), F.col("gram")).alias("hit"),
+        _bloom_might_contain(bits, F.col("gram")).alias("hit"),
     )
     return flagged.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_grams"),
@@ -1051,12 +1068,13 @@ def _bloom_flags(spark: SparkSession, sf: str) -> DataFrame:
 def bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-filter benchmark decontamination — the shape production
     pipelines actually run at 100 TB: the held-out gram set is folded into
-    a fixed BLOOM_M-position Bloom filter (``_bloom_build``), broadcast as
-    ONE dense bitmap row, and every training gram is tested MAP-SIDE by
-    K O(1) bit probes (``_bloom_might_contain``) — the membership test
-    never shuffles the corpus at all (contrast ``decontaminate``, whose
-    broadcast LeftSemi still hashes the full gram set, which GROWS with
-    the benchmark; the bloom broadcast does not).  Blooms have no false
+    a fixed BLOOM_M-bit Bloom filter (``_bloom_build``), inlined into the
+    probe expression as a constant-folded literal, and every training gram
+    is tested MAP-SIDE by K O(1) bit probes (``_bloom_might_contain``) —
+    the membership test never shuffles the corpus at all (contrast
+    ``decontaminate``, whose broadcast LeftSemi still hashes the full gram
+    set, which GROWS with the benchmark; the bloom stays BLOOM_M bits
+    forever).  Blooms have no false
     negatives, so a 'hit' set strictly contains the exact overlap; the
     per-doc output makes the false-positive overhead observable and
     ``bloom_decon_audit`` pins the containment as a driver-checked
@@ -1085,22 +1103,39 @@ def bloom_decon_audit(spark: SparkSession, sf: str) -> DataFrame:
     bench_grams = (
         _doc_grams(docs.filter(F.col("split") == "test")).select("gram").distinct()
     )
-    tg = _doc_grams(train)
-    exact_docs = (
-        tg.join(F.broadcast(bench_grams), "gram", "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
-    bloom_docs = (
-        _bloom_flags(spark, sf)
-        .filter(F.col("bloom_contaminated") == 1)
-        .select("doc_id")
-    )
-    missed = exact_docs.join(bloom_docs, "doc_id", "left_anti")
-    return (
-        train.agg(F.count("*").cast("long").alias("n_train"))
-        .crossJoin(
-            exact_docs.agg(F.count("*").cast("long").alias("n_exact_contaminated"))
+    bits = _bloom_build(bench_grams)
+    # ONE pass over the training grams carrying BOTH verdicts (the exact
+    # mark via the broadcast join, the bloom mark via the literal probe) —
+    # Spark does not share subtrees, so separate exact/bloom/missed count
+    # branches would re-derive the corpus-sized gram frame once each
+    marked = (
+        _doc_grams(train)
+        .join(
+            F.broadcast(bench_grams.withColumn("ex", F.lit(1))), "gram", "left"
         )
-        .crossJoin(missed.agg(F.count("*").cast("long").alias("n_missed_by_bloom")))
+        .select(
+            "doc_id",
+            F.coalesce("ex", F.lit(0)).alias("ex"),
+            _bloom_might_contain(bits, F.col("gram")).cast("int").alias("bl"),
+        )
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.max("ex").alias("exact_hit"), F.max("bl").alias("bloom_hit")
+    )
+    # gramless train docs (shorter than DECON_N words) can hit neither
+    # verdict but still count toward n_train
+    base = train.select("doc_id").join(per_doc, "doc_id", "left")
+    return base.agg(
+        F.count("*").cast("long").alias("n_train"),
+        F.sum(F.coalesce("exact_hit", F.lit(0)))
+        .cast("long")
+        .alias("n_exact_contaminated"),
+        F.sum(
+            (
+                (F.coalesce("exact_hit", F.lit(0)) == 1)
+                & (F.coalesce("bloom_hit", F.lit(0)) == 0)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_missed_by_bloom"),
     )

@@ -273,12 +273,15 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
         ),
         "bloom_decon_audit": (
             "Bloom decontamination, the true 100 TB shape: the benchmark "
-            "grams fold into one fixed 8 KB bitmap row (word-keyed bit_or "
-            "with map-side combine, densified to array<long>), broadcast "
-            "once; every training gram is probed MAP-SIDE by K O(1) "
-            "element_at bit tests inside a projection — the corpus is "
-            "never shuffled for the membership test.  The audit pins the "
-            "no-false-negative containment as a driver-checked constant.",
+            "grams fold into a fixed 2^16-bit bitmap (word-keyed bit_or "
+            "with map-side combine, config-bounded collect — the scalar-"
+            "subquery materialization Spark's own runtime bloom filters "
+            "perform), inlined as a constant-folded literal; every "
+            "training gram is probed MAP-SIDE by K O(1) word-load+mask "
+            "tests inside a projection — no join, no per-row filter copy, "
+            "the corpus never shuffles for the membership test.  The "
+            "audit pins the no-false-negative containment as a driver-"
+            "checked constant.",
             formatted_plan(q["bloom_decon_audit"](spark, sf_dir)),
         ),
         "ann_recall_audit": (

@@ -428,11 +428,11 @@ def test_token_surprisal_is_vocab_keyed_no_product(spark, sf_dir):
 
 
 def test_bloom_decon_membership_is_map_side(spark, sf_dir):
-    """The Bloom membership test must be MAP-SIDE: the filter is one
-    broadcast bitmap row probed by O(1) element_at bit tests inside a
-    projection — the bloom branch never shuffles the training grams (its
-    BroadcastNestedLoopJoins are scalar joins against 1-row frames: the
-    bitmap and the count rows)."""
+    """The Bloom membership test must be MAP-SIDE: the bitmap enters the
+    plan as a constant-folded literal probed by O(1) word-load+mask tests
+    inside a projection — the bloom branch has NO join at all, so the
+    training grams are never shuffled (and never pay a per-row copy of
+    the filter) for the membership test."""
     plan = formatted_plan(entry.queries()["bloom_decon_audit"](spark, sf_dir))
     assert "forall" in plan and "element_at" in plan, plan
     assert "xxhash64" in plan, plan
