@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_surprisal": corpus.token_surprisal,
         "bloom_decon_audit": corpus.bloom_decon_audit,
         "ann_recall_audit": similarity.ann_recall_audit,
+        "text_normalize": corpus.text_normalize,
+        "normalized_dedup": corpus.normalized_dedup,
         # --- changed this round (r4): must re-earn a green row ---
         "curation_funnel": corpus.curation_funnel,
         # --- window filler: least recently checked (last green in r2) ------
@@ -1646,11 +1648,12 @@ exact AS (
 SELECT CAST((SELECT COUNT(*) FROM lab WHERE split = 'train') AS BIGINT) AS n_train,
        CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact_contaminated,
        CAST(0 AS BIGINT) AS n_missed_by_bloom""",
-        # ann_recall_audit: the brute-force and IVF pipelines restated as
-        # CTEs (verbatim semantics of the two green per-query oracles),
-        # then recall@k as exact integer counts
+        # ann_recall_audit: the brute-force, IVF, and banded-LSH pipelines
+        # restated as CTEs (verbatim semantics of the three green per-query
+        # oracles), then recall@k per family as exact integer counts
         "ann_recall_audit": f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {similarity.N_QUERIES}),
+WITH {_sql_bands_cte("embeddings", cast_double=True)},
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {similarity.N_QUERIES}),
 bscored AS (
     SELECT q.query_id, e.vec_id AS neighbor_id,
            CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
@@ -1702,14 +1705,70 @@ ivf AS (
                     ORDER BY score DESC, neighbor_id ASC) AS rank
         FROM iscored) t
     WHERE rank <= {similarity.TOP_K}),
-hits AS (
+lq AS (SELECT vec_id AS query_id, band, bucket FROM bands WHERE vec_id < {similarity.N_QUERIES}),
+lcand AS (
+    SELECT DISTINCT lq.query_id, c.vec_id AS neighbor_id
+    FROM bands c JOIN lq ON c.band = lq.band AND c.bucket = lq.bucket
+    WHERE lq.query_id <> c.vec_id),
+lscored AS (
+    SELECT lcand.query_id, lcand.neighbor_id,
+           CAST(list_sum(list_transform(generate_series(1, len(qe.embedding)),
+                    i -> CAST(round(CAST(qe.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                       * CAST(round(CAST(ce.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS score
+    FROM lcand
+    JOIN embeddings qe ON qe.vec_id = lcand.query_id
+    JOIN embeddings ce ON ce.vec_id = lcand.neighbor_id),
+lsh AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM lscored) t
+    WHERE rank <= {similarity.TOP_K}),
+ivf_hits AS (
     SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
     FROM brute JOIN ivf USING (query_id, neighbor_id) GROUP BY query_id),
+lsh_hits AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+    FROM brute JOIN lsh USING (query_id, neighbor_id) GROUP BY query_id),
 base AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM brute GROUP BY query_id)
-SELECT base.query_id, k,
+SELECT 'ivf' AS family, base.query_id, k,
        CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
        CAST((COALESCE(n_hit, 0) * 10000) // k AS BIGINT) AS recall_bp
-FROM base LEFT JOIN hits USING (query_id) ORDER BY query_id""",
+FROM base LEFT JOIN ivf_hits USING (query_id)
+UNION ALL
+SELECT 'lsh' AS family, base.query_id, k,
+       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       CAST((COALESCE(n_hit, 0) * 10000) // k AS BIGINT) AS recall_bp
+FROM base LEFT JOIN lsh_hits USING (query_id)
+ORDER BY family, query_id""",
+        # text_normalize / normalized_dedup: the normalization chain must be
+        # IDENTICAL on both engines — Spark regexp_replace is replace-all by
+        # default, DuckDB needs the 'g' flag
+        "text_normalize": """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS norm_text,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                       ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM documents ORDER BY doc_id""",
+        "normalized_dedup": """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, upper(text) || '  !!' AS text
+    FROM documents WHERE doc_id % 3 = 2),
+n AS (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS nt
+    FROM corpus),
+g AS (SELECT nt, MIN(doc_id) AS keeper, COUNT(*) AS grp_size FROM n GROUP BY nt)
+SELECT n.doc_id,
+       CAST(grp_size AS BIGINT) AS grp_size,
+       CAST(n.doc_id = keeper AS INT) AS canonical
+FROM n JOIN g USING (nt) ORDER BY doc_id""",
         "inverted_index": f"""
 WITH wd AS (
     SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w

@@ -1139,3 +1139,74 @@ def bloom_decon_audit(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_missed_by_bloom"),
     )
+
+
+def _norm_expr(col: str = "text"):
+    """Canonical text normalization shared by ``text_normalize`` and
+    ``normalized_dedup`` (the C4/CCNet-style pre-dedup canonicalization:
+    case-fold, strip everything outside [a-z0-9 ] to spaces, collapse
+    whitespace runs, trim).  Kept to constructs with identical semantics
+    in Java regex and DuckDB RE2 — Spark's regexp_replace replaces all
+    occurrences by default, DuckDB needs the explicit 'g' flag in the
+    oracle."""
+    lowered = F.lower(F.col(col))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(stripped, " +", " "))
+
+
+def text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Text canonicalization as a first-class operator: per document, the
+    normalized text plus raw/normalized lengths (the shrinkage is itself a
+    quality signal — a doc that loses most of its characters to
+    normalization was markup or punctuation soup).
+
+    Scale shape: one narrow projection, zero shuffles, whole-stage
+    codegen end to end."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    out = docs.select(
+        "doc_id",
+        _norm_expr().alias("norm_text"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(_norm_expr()).cast("long").alias("n_chars_norm"),
+    )
+    return ordered(out, "doc_id")
+
+
+def _docs_with_reformatted(spark: SparkSession, sf: str) -> DataFrame:
+    """documents + a deterministic 'reformatted republication' overlay
+    (doc_id+2000000 for every doc_id % 3 == 2): upper-cased with trailing
+    punctuation and doubled spacing — byte-different, normalization-equal.
+    The overlay is what makes ``normalized_dedup`` a real test: exact
+    dedup CANNOT merge these pairs, normalized dedup MUST."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 3 == 2).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  !!")).alias("text"),
+    )
+    return docs.unionByName(variants)
+
+
+def normalized_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup AFTER normalization — the standard first rung of a web
+    dedup ladder (byte-identical dedup misses trivially reformatted
+    republications; MinHash is overkill for them).  Every reformatted
+    overlay doc must land in its base doc's group.
+
+    Scale shape: the ``line_dedup`` keeper principle — group size and the
+    canonical (min doc_id) member come from ONE aggregation on the
+    normalized-content key (map-side partial agg collapses a
+    mass-republished page before the shuffle; never a window over the hot
+    content key), then an equi-join marks members back."""
+    n = _docs_with_reformatted(spark, sf).select(
+        "doc_id", F.md5(_norm_expr()).alias("nk")
+    )
+    groups = n.groupBy("nk").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count("*").cast("long").alias("grp_size"),
+    )
+    out = n.join(groups, "nk").select(
+        "doc_id",
+        "grp_size",
+        (F.col("doc_id") == F.col("keeper")).cast("int").alias("canonical"),
+    )
+    return ordered(out, "doc_id")

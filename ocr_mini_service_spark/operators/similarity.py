@@ -237,7 +237,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(_brute_topk(spark, sf), "query_id", "rank")
 
 
-def ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+def _lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Banded sign-LSH ANN (the scale path): a neighbor is scored iff it
     shares >= 1 of the query's B band buckets — bucket-join candidate
     generation, never all-pairs, with the bucket space (B × 2^R) sized by
@@ -270,8 +270,13 @@ def ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", "score")
-        .transform(lambda df: ordered(df, "query_id", "rank"))
     )
+
+
+def ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered presentation wrapper over ``_lsh_topk`` (semantics and scale
+    notes there)."""
+    return ordered(_lsh_topk(spark, sf), "query_id", "rank")
 
 
 N_CENTROIDS = 16
@@ -342,43 +347,52 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def ann_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
-    """Recall@k calibration of the IVF scale path against exact brute-force
-    ground truth — the audit every production ANN deployment runs before
-    trusting an index (compare FAISS's recall-vs-nprobe sweeps): per query,
-    how many of the true top-k neighbors the N_PROBE-list IVF search
-    recovered, as exact integer counts and basis points.  Like
-    ``lsh_jaccard_verify`` / ``minhash_jaccard_estimate`` for the dedup
-    stack, this makes the approximation error of the ANN stack a
-    driver-checked VALUE, not a claim.
+    """Recall@k calibration of BOTH approximate ANN families (banded
+    sign-LSH and IVF) against exact brute-force ground truth — the audit
+    every production ANN deployment runs before trusting an index (compare
+    FAISS's recall-vs-nprobe sweeps): per family and query, how many of
+    the true top-k neighbors the approximate search recovered, as exact
+    integer counts and basis points.  Like ``lsh_jaccard_verify`` /
+    ``minhash_jaccard_estimate`` for the dedup stack, this makes the
+    approximation error of the ANN stack a driver-checked VALUE, not a
+    claim.
 
-    Scale shape: both sides are the already-audited topk plans (brute force
-    is vs the broadcast N_QUERIES query set only, never all-pairs); the
-    comparison itself is a (query_id, neighbor_id)-keyed semi-join of two
-    k-row-per-query frames plus one keyed aggregation — asymptotically free
-    next to the searches it grades."""
-    truth = _brute_topk(spark, sf).select("query_id", "neighbor_id")
-    approx = _ivf_topk(spark, sf).select("query_id", "neighbor_id")
-    hits = (
-        truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count("*").cast("long").alias("n_hit"))
+    Scale shape: all three sides are the already-audited topk plans (brute
+    force is vs the broadcast N_QUERIES query set only, never all-pairs);
+    the ground truth is k×N_QUERIES rows — driver-query-sized — so it is
+    localCheckpointed once and reused by all four consumers; each
+    comparison is a (query_id, neighbor_id)-keyed semi-join of two
+    k-row-per-query frames plus one keyed aggregation — asymptotically
+    free next to the searches it grades."""
+    truth = (
+        _brute_topk(spark, sf).select("query_id", "neighbor_id").localCheckpoint()
     )
     base = truth.groupBy("query_id").agg(F.count("*").cast("long").alias("k"))
-    out = (
-        base.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            "k",
-            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+    parts = []
+    for family, topk_fn in (("ivf", _ivf_topk), ("lsh", _lsh_topk)):
+        approx = topk_fn(spark, sf).select("query_id", "neighbor_id")
+        hits = (
+            truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("n_hit"))
         )
-        .select(
-            "query_id",
-            "k",
-            "n_hit",
-            F.expr("(n_hit * 10000) div k").alias("recall_bp"),
+        parts.append(
+            base.join(hits, "query_id", "left")
+            .select(
+                F.lit(family).alias("family"),
+                "query_id",
+                "k",
+                F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            )
+            .select(
+                "family",
+                "query_id",
+                "k",
+                "n_hit",
+                F.expr("(n_hit * 10000) div k").alias("recall_bp"),
+            )
         )
-    )
-    return ordered(out, "query_id")
+    return ordered(parts[0].unionByName(parts[1]), "family", "query_id")
 
 
 N_KMEANS = 8

@@ -285,11 +285,13 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             formatted_plan(q["bloom_decon_audit"](spark, sf_dir)),
         ),
         "ann_recall_audit": (
-            "recall@k of the IVF scale path vs exact ground truth: both "
-            "sides are the audited top-k plans (brute force scores against "
-            "the broadcast 5-query set only); the comparison is a "
-            "(query_id, neighbor_id) semi-join of two k-row-per-query "
-            "frames plus one keyed aggregate.",
+            "recall@k of BOTH approximate ANN families (IVF + banded "
+            "sign-LSH) vs exact ground truth: every side is an audited "
+            "top-k plan (brute force scores against the broadcast 5-query "
+            "set only); the k-row-per-query ground truth is "
+            "localCheckpointed once for its four consumers; each "
+            "comparison is a (query_id, neighbor_id) semi-join plus one "
+            "keyed aggregate.",
             formatted_plan(q["ann_recall_audit"](spark, sf_dir)),
         ),
     }

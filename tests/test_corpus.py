@@ -298,3 +298,24 @@ def test_token_surprisal_is_log2_of_rarity(spark, sf_dir):
         assert row["n_distinct_tokens"] == len(toks)
         assert row["sum_bits"] == want, doc_id
         assert row["mean_bits_x100"] == (want * 100) // len(toks)
+
+
+def test_normalized_dedup_merges_reformatted_republications(spark, sf_dir):
+    """Every reformatted overlay doc (upper-case + punctuation + doubled
+    spacing) must land in its base doc's group: the overlay pair has
+    grp_size >= 2 with the BASE doc as canonical, while exact dedup cannot
+    merge them (byte-different).  Normalization itself is pinned by value:
+    norm(variant) == norm(base)."""
+    norm = corpus.text_normalize(spark, sf_dir).toPandas().set_index("doc_id")
+    out = corpus.normalized_dedup(spark, sf_dir).toPandas().set_index("doc_id")
+    base_ids = [i for i in out.index if i < 2000000]
+    overlay_ids = [i for i in out.index if i >= 2000000]
+    assert overlay_ids and len(out) == len(base_ids) + len(overlay_ids)
+    for vid in overlay_ids:
+        bid = vid - 2000000
+        assert out.loc[vid, "grp_size"] >= 2, vid
+        assert out.loc[vid, "canonical"] == 0, vid  # base id is smaller
+        assert out.loc[bid, "grp_size"] == out.loc[vid, "grp_size"], vid
+    # shrinkage signal sanity: normalization never grows the text
+    assert (norm["n_chars_norm"] <= norm["n_chars_raw"]).all()
+    assert (norm["n_chars_norm"] == norm["norm_text"].str.len()).all()

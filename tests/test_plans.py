@@ -448,3 +448,24 @@ def test_ann_recall_audit_grades_topk_not_allpairs(spark, sf_dir):
     plan = formatted_plan(entry.queries()["ann_recall_audit"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"LeftSemi", plan), plan
+
+
+def test_normalized_dedup_keeper_is_aggregation_not_window(spark, sf_dir):
+    """normalized_dedup follows the line_dedup keeper rule: ONE aggregation
+    on the normalized-content key + equi-join mark-back — a window over
+    the content key would sort a mass-republished page in one task."""
+    plan = formatted_plan(entry.queries()["normalized_dedup"](spark, sf_dir))
+    assert not re.search(r"\(\d+\) Window", plan), plan
+    assert len(re.findall(r"\(\d+\) \w*HashAggregate", plan)) >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_text_normalize_is_single_scan_no_shuffle(spark, sf_dir):
+    """text_normalize is a pure projection: one parquet scan, zero
+    Exchange (ordered()'s presentation repartition(1) aside), whole-stage
+    codegen end to end."""
+    plan = formatted_plan(entry.queries()["text_normalize"](spark, sf_dir))
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1, plan
+    # the only Exchange allowed is ordered()'s single-partition one
+    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) <= 1, plan
+    assert "Join" not in plan, plan

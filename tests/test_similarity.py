@@ -97,16 +97,26 @@ def test_embedding_hygiene_degenerate_vectors_cross_engine(spark):
 
 def test_ann_recall_audit_matches_public_topk(spark, sf_dir):
     """The audit's integer recall must equal an independent pandas
-    recomputation from the two public top-k outputs it grades."""
+    recomputation from the public top-k outputs it grades, for BOTH
+    approximate families."""
     truth = similarity.ann_bruteforce_topk(spark, sf_dir).toPandas()
-    approx = similarity.ann_ivf_topk(spark, sf_dir).toPandas()
-    audit = similarity.ann_recall_audit(spark, sf_dir).toPandas().set_index("query_id")
-    assert set(audit.index) == set(truth["query_id"])
-    for qid, grp in truth.groupby("query_id"):
-        ts = set(grp["neighbor_id"])
-        aps = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
-        n_hit = len(ts & aps)
-        row = audit.loc[qid]
-        assert row["k"] == len(ts)
-        assert row["n_hit"] == n_hit
-        assert row["recall_bp"] == (n_hit * 10000) // len(ts)
+    audit = (
+        similarity.ann_recall_audit(spark, sf_dir)
+        .toPandas()
+        .set_index(["family", "query_id"])
+    )
+    for family, public_fn in (
+        ("ivf", similarity.ann_ivf_topk),
+        ("lsh", similarity.ann_lsh_buckets),
+    ):
+        approx = public_fn(spark, sf_dir).toPandas()
+        fam = audit.loc[family]
+        assert set(fam.index) == set(truth["query_id"])
+        for qid, grp in truth.groupby("query_id"):
+            ts = set(grp["neighbor_id"])
+            aps = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
+            n_hit = len(ts & aps)
+            row = fam.loc[qid]
+            assert row["k"] == len(ts)
+            assert row["n_hit"] == n_hit, (family, qid)
+            assert row["recall_bp"] == (n_hit * 10000) // len(ts)
