@@ -119,6 +119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures_fast": dedup.minhash_signatures_fast,
         "lsh_candidate_pairs_fast": dedup.lsh_candidate_pairs_fast,
         "simhash_docs_fast": dedup.simhash_docs_fast,
+        # per-doc bloom verdicts: values are hash-family-specific (same class
+        # as the _fast variants above); the aggregate containment property is
+        # value-oracled IN-window by bloom_decon_audit
+        "bloom_decontaminate": corpus.bloom_decontaminate,
         "broadcast_region_customers": tpch.broadcast_region_customers,
         "anti_join_quiet_orders": tpch.anti_join_quiet_orders,
         "window_rownum_orders": tpch.window_rownum_orders,

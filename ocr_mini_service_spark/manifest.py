@@ -67,6 +67,11 @@ _MANIFEST_SCHEMA = StructType(
         StructField("error", StringType(), True),
         StructField("started_at", TimestampType(), False),
         StructField("committed_at", TimestampType(), False),
+        # the bucket modulus the output was written under: bucket ids are
+        # only meaningful relative to it, so resume must reuse it (validated
+        # in run_with_manifest — a different modulus would silently drop
+        # turns whose new id collides with a committed old id)
+        StructField("n_buckets", IntegerType(), True),
     ]
 )
 
@@ -100,6 +105,27 @@ def committed_buckets(
         return set()
     rows = m.filter(F.col("status") == "completed").select("bucket").distinct().collect()
     return {r["bucket"] for r in rows}
+
+
+def persisted_n_buckets(
+    spark: SparkSession, output: str, io: TableIO = DEFAULT_IO
+) -> int | None:
+    """The bucket modulus recorded in an existing output's manifest (None if
+    no manifest, or one predating the n_buckets column).  A manifest carrying
+    MULTIPLE moduli is already incoherent — surface it, don't pick one."""
+    m = read_manifest(spark, output, io=io)
+    if m is None or "n_buckets" not in m.columns:
+        return None
+    rows = (
+        m.select("n_buckets").filter(F.col("n_buckets").isNotNull()).distinct().collect()
+    )
+    vals = sorted(r["n_buckets"] for r in rows)
+    if len(vals) > 1:
+        raise ValueError(
+            f"manifest at {output}/_manifest mixes bucket moduli {vals}; the "
+            "output cannot be resumed coherently — clear it and rerun"
+        )
+    return vals[0] if vals else None
 
 
 def _append_manifest(
@@ -251,6 +277,19 @@ def run_with_manifest(
       (column-pruned second scan) — lineage-true cross-check; at 100 TB the
       re-scan is the cost.  tests/test_manifest_metrics.py asserts both
       derivations agree with the observed metrics and with each other."""
+    # An existing output's manifest pins the bucket modulus: ids are only
+    # meaningful relative to it.  Resuming (or overwriting into) the same
+    # output with a different modulus would silently DROP turns whose new id
+    # collides with a committed old id and duplicate others — so an explicit
+    # mismatch is an error, and an unspecified n_buckets ADOPTS the persisted
+    # value rather than the parallelism default.
+    persisted = persisted_n_buckets(spark, output, io=io)
+    if n_buckets is not None and persisted is not None and persisted != n_buckets:
+        raise ValueError(
+            f"output {output} was written with n_buckets={persisted}, but "
+            f"n_buckets={n_buckets} was requested; rerun with "
+            f"n_buckets={persisted} (or clear the output)"
+        )
     if n_buckets is None:
         # 8 task waves per slot: with only 2 waves (the old 2x default) a
         # straggler in the last wave idles the whole executor fleet behind
@@ -258,7 +297,11 @@ def run_with_manifest(
         # buckets on the 600k-turn bench input (tools/profile_scaling.py,
         # BENCH/BASELINE.md "thread-scaling attribution").  Finer buckets
         # also shrink the per-bucket retry unit for resume.
-        n_buckets = 8 * spark.sparkContext.defaultParallelism
+        n_buckets = (
+            persisted
+            if persisted is not None
+            else 8 * spark.sparkContext.defaultParallelism
+        )
     if metrics_source not in ("accumulator", "readback"):
         raise ValueError(f"unknown metrics_source: {metrics_source!r}")
 
@@ -328,6 +371,7 @@ def run_with_manifest(
                 # (the collect() convention); these are UTC instants
                 started_at=started_at.replace(tzinfo=datetime.timezone.utc),
                 committed_at=committed_at.replace(tzinfo=datetime.timezone.utc),
+                n_buckets=int(n_buckets),
             )
             for b, m in sorted(accum.value.items())
         ]
@@ -355,6 +399,7 @@ def run_with_manifest(
                 F.lit(None).cast("string").alias("error"),
                 F.lit(started_at).alias("started_at"),
                 F.lit(committed_at).alias("committed_at"),
+                F.lit(int(n_buckets)).cast("int").alias("n_buckets"),
             )
         )
         # collect the (tiny: one row per bucket) metrics once, then append

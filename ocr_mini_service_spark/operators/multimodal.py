@@ -173,6 +173,11 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel (8-bit depth only; palette needs PLTE
 # indirection and is rejected explicitly rather than half-supported)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# declared-dimension sanity cap, enforced BEFORE inflating any pixel data:
+# bounds both worker memory (the inflate buffer) and the per-byte Python
+# unfilter loop for hostile average/paeth-filtered rows.  2048x2048 is far
+# above any real thumbnail this pipeline resizes.
+_PNG_MAX_PX = 1 << 22
 
 
 def _png_chunks(payload: bytes):
@@ -255,33 +260,56 @@ def _decode_png_pixels(payload: bytes) -> np.ndarray:
     import struct
     import zlib
 
+    # IHDR is validated BEFORE any IDAT byte is inflated: the declared
+    # dimensions bound the inflate output, so a decompression-bomb payload
+    # (tiny deflate stream, enormous expansion) is rejected as a size
+    # mismatch instead of allocating gigabytes in the Python worker — the
+    # kernel's per-row error isolation catches exceptions, not OOMs
     ihdr = None
     idat = bytearray()
+    ch = stride = 0
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("PNG missing IHDR")
             ihdr = data
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+            if w <= 0 or h <= 0:
+                raise ValueError(f"invalid PNG dimensions {w}x{h}")
+            if w * h > _PNG_MAX_PX:
+                raise ValueError(
+                    f"PNG too large ({w}x{h} > {_PNG_MAX_PX} px cap)"
+                )
+            if depth != 8 or color not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color_type={color})"
+                )
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (compression={comp}, filter={filt},"
+                    f" interlace={interlace})"
+                )
+            ch = _PNG_CHANNELS[color]
+            stride = w * ch
         elif ctype == b"IDAT":
+            if ihdr is None:
+                raise ValueError("PNG IDAT before IHDR")
             idat.extend(data)
-    if ihdr is None or len(ihdr) < 13:
+    if ihdr is None:
         raise ValueError("PNG missing IHDR")
-    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
-    if w <= 0 or h <= 0:
-        raise ValueError(f"invalid PNG dimensions {w}x{h}")
-    if depth != 8 or color not in _PNG_CHANNELS:
-        raise ValueError(f"unsupported PNG (depth={depth}, color_type={color})")
-    if comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG (compression={comp}, filter={filt}, interlace={interlace})"
-        )
     if not idat:
         raise ValueError("PNG missing IDAT")
-    ch = _PNG_CHANNELS[color]
-    stride = w * ch
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
+    expected = h * (stride + 1)
+    d = zlib.decompressobj()
+    raw_b = d.decompress(bytes(idat), expected + 1)
+    if len(raw_b) != expected or not d.eof or d.unconsumed_tail:
         raise ValueError(
-            f"PNG pixel data size {raw.size} != expected {h * (stride + 1)}"
+            f"PNG pixel data size {len(raw_b)}{'+' if not d.eof else ''}"
+            f" != expected {expected}"
         )
+    raw = np.frombuffer(raw_b, dtype=np.uint8)
     px = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
     if color == 0:  # gray
         return np.repeat(px, 3, axis=2)

@@ -257,7 +257,9 @@ def test_bloom_decontaminate_never_misses_exact_overlap(spark, sf_dir):
     exact = corpus.decontaminate(spark, sf_dir).toPandas().set_index("doc_id")
     bloom = corpus.bloom_decontaminate(spark, sf_dir).toPandas().set_index("doc_id")
     again = corpus.bloom_decontaminate(spark, sf_dir).toPandas().set_index("doc_id")
-    assert bloom.equals(again)  # Spark's BloomFilterImpl is deterministic
+    # deterministic by construction: seeded-xxhash64 positions into a fixed
+    # bit space, no RNG anywhere in build or probe
+    assert bloom.equals(again)
     # same training universe, same per-doc gram counts
     assert set(bloom.index) == set(exact.index)
     joined = exact.join(bloom, lsuffix="_e")

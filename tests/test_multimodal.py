@@ -337,3 +337,38 @@ def test_png_resize_nearest_neighbor():
     q = [[0, 255], [76, 149]]
     want = [q[(ty * 2) // 8][(tx * 2) // 8] for ty in range(8) for tx in range(8)]
     assert grid == want
+
+
+def test_png_decompression_bomb_rejected_before_inflate():
+    """A payload declaring enormous dimensions is rejected from the IHDR
+    alone (no inflate, no allocation), and a small-dims payload whose
+    deflate stream inflates past the declared size is rejected by the
+    bounded decompressor — never materialized."""
+    import zlib
+
+    ihdr_huge = struct.pack(">IIBBBBB", 20000, 20000, 8, 2, 0, 0, 0)
+    bomb1 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr_huge)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 1000))
+        + _png_chunk(b"IEND", b"")
+    )
+    try:
+        multimodal._decode_png(bomb1)
+        raise AssertionError("huge-dims PNG not rejected")
+    except ValueError as e:
+        assert "too large" in str(e)
+
+    # declares 2x2 RGB (expected 26 raw bytes) but inflates to ~1 MB
+    ihdr_small = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr_small)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20)))
+        + _png_chunk(b"IEND", b"")
+    )
+    try:
+        multimodal._decode_png(bomb2)
+        raise AssertionError("overlong inflate not rejected")
+    except ValueError as e:
+        assert "size" in str(e)

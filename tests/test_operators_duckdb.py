@@ -68,7 +68,14 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame, name: str):
 # engine-specific-hash production variants: no cross-engine oracle exists by
 # construction (seeded xxhash64 values), so the driver records rows-only for
 # these; everything else MUST carry an oracle twin
-ROWS_ONLY = {"minhash_signatures_fast", "lsh_candidate_pairs_fast", "simhash_docs_fast"}
+ROWS_ONLY = {
+    "minhash_signatures_fast",
+    "lsh_candidate_pairs_fast",
+    "simhash_docs_fast",
+    # per-doc bloom verdicts are hash-family-specific; the containment
+    # property is value-oracled by bloom_decon_audit
+    "bloom_decontaminate",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES.keys()))

@@ -163,3 +163,29 @@ def test_streaming_dedup_drops_replays_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == len(first) + len(second)
     assert got.select("conv_id", "turn_idx").distinct().count() == len(df)
+
+
+def test_resume_pins_bucket_modulus(spark, tmp_path, pdfs):
+    """The manifest persists the bucket modulus: resuming (or overwriting
+    into) the same output with a DIFFERENT n_buckets is an error (new ids
+    colliding with committed old ids would silently drop turns), and an
+    unspecified n_buckets ADOPTS the persisted value instead of the
+    parallelism default."""
+    first, _ = pdfs
+    df = spark.createDataFrame(first, schema=TRANSCRIPTS)
+    out = str(tmp_path / "pinned")
+    stats1 = run_with_manifest(spark, df, out, n_buckets=8)
+    assert stats1["n_buckets"] == 8
+
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        run_with_manifest(spark, df, out, n_buckets=16, resume=True)
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        run_with_manifest(spark, df, out, n_buckets=16)  # overwrite too
+
+    # unspecified modulus adopts the persisted one — a full resume skips
+    # every committed bucket and writes nothing new
+    stats2 = run_with_manifest(spark, df, out, resume=True)
+    assert stats2["n_buckets"] == 8
+    assert stats2["buckets_skipped"] == stats1["buckets_done"]
+    assert stats2["n_turns"] == 0
+    assert spark.read.parquet(out).count() == len(first)
