@@ -76,6 +76,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_audit": similarity.ann_recall_audit,
         "text_normalize": corpus.text_normalize,
         "normalized_dedup": corpus.normalized_dedup,
+        "minhash_band_sweep": dedup.minhash_band_sweep,
+        "extract_spans": transcribe.extract_spans,
+        "dedup_family_agreement": dedup.dedup_family_agreement,
+        "shard_stats": corpus.shard_stats,
         # --- changed this round (r4): must re-earn a green row ---
         "curation_funnel": corpus.curation_funnel,
         # --- window filler: least recently checked (last green in r2) ------
@@ -327,6 +331,62 @@ final AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY id),
 sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM final GROUP BY cluster_id)"""
 
 
+def _band_sweep_sql() -> str:
+    """Banding-sweep oracle (mirrors dedup.minhash_band_sweep): for every
+    (n_bands, rows_per_band) arrangement of the 4-hash budget, rebuild the
+    banded buckets from the portable sigs, cap each bucket at DEDUP_CAP
+    lowest doc_ids (ROW_NUMBER ≡ sorted slice), pair within-bucket, and
+    aggregate pair volume + signature agreement as exact integers."""
+    from ocr_mini_service_spark.operators.dedup import BAND_SWEEP, n_match_sql
+
+    ctes, rows = [], []
+    for nb, r in BAND_SWEEP:
+        tag = f"{nb}_{r}"
+        band_sel = "\n    UNION ALL\n    ".join(
+            f"SELECT doc_id, {t} AS band_id, concat_ws(':', "
+            + ", ".join(f"m{t * r + j}" for j in range(r))
+            + ") AS bk FROM sigs"
+            for t in range(nb)
+        )
+        ctes.append(f"""
+bands_{tag} AS (
+    {band_sel}),
+capped_{tag} AS (
+    SELECT doc_id, band_id, bk FROM (
+        SELECT doc_id, band_id, bk,
+               ROW_NUMBER() OVER (PARTITION BY band_id, bk ORDER BY doc_id) AS rn
+        FROM bands_{tag}) WHERE rn <= {_DEDUP_CAP}),
+pairs_{tag} AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM capped_{tag} l JOIN capped_{tag} r
+      ON l.band_id = r.band_id AND l.bk = r.bk AND l.doc_id < r.doc_id),
+stats_{tag} AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM({n_match_sql("a.m", "b.m")}), 0) AS BIGINT) AS sum_match
+    FROM pairs_{tag} p
+    JOIN sigs a ON a.doc_id = p.doc_a
+    JOIN sigs b ON b.doc_id = p.doc_b)""")
+        rows.append(
+            f"SELECT '{nb}x{r}' AS scheme, CAST({nb} AS INT) AS n_bands, "
+            f"CAST({r} AS INT) AS rows_per_band, n_pairs, sum_match, "
+            f"CAST(CASE WHEN n_pairs = 0 THEN 0 ELSE (sum_match * 10000) "
+            f"// ({len(MINHASH_AB)} * n_pairs) END AS BIGINT) AS mean_est_jaccard_bp "
+            f"FROM stats_{tag}"
+        )
+    return (
+        f"WITH {_CORPUS}, {_SHINGLE_HASHES},\nsigs AS (\n    SELECT doc_id,\n           "
+        + ", ".join(
+            f"list_min(list_transform(sh, h -> (h * {a} + {b}) % {MOD})) AS m{i}"
+            for i, (a, b) in enumerate(MINHASH_AB)
+        )
+        + " FROM hashed WHERE len(sh) > 0),"
+        + ",".join(ctes)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\n) ORDER BY scheme"
+    )
+
+
 # ---- banded sign-LSH SQL generation (mirrors similarity._tag_bands:
 # plane p component i = ((i*a_p + b_p) mod 97) - 48, band t owns planes
 # [t*R_BITS, (t+1)*R_BITS), bucket id = Σ 2^j over non-negative plane dots) --
@@ -456,6 +516,25 @@ ranked AS (
 )
 SELECT doc_id, rank, word, conf, "left", top, width, height, baseline
 FROM ranked ORDER BY doc_id, rank""",
+        "extract_spans": f"""
+WITH {_EXTRACT_WORDS},
+ranked AS (
+    SELECT doc_id, word,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY line, CASE WHEN has_desc THEN 0 ELSE 1 END, col
+           ) - 1 AS INT) AS span_idx
+    FROM kept),
+spans AS (
+    SELECT doc_id, span_idx, word,
+           CAST(COALESCE(SUM(length(word) + 1) OVER (
+               PARTITION BY doc_id ORDER BY span_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS span_start
+    FROM ranked)
+SELECT doc_id, span_idx, span_start,
+       CAST(span_start + length(word) AS INT) AS span_end,
+       word AS span_text
+FROM spans ORDER BY doc_id, span_idx""",
         "extract_metrics_by_source": f"""
 WITH {_EXTRACT_WORDS},
 perdoc AS (
@@ -935,6 +1014,25 @@ SELECT doc_id, lang, n_tokens,
        tokens_before // {corpus.PACK_BUDGET} AS shard_id,
        tokens_before
 FROM c ORDER BY doc_id""",
+        "shard_stats": f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents),
+c AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                - n_tokens AS BIGINT) AS tokens_before
+    FROM t),
+g AS (
+    SELECT lang, tokens_before // {corpus.PACK_BUDGET} AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM c GROUP BY lang, shard_id)
+SELECT lang, shard_id, n_docs, n_tokens,
+       (n_tokens * 10000) // {corpus.PACK_BUDGET} AS fill_bp,
+       CAST(n_tokens > {corpus.PACK_BUDGET} AS INT) AS overflow
+FROM g ORDER BY lang, shard_id""",
         "pii_redact": f"""
 WITH dec AS (
     SELECT doc_id,
@@ -1578,6 +1676,60 @@ FROM lsh_pairs p
 JOIN sigs a ON a.doc_id = p.doc_a
 JOIN sigs b ON b.doc_id = p.doc_b
 ORDER BY doc_a, doc_b""",
+        "minhash_band_sweep": _band_sweep_sql(),
+        # cross-family Venn: each family's pair pipeline restated as CTEs
+        # (LSH bands from _LSH_PAIR_CTES; n-gram Jaccard and SimHash blocking
+        # re-derived from the shared shingle frames), merged on the pair key
+        "dedup_family_agreement": f"""
+WITH {_CORPUS}, {_SHINGLE_HASHES}, {_LSH_PAIR_CTES},
+nsh AS (SELECT DISTINCT doc_id, s
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM shingled) t WHERE s <> ''),
+ndfok AS (SELECT s FROM (SELECT s, COUNT(*) AS c FROM nsh GROUP BY s) t
+          WHERE c <= {dedup.DF_MAX}),
+nsh3 AS (SELECT doc_id, nsh.s FROM nsh JOIN ndfok ON nsh.s = ndfok.s),
+nsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM nsh3 GROUP BY doc_id),
+ninter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM nsh3 a JOIN nsh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id),
+ng_pairs AS (
+    SELECT doc_a, doc_b FROM ninter
+    JOIN nsizes sa ON sa.doc_id = doc_a
+    JOIN nsizes sb ON sb.doc_id = doc_b
+    WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.6),
+shh AS (SELECT doc_id, unnest(sh) AS h FROM hashed),
+sbits AS (
+    SELECT doc_id,
+           {", ".join(f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(16))}
+    FROM shh GROUP BY doc_id),
+sfp AS (
+    SELECT doc_id,
+           CAST({" + ".join(f"CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16))} AS BIGINT) AS simhash
+    FROM sbits),
+scap AS (
+    SELECT doc_id, simhash FROM (
+        SELECT doc_id, simhash,
+               ROW_NUMBER() OVER (PARTITION BY simhash ORDER BY doc_id) AS rn
+        FROM sfp) WHERE rn <= {_DEDUP_CAP}),
+sim_pairs AS (
+    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM scap l JOIN scap r
+      ON l.simhash = r.simhash AND l.doc_id < r.doc_id),
+u AS (
+    SELECT doc_a, doc_b, 1 AS in_lsh, 0 AS in_ngram, 0 AS in_simhash FROM lsh_pairs
+    UNION ALL
+    SELECT doc_a, doc_b, 0 AS in_lsh, 1 AS in_ngram, 0 AS in_simhash FROM ng_pairs
+    UNION ALL
+    SELECT doc_a, doc_b, 0 AS in_lsh, 0 AS in_ngram, 1 AS in_simhash FROM sim_pairs),
+fl AS (
+    SELECT doc_a, doc_b, MAX(in_lsh) AS in_lsh, MAX(in_ngram) AS in_ngram,
+           MAX(in_simhash) AS in_simhash
+    FROM u GROUP BY doc_a, doc_b)
+SELECT CAST(in_lsh AS INT) AS in_lsh, CAST(in_ngram AS INT) AS in_ngram,
+       CAST(in_simhash AS INT) AS in_simhash,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM fl GROUP BY in_lsh, in_ngram, in_simhash
+ORDER BY in_lsh, in_ngram, in_simhash""",
         "substring_dupes": _SUBSTRING_DUPES_SQL,
         # the hash-compressed production twin is value-identical (window
         # counts depend only on window EQUALITY, which xxhash64 preserves

@@ -281,6 +281,12 @@ def pack_shards(spark: SparkSession, sf: str) -> DataFrame:
     group (lang here) — packing parallelism is per-group, never a global
     single-partition window; the only shuffle is the keyed window
     exchange."""
+    return ordered(_packed_frame(spark, sf), "doc_id")
+
+
+def _packed_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Unordered packing-assignment core (building block — consumed by
+    ``pack_shards`` and the ``shard_stats`` audit)."""
     docs = load(spark, sf, "documents")
     toks = docs.select(
         "doc_id", "lang",
@@ -288,14 +294,43 @@ def pack_shards(spark: SparkSession, sf: str) -> DataFrame:
     )
     win = Window.partitionBy("lang").orderBy("doc_id")
     cum = F.sum("n_tokens").over(win)
-    out = toks.select(
+    return toks.select(
         "doc_id",
         "lang",
         "n_tokens",
         F.floor((cum - F.col("n_tokens")) / F.lit(PACK_BUDGET)).alias("shard_id"),
         (cum - F.col("n_tokens")).alias("tokens_before"),
     )
-    return ordered(out, "doc_id")
+
+
+def shard_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Packing audit — per (lang, shard) doc count, token fill, fill rate
+    in exact basis points, and the overflow flag (greedy packing lets the
+    last doc overflow the budget rather than split).  This is the
+    observability row a training job reads before trusting the packed
+    layout: systematic under-fill means wasted sequence length, heavy
+    overflow means the budget is mis-sized vs the doc-length distribution
+    — same no-silent-caps discipline as ``lsh_drop_stats``.
+
+    Scale shape: one keyed aggregate over the packing assignment
+    (map-side combine on (lang, shard_id)); output is shard-count-sized."""
+    out = (
+        _packed_frame(spark, sf)
+        .groupBy("lang", "shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            F.expr(f"(n_tokens * 10000) div {PACK_BUDGET}").alias("fill_bp"),
+            (F.col("n_tokens") > PACK_BUDGET).cast("int").alias("overflow"),
+        )
+    )
+    return ordered(out, "lang", "shard_id")
 
 
 DECON_N = 8  # benchmark-overlap n-gram size (13 in GPT-3-era pipelines; 8 fits the synthetic doc lengths)

@@ -471,19 +471,9 @@ def dedup_clusters(
     return ordered(_clusters_frame(spark, sf, max_iter, algo), "doc_id")
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """n-gram Jaccard near-dup: pairs sharing ≥1 distinct shingle, scored
-    |A∩B| / |A∪B|, kept at ≥ 0.6.  Intersection via exploded-shingle
-    equi-join (scalable formulation — pair generation bounded by shared
-    shingles, not |docs|²).
-
-    Shingles with document frequency > DF_MAX are dropped from the
-    REPRESENTATION (both intersection and sizes — standard stop-shingle
-    practice): a shingle shared by 10^6 docs is pure pair-explosion noise,
-    and without the cutoff its bucket materializes the whole cluster in one
-    row and explodes k² pairs in one task.  The sizes are derived from the
-    same DF-filtered buckets (one evaluation of the shingle pipeline feeds
-    both intersection and denominators)."""
+def _ngram_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Unordered n-gram Jaccard pair core (building block — consumed by
+    ``ngram_jaccard_pairs`` and the cross-family agreement audit)."""
     corpus = _docs_with_mutants(spark, sf)
     sh = (
         _with_words(corpus).select("doc_id", F.explode(_shingles()).alias("s"))
@@ -530,8 +520,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.6)
-        .transform(lambda df: ordered(df, "doc_a", "doc_b"))
     )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram Jaccard near-dup: pairs sharing ≥1 distinct shingle, scored
+    |A∩B| / |A∪B|, kept at ≥ 0.6.  Intersection via exploded-shingle
+    equi-join (scalable formulation — pair generation bounded by shared
+    shingles, not |docs|²).
+
+    Shingles with document frequency > DF_MAX are dropped from the
+    REPRESENTATION (both intersection and sizes — standard stop-shingle
+    practice): a shingle shared by 10^6 docs is pure pair-explosion noise,
+    and without the cutoff its bucket materializes the whole cluster in one
+    row and explodes k² pairs in one task.  The sizes are derived from the
+    same DF-filtered buckets (one evaluation of the shingle pipeline feeds
+    both intersection and denominators)."""
+    return ordered(_ngram_pairs(spark, sf), "doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -623,9 +628,8 @@ def simhash_docs_fast(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(bit_sums.select("doc_id", fp.cast("long").alias("simhash")), "doc_id")
 
 
-def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
-    """16-bit SimHash over shingle hashes: bit_j = sign(Σ ±1 by bit j of each
-    shingle hash); fingerprint = Σ 2^j over positive bits."""
+def _simhash_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Unordered per-doc SimHash fingerprints (building block)."""
     corpus = _docs_with_mutants(spark, sf)
     sh = _with_words(corpus).select("doc_id", F.explode(_shingles()).alias("s")).filter(
         F.col("s") != ""
@@ -643,7 +647,13 @@ def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     for j in range(16):
         term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return ordered(bit_sums.select("doc_id", fp.cast("long").alias("simhash")), "doc_id")
+    return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash over shingle hashes: bit_j = sign(Σ ±1 by bit j of each
+    shingle hash); fingerprint = Σ 2^j over positive bits."""
+    return ordered(_simhash_frame(spark, sf), "doc_id")
 
 
 def dedup_survivors(
@@ -1039,3 +1049,169 @@ def substring_dupes_fast(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     return ordered(out, "doc_id")
+
+
+# the banding-scheme sweep: the fixed 4-hash MinHash budget arranged as
+# (n_bands x rows_per_band) — 1x4 is the tightest (highest precision,
+# lowest recall: all 4 sigs must agree), 4x1 the loosest (any single sig
+# agreement makes a candidate)
+BAND_SWEEP = ((1, 4), (2, 2), (4, 1))
+
+
+def minhash_band_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH banding calibration — the recall/cost tuning table an operator
+    reads before fixing b and r at 100 TB (Leskovec et al., MMDS ch. 3:
+    the (b, r) trade is THE design knob of MinHash-LSH): for every
+    arrangement of the same 4-hash budget, the candidate-pair volume and
+    the mean signature-agreement Jaccard estimate of those pairs, as exact
+    integers.  Looser banding (more bands, fewer rows) strictly widens the
+    candidate set (every r-row agreement at 2x2 implies its band-prefix
+    agreements at 4x1) while diluting mean pair quality — this query makes
+    both directions measurable next to ``lsh_drop_stats``'s cap audit and
+    ``lsh_jaccard_verify``'s exact re-rank.
+
+    Scale shape: the signature frame is computed ONCE (localCheckpoint —
+    doc-count-sized, 4 longs per doc) and each scheme is the standard
+    capped bucket-collect + in-array pair explosion on its own band key;
+    per-pair estimation joins on doc_id.  Nothing is quadratic: every
+    scheme's buckets are DEDUP_CAP-capped."""
+    sigs = _minhash_sigs(spark, sf).localCheckpoint()
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(len(MINHASH_AB))],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(len(MINHASH_AB))],
+    )
+    parts = []
+    for nb, r in BAND_SWEEP:
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("band_id"),
+                            F.concat_ws(
+                                ":", *[F.col(f"m{t * r + j}") for j in range(r)]
+                            ).alias("bk"),
+                        )
+                        for t in range(nb)
+                    ]
+                )
+            ).alias("x"),
+        ).select("doc_id", "x.band_id", "x.bk")
+        buckets = (
+            bands.groupBy("band_id", "bk")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("all_ds"))
+            .select(F.slice("all_ds", 1, DEDUP_CAP).alias("ds"))
+            .filter(F.size("ds") > 1)
+        )
+        pairs = (
+            buckets.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            "ds",
+                            lambda x, i: F.transform(
+                                F.slice(F.col("ds"), i + 2, F.size("ds")),
+                                lambda y: F.struct(
+                                    x.alias("doc_a"), y.alias("doc_b")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.doc_a", "p.doc_b")
+            .distinct()
+        )
+        n_match = sum(
+            (F.col(f"a{i}") == F.col(f"b{i}")).cast("long")
+            for i in range(len(MINHASH_AB))
+        )
+        est = pairs.join(a, "doc_a").join(b, "doc_b").select(
+            n_match.alias("n_match")
+        )
+        stats = est.agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.coalesce(F.sum("n_match"), F.lit(0)).cast("long").alias("sum_match"),
+        )
+        parts.append(
+            stats.select(
+                F.lit(f"{nb}x{r}").alias("scheme"),
+                F.lit(nb).cast("int").alias("n_bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "n_pairs",
+                "sum_match",
+                F.when(F.col("n_pairs") == 0, F.lit(0))
+                .otherwise(
+                    F.expr(f"(sum_match * 10000) div ({len(MINHASH_AB)} * n_pairs)")
+                )
+                .cast("long")
+                .alias("mean_est_jaccard_bp"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return ordered(out, "scheme")
+
+
+def dedup_family_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-family candidate agreement — the Venn decomposition of the
+    three near-dup detectors' pair sets (MinHash-LSH banding, exact n-gram
+    Jaccard >= 0.6, SimHash fingerprint blocking), one row per non-empty
+    membership region.  This is the audit a curation operator reads before
+    trusting ONE family at 100 TB: pairs found by Jaccard but missed by the
+    LSH bands quantify banding recall; pairs found only by 16-bit SimHash
+    blocking quantify its false-positive rate.  Complements
+    ``ann_recall_audit`` (the same question for the vector families) and
+    ``minhash_band_sweep`` (recall across banding schemes).
+
+    Scale shape: each family's pair list is its existing capped/bounded
+    generator (band buckets DEDUP_CAP-capped, shingle buckets DF_MAX-cut,
+    fingerprint buckets DEDUP_CAP-capped) — never all-pairs; the Venn merge
+    is one groupBy on the pair key with map-side combine."""
+    flags = ("in_lsh", "in_ngram", "in_simhash")
+
+    def tagged(pairs: DataFrame, fam: str) -> DataFrame:
+        return pairs.select(
+            "doc_a",
+            "doc_b",
+            *[F.lit(1 if f == fam else 0).alias(f) for f in flags],
+        )
+
+    lsh = tagged(_lsh_pairs(spark, sf), "in_lsh")
+    ng = tagged(_ngram_pairs(spark, sf).select("doc_a", "doc_b"), "in_ngram")
+    fps = _simhash_frame(spark, sf)
+    sim_buckets = (
+        fps.groupBy("simhash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("all_ds"))
+        .select(F.slice("all_ds", 1, DEDUP_CAP).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    sim_pairs = (
+        sim_buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size("ds")),
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.doc_a", "p.doc_b")
+    )
+    u = lsh.unionByName(ng).unionByName(tagged(sim_pairs, "in_simhash"))
+    venn = (
+        u.groupBy("doc_a", "doc_b")
+        .agg(*[F.max(f).cast("int").alias(f) for f in flags])
+        .groupBy(*flags)
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    return ordered(venn, *flags)

@@ -275,6 +275,37 @@ def extract_word_boxes(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def extract_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-turn character-span offsets of the extracted words — the span
+    half of the engine's (text, spans) output contract.  Each kept word i
+    occupies [start_i, end_i) of ``extracted_text`` with a single joining
+    space between words (the reference assembles text by joining line texts
+    with separators, parse-tsv-output.function.ts:214-243; spans are the
+    recoverable word offsets of that assembly).
+
+    The exploded row carries the span-addressed SUBSTRING of the extracted
+    text next to the offsets, so the oracle (which re-derives reading order
+    and word lengths independently from document geometry) value-checks the
+    span arithmetic AND its consistency with the assembled text in one hash:
+    a drifted offset surfaces as a mismatched ``span_text``, not just a
+    mismatched integer."""
+    ex = extract_fused(build_transcripts(spark, sf))
+    sp = ex.select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        "extracted_text",
+        F.posexplode("spans").alias("span_idx", "s"),
+    ).select(
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.col("s.start").alias("span_start"),
+        F.col("s.end").alias("span_end"),
+        F.expr(
+            "substring(extracted_text, s.start + 1, s.end - s.start)"
+        ).alias("span_text"),
+    )
+    return ordered(sp, "doc_id", "span_idx")
+
+
 def extract_metrics_by_source(spark: SparkSession, sf: str) -> DataFrame:
     """Pipeline output joined back to document dims + grouped metrics (A3:
     kept/dropped counts, image-recognition.service.ts:184-186)."""

@@ -294,6 +294,39 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "keyed aggregate.",
             formatted_plan(q["ann_recall_audit"](spark, sf_dir)),
         ),
+        "minhash_band_sweep": (
+            "LSH banding calibration: the shingle+minhash pipeline is "
+            "evaluated ONCE (localCheckpoint — zero parquet scans in the "
+            "sweep plan); each (b, r) scheme is its own capped band-bucket "
+            "collect + in-array pair explosion + two doc-id hash joins to "
+            "the signature frame, reduced to one stats row.  Nothing "
+            "quadratic at any scheme.",
+            formatted_plan(q["minhash_band_sweep"](spark, sf_dir)),
+        ),
+        "extract_spans": (
+            "span half of the extraction contract: ONE MapInArrow kernel "
+            "pass → JVM-side posexplode of the span array → substring "
+            "projection addressed by the span offsets.  Narrow after the "
+            "kernel — no join, no keyed shuffle; the oracle re-derives "
+            "offsets from document geometry independently.",
+            formatted_plan(q["extract_spans"](spark, sf_dir)),
+        ),
+        "shard_stats": (
+            "packing observability: the per-(lang, shard) fill audit is "
+            "ONE keyed aggregate over the packing assignment (map-side "
+            "combine) — the lang-keyed packing window itself is the only "
+            "other shuffle, and output is shard-count-sized.",
+            formatted_plan(q["shard_stats"](spark, sf_dir)),
+        ),
+        "dedup_family_agreement": (
+            "three-family candidate Venn: LSH band buckets (DEDUP_CAP), "
+            "DF-cut shingle intersection buckets, and SimHash fingerprint "
+            "buckets (DEDUP_CAP) each generate their bounded pair list; "
+            "the merge is a unionByName + ONE groupBy on the pair key "
+            "(map-side combine) + a 7-region aggregate.  No product join, "
+            "no Window.",
+            formatted_plan(q["dedup_family_agreement"](spark, sf_dir)),
+        ),
     }
 
 

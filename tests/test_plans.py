@@ -247,6 +247,29 @@ def test_minhash_estimate_joins_signatures_by_hash_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_band_sweep_evaluates_signatures_once_and_hash_joins(spark, sf_dir):
+    """The banding sweep computes the shingle+minhash pipeline exactly ONCE
+    (localCheckpoint — zero parquet scans survive into the sweep plan); each
+    scheme's estimator brings signatures to its capped pair list via doc-id
+    hash joins, never a product join, and no Window over the corpus."""
+    plan = formatted_plan(entry.queries()["minhash_band_sweep"](spark, sf_dir))
+    assert "Scan parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert not re.search(r"\(\d+\) Window", plan), plan
+
+
+def test_family_agreement_is_bounded_and_keyed(spark, sf_dir):
+    """Every family's pair generator stays its capped/bounded bucket shape
+    inside the composed Venn plan (band buckets, DF-cut shingle buckets,
+    fingerprint buckets) — no product join anywhere, and the Venn merge is
+    a keyed aggregate, not a Window."""
+    plan = formatted_plan(entry.queries()["dedup_family_agreement"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert not re.search(r"\(\d+\) Window", plan), plan
+
+
 def test_substring_dupes_prunes_scan_and_is_keyed_aggs(spark, sf_dir):
     """Exact-substring dedup reads only (doc_id, text); every shuffle is on
     a natural key (window string / doc_id) — no Window operator over the
