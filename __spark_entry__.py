@@ -48,6 +48,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stalwarts as window filler; everything green in the previous round's
     # window rotates to the back.
     return {
+        # --- new in r4 session 4: tokenizer/scheduler-side corpus ops ---
+        "bpe_pair_counts": corpus.bpe_pair_counts,
+        "source_leakage_matrix": corpus.source_leakage_matrix,
+        "curriculum_stages": corpus.curriculum_stages,
+        "packed_doc_spans": corpus.packed_doc_spans,
+        "seqlen_buckets": corpus.seqlen_buckets,
         # --- never driver-checked: the 14 round-3 additions (VERDICT r3) ---
         "extraction_funnel": transcribe.extraction_funnel,
         "lsh_jaccard_verify": dedup.lsh_jaccard_verify,
@@ -1014,6 +1020,90 @@ SELECT doc_id, lang, n_tokens,
        tokens_before // {corpus.PACK_BUDGET} AS shard_id,
        tokens_before
 FROM c ORDER BY doc_id""",
+        # bpe_pair_counts: corpus collapses to the vocabulary first, pairs
+        # enumerated over distinct words only, weighted by word frequency
+        "bpe_pair_counts": """
+WITH w AS (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents),
+v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM w WHERE word <> '' GROUP BY word),
+p AS (
+    SELECT substr(word, i, 2) AS pair, wc
+    FROM v, unnest(generate_series(1, greatest(length(word) - 1, 0))) AS t(i))
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS n_occurrences
+FROM p GROUP BY pair ORDER BY pair""",
+        # source_leakage_matrix: distinct (source, gram) sets, gram-keyed
+        # self-join, containment in exact basis points
+        "source_leakage_matrix": f"""
+WITH w AS (SELECT source, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+g AS (
+    SELECT DISTINCT source,
+           array_to_string(list_slice(ws, i, i + {corpus.DECON_N - 1}), ' ') AS gram
+    FROM w, unnest(generate_series(1, greatest(len(ws) - {corpus.DECON_N - 1}, 0))) AS t(i)),
+tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY source),
+sh AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_grams
+    FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY 1, 2)
+SELECT source_a, source_b, shared_grams,
+       ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+       (shared_grams * 10000) // least(ta.n_grams, tb.n_grams) AS containment_bp
+FROM sh
+JOIN tot ta ON ta.source = sh.source_a
+JOIN tot tb ON tb.source = sh.source_b
+ORDER BY source_a, source_b""",
+        # curriculum_stages: stage is a pure function of the length
+        # histogram (docs strictly shorter), equal lengths never split
+        "curriculum_stages": f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents),
+h AS (SELECT n_tokens, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY n_tokens),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM h),
+s AS (
+    SELECT n_tokens,
+           CAST(COALESCE(SUM(n_docs) OVER (ORDER BY n_tokens
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS docs_below
+    FROM h)
+SELECT d.doc_id, d.n_tokens,
+       CAST(least((s.docs_below * {corpus.CURRICULUM_STAGES}) // n_total,
+                  {corpus.CURRICULUM_STAGES - 1}) AS INT) AS stage
+FROM d JOIN s USING (n_tokens), tot
+ORDER BY doc_id""",
+        # packed_doc_spans: within-shard offsets from the packing window
+        "packed_doc_spans": f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents),
+c AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                - n_tokens AS BIGINT) AS tokens_before
+    FROM t),
+p AS (SELECT *, tokens_before // {corpus.PACK_BUDGET} AS shard_id FROM c)
+SELECT lang, shard_id, doc_id,
+       CAST(tokens_before - MIN(tokens_before) OVER (PARTITION BY lang, shard_id)
+            AS BIGINT) AS begin_token,
+       CAST(tokens_before - MIN(tokens_before) OVER (PARTITION BY lang, shard_id)
+            + n_tokens AS BIGINT) AS end_token
+FROM p ORDER BY lang, shard_id, doc_id""",
+        # seqlen_buckets: integer log2 via binary-string length on both
+        # engines; bucket bounds via BIGINT shifts (no float surface)
+        "seqlen_buckets": """
+WITH d AS (
+    SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    FROM documents),
+b AS (
+    SELECT CAST(length(printf('%b', n_tokens)) - 1 AS INT) AS bucket
+    FROM d WHERE n_tokens > 0)
+SELECT bucket,
+       CAST(1 AS BIGINT) << bucket AS min_tokens,
+       (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS max_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM b GROUP BY bucket ORDER BY bucket""",
         "shard_stats": f"""
 WITH t AS (
     SELECT doc_id, lang,

@@ -1245,3 +1245,205 @@ def normalized_dedup(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") == F.col("keeper")).cast("int").alias("canonical"),
     )
     return ordered(out, "doc_id")
+
+
+# tokenizer-training / scheduling constants
+CURRICULUM_STAGES = 4  # length-curriculum quartiles
+
+
+def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """One BPE statistics pass (Sennrich et al. 2016 — the inner loop of
+    tokenizer training): corpus-weighted adjacent character-pair counts.
+    Every pair occurrence inside a word counts once per corpus occurrence
+    of that word ("aaa" contributes the pair "aa" twice per occurrence);
+    the end-of-word marker is omitted (pairs are intra-word only).
+
+    Scale shape: the corpus collapses to the VOCABULARY first — one
+    word-keyed count with map-side combine (the 100-TB corpus becomes a
+    vocab-sized frame before any pair is materialized) — then the pair
+    explode runs over distinct words only and the final aggregate is keyed
+    by the pair (output bounded by alphabet², not corpus size)."""
+    docs = (
+        load(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = words.groupBy("word").agg(F.count("*").cast("long").alias("wc"))
+    # pairs over DISTINCT words; guard the two-arg sequence (length-1 words
+    # would make sequence(1, 0) DESCEND — take the empty branch instead)
+    pairs = vocab.select(
+        "wc",
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    out = pairs.groupBy("pair").agg(F.sum("wc").cast("long").alias("n_occurrences"))
+    return ordered(out, "pair")
+
+
+def source_leakage_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus sources,
+    the number of DISTINCT DECON_N-gram shingles they share, plus the
+    containment of the smaller gram set in basis points — the audit a
+    curation run reads to find mirror sites / syndicated feeds before
+    choosing mixture weights (same family as benchmark decontamination,
+    but source-vs-source instead of train-vs-test).
+
+    Scale shape: grams dedup to (source, gram) FIRST (map-side combine on
+    the corpus scan), the self-join is keyed on the gram, and the output
+    is bounded by S² source pairs.  Per-source gram totals are an S-row
+    frame joined back by broadcast.  A gram shared by all S sources emits
+    S(S-1)/2 rows — bounded by the (small, config-like) source count, not
+    by corpus size, so no hot-key cap is needed on this key."""
+    docs = load(spark, sf, "documents").select("source", "doc_id", "text")
+    n = DECON_N
+    wdocs = docs.select("source", _words().alias("w")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    grams = (
+        wdocs.select(
+            "source",
+            F.explode(
+                F.when(
+                    F.size("w") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                        lambda i: F.array_join(F.slice("w", i, n), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        .groupBy("source", "gram")
+        .agg(F.lit(1).alias("_one"))
+        .select("source", "gram")
+    )
+    totals = grams.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
+    a = grams.select(F.col("source").alias("source_a"), "gram")
+    b = grams.select(F.col("source").alias("source_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+    )
+    out = (
+        shared.join(
+            F.broadcast(totals.select(F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "grams_a",
+            "grams_b",
+            F.expr("(shared_grams * 10000) div least(grams_a, grams_b)").alias("containment_bp"),
+        )
+    )
+    return ordered(out, "source_a", "source_b")
+
+
+def curriculum_stages(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-curriculum assignment by EXACT corpus quantiles: documents
+    are ranked by token count and cut into CURRICULUM_STAGES stages
+    (shortest first — the standard length-based curriculum / batch
+    scheduling split), with the rule that equal lengths are never split
+    across stages: a document's stage is decided by how many documents are
+    STRICTLY shorter, so the assignment is a pure function of the length
+    histogram.
+
+    Scale shape: this is the scale-honest way to rank a 100-TB corpus —
+    NO global row_number/ntile over the documents (that is a
+    single-partition sort).  The corpus collapses to the length histogram
+    (one keyed count, map-side combine, output is distinct-lengths-sized),
+    the cumulative rank runs as a window over that TINY frame, and the
+    stage boundaries broadcast-join back onto the documents by length."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.size(_words()).cast("long").alias("n_tokens")
+    )
+    hist = docs.groupBy("n_tokens").agg(F.count("*").cast("long").alias("n_docs"))
+    # cumulative docs strictly below each length; window over the
+    # distinct-lengths frame only (bounded by the length domain, not corpus)
+    w = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)
+    total = hist.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    stages = (
+        hist.select(
+            "n_tokens",
+            F.coalesce(F.sum("n_docs").over(w), F.lit(0)).cast("long").alias("docs_below"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_tokens",
+            F.expr(f"least((docs_below * {CURRICULUM_STAGES}) div n_total, {CURRICULUM_STAGES - 1})")
+            .cast("int")
+            .alias("stage"),
+        )
+    )
+    out = docs.join(F.broadcast(stages), "n_tokens").select("doc_id", "n_tokens", "stage")
+    return ordered(out, "doc_id")
+
+
+def packed_doc_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Document-boundary spans inside packed training shards: for every
+    document the greedy packer placed (``pack_shards``), its token offset
+    interval [begin_token, end_token) within its shard — the metadata a
+    trainer needs to reset attention masks / position ids at document
+    boundaries in packed sequences.
+
+    Scale shape: the packing assignment is reused as-is; the within-shard
+    base offset is the MIN(tokens_before) over the (lang, shard) window —
+    a window whose partitions are shard-sized (a handful of docs by
+    construction of the token budget), never corpus- or key-skew-sized."""
+    packed = _packed_frame(spark, sf)
+    w = Window.partitionBy("lang", "shard_id")
+    out = packed.select(
+        "lang",
+        "shard_id",
+        "doc_id",
+        (F.col("tokens_before") - F.min("tokens_before").over(w)).cast("long").alias("begin_token"),
+        (F.col("tokens_before") - F.min("tokens_before").over(w) + F.col("n_tokens"))
+        .cast("long")
+        .alias("end_token"),
+    )
+    return ordered(out, "lang", "shard_id", "doc_id")
+
+
+def seqlen_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-length distribution in power-of-two buckets — the
+    histogram a batch scheduler reads to size length-bucketed batches
+    (bucket k holds docs with 2^k <= n_tokens < 2^(k+1)).  The bucket
+    index is ``floor(log2(n_tokens))`` computed exactly as
+    ``length(bin(n_tokens)) - 1`` (the integer log2 pattern shared with
+    ``token_surprisal``) so there is no libm/float surface.
+
+    Scale shape: one projection and one keyed aggregate with map-side
+    combine; output is bounded by the ~60 possible bucket indices."""
+    docs = load(spark, sf, "documents").select(
+        F.size(_words()).cast("long").alias("n_tokens")
+    )
+    out = (
+        docs.filter(F.col("n_tokens") > 0)
+        .select((F.length(F.bin(F.col("n_tokens"))) - 1).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            "bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket)").alias("min_tokens"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1").alias("max_tokens"),
+            "n_docs",
+        )
+    )
+    return ordered(out, "bucket")

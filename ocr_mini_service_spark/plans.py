@@ -327,6 +327,41 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "no Window.",
             formatted_plan(q["dedup_family_agreement"](spark, sf_dir)),
         ),
+        "bpe_pair_counts": (
+            "tokenizer-training inner loop: the corpus collapses to the "
+            "VOCABULARY first (word-keyed partial+final HashAggregate), the "
+            "character-pair explode runs over distinct words only, and the "
+            "final pair count is alphabet²-bounded.  Two Generates, no "
+            "Window, no join.",
+            formatted_plan(q["bpe_pair_counts"](spark, sf_dir)),
+        ),
+        "source_leakage_matrix": (
+            "cross-source contamination Venn: grams dedup to (source, gram) "
+            "on the scan side, the self-join is a hash equi-join on the gram "
+            "key, and the S-row per-source totals return by broadcast — "
+            "output bounded by S² source pairs.",
+            formatted_plan(q["source_leakage_matrix"](spark, sf_dir)),
+        ),
+        "curriculum_stages": (
+            "scale-honest exact quantiles: NO global row_number over the "
+            "corpus — the length histogram (one keyed aggregate) carries the "
+            "cumulative window over its distinct-lengths frame, and the "
+            "stage boundaries broadcast-join back onto documents by length.",
+            formatted_plan(q["curriculum_stages"](spark, sf_dir)),
+        ),
+        "packed_doc_spans": (
+            "document-boundary offsets in packed shards: the packing "
+            "window (lang-keyed) plus a MIN window over (lang, shard_id) — "
+            "partitions are shard-sized by construction of the token "
+            "budget, never skew-sized.",
+            formatted_plan(q["packed_doc_spans"](spark, sf_dir)),
+        ),
+        "seqlen_buckets": (
+            "power-of-two length histogram via the integer-log2 pattern "
+            "(length(bin(n))-1): one projection, one keyed aggregate with "
+            "map-side combine, ~60-row output.",
+            formatted_plan(q["seqlen_buckets"](spark, sf_dir)),
+        ),
     }
 
 

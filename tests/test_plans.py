@@ -492,3 +492,64 @@ def test_text_normalize_is_single_scan_no_shuffle(spark, sf_dir):
     # the only Exchange allowed is ordered()'s single-partition one
     assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) <= 1, plan
     assert "Join" not in plan, plan
+
+
+def test_bpe_pair_counts_explodes_vocab_not_corpus(spark, sf_dir):
+    """The pair explode must run AFTER the word-keyed vocabulary aggregate:
+    a Generate whose input is the grouped vocab frame, never the raw corpus
+    scan — the 100-TB corpus collapses to vocab size before pair work."""
+    plan = formatted_plan(entry.queries()["bpe_pair_counts"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    # two generates: word explode (corpus->words) then pair explode; the
+    # pair explode consumes the aggregated wc column, pinning it above the
+    # vocab aggregate in the tree
+    gens = len(set(re.findall(r"\((\d+)\) Generate", plan)))
+    assert gens == 2, plan
+    aggs = len(set(re.findall(r"\((\d+)\) HashAggregate", plan)))
+    assert aggs >= 4, plan  # partial+final for vocab AND for pair counts
+
+
+def test_source_leakage_matrix_gram_join_and_broadcast_totals(spark, sf_dir):
+    """The self-join is keyed on the gram; the per-source totals (S rows)
+    come back by broadcast; nothing is a product join."""
+    plan = formatted_plan(entry.queries()["source_leakage_matrix"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2, plan
+
+
+def test_curriculum_stages_has_no_corpus_wide_window(spark, sf_dir):
+    """The cumulative rank must run over the length HISTOGRAM, not the
+    documents: the Window's input is the aggregated distinct-lengths frame
+    (a HashAggregate below it), and the stage mark-back onto documents is a
+    broadcast join — never a global sort of the corpus."""
+    plan = formatted_plan(entry.queries()["curriculum_stages"](spark, sf_dir))
+    body = plan.split("== Physical Plan ==")[-1]
+    tree = body.split("(1) ")[0]
+    # the Window node exists but sits above an aggregate, and the documents
+    # join is broadcast
+    assert len(set(re.findall(r"\(\d+\) Window", plan))) == 1, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 1, plan
+    # no corpus-wide global sort: every Sort node in the tree belongs to the
+    # histogram branch (single-partition Exchange of the tiny frame) or the
+    # presentation ordering; the documents scan side must join via broadcast
+    # without a SortMergeJoin
+    assert "SortMergeJoin" not in plan, tree
+
+
+def test_packed_doc_spans_window_is_shard_keyed(spark, sf_dir):
+    plan = formatted_plan(entry.queries()["packed_doc_spans"](spark, sf_dir))
+    m = re.search(r"Window.*partitionBy.*", plan)
+    # the span window partitions by (lang, shard_id) — shard-sized
+    # partitions — and the packing window by lang; no unpartitioned window
+    assert "windowspecdefinition(lang#" in plan or "partitionBy" in plan, plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "lang" in spec, plan
+
+
+def test_seqlen_buckets_is_single_keyed_aggregate(spark, sf_dir):
+    plan = formatted_plan(entry.queries()["seqlen_buckets"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert len(set(re.findall(r"\(\d+\) Exchange", plan))) <= 2, plan  # agg + presentation
+    aggs = len(set(re.findall(r"\(\d+\) HashAggregate", plan)))
+    assert aggs == 2, plan  # partial + final
