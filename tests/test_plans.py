@@ -538,13 +538,13 @@ def test_curriculum_stages_has_no_corpus_wide_window(spark, sf_dir):
 
 
 def test_packed_doc_spans_window_is_shard_keyed(spark, sf_dir):
+    """Every window in the plan is keyed (lang for the packing cumsum,
+    lang+shard for the span base) — no unpartitioned window anywhere."""
     plan = formatted_plan(entry.queries()["packed_doc_spans"](spark, sf_dir))
-    m = re.search(r"Window.*partitionBy.*", plan)
-    # the span window partitions by (lang, shard_id) — shard-sized
-    # partitions — and the packing window by lang; no unpartitioned window
-    assert "windowspecdefinition(lang#" in plan or "partitionBy" in plan, plan
-    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
-        assert "lang" in spec, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    assert all("lang" in spec for spec in specs), plan
+    assert any("shard_id" in spec for spec in specs), plan
 
 
 def test_seqlen_buckets_is_single_keyed_aggregate(spark, sf_dir):
