@@ -48,7 +48,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stalwarts as window filler; everything green in the previous round's
     # window rotates to the back.
     return {
-        # --- new in r4 session 4: tokenizer/scheduler-side corpus ops ---
+        # --- new in r4 session 4: tokenizer/scheduler-side corpus ops +
+        # perceptual image dedup ---
+        "thumbnail_dedup": multimodal.thumbnail_dedup,
         "bpe_pair_counts": corpus.bpe_pair_counts,
         "source_leakage_matrix": corpus.source_leakage_matrix,
         "curriculum_stages": corpus.curriculum_stages,
@@ -1020,6 +1022,24 @@ SELECT doc_id, lang, n_tokens,
        tokens_before // {corpus.PACK_BUDGET} AS shard_id,
        tokens_before
 FROM c ORDER BY doc_id""",
+        # thumbnail_dedup: the stub-tier grid is a pure function of
+        # sha256(payload) (each digest byte appears twice in the 64-cell
+        # grid), so the digest is an equivalent group key the oracle can
+        # use; the re-hosted overlay (+3,000,000) duplicates every fifth
+        # image payload verbatim
+        "thumbnail_dedup": """
+WITH img AS (
+    SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0),
+un AS (
+    SELECT media_id, text FROM img
+    UNION ALL
+    SELECT media_id + 3000000 AS media_id, text FROM img WHERE media_id % 5 = 0),
+g AS (SELECT media_id, sha256(text) AS hx FROM un WHERE octet_length(encode(text)) > 0),
+gr AS (SELECT hx, MIN(media_id) AS keeper, CAST(COUNT(*) AS BIGINT) AS grp_size
+       FROM g GROUP BY hx)
+SELECT media_id, grp_size, CAST(media_id = keeper AS INT) AS canonical
+FROM g JOIN gr USING (hx)
+ORDER BY media_id""",
         # bpe_pair_counts: corpus collapses to the vocabulary first, pairs
         # enumerated over distinct words only, weighted by word frequency
         "bpe_pair_counts": """

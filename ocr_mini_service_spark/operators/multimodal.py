@@ -907,3 +907,46 @@ def media_meta_sql(spark: SparkSession, sf: str) -> DataFrame:
         "declared_w",
         "declared_h",
     ).orderBy("media_id")
+
+
+def thumbnail_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image dedup on the THUMB×THUMB luma thumbnail — the
+    image-corpus analog of content-key text dedup (re-hosted copies of the
+    same picture differ byte-wise in metadata but share the downsampled
+    luma grid; LAION-style pipelines dedup on exactly such reduced
+    representations).  The benchmark overlay re-hosts every fifth image
+    payload under a new media_id (+3,000,000) — every overlay row must
+    land in its base image's group.
+
+    Scale shape: media_type pruning happens BELOW the decode (a filter
+    cannot push through MapInPandas); the grid is computed in ONE
+    Arrow-batched pass; the keeper is the ``line_dedup`` principle — ONE
+    aggregation on the grid key (map-side combine collapses a
+    mass-duplicated image before the shuffle, never a window over the hot
+    content key) and an equi-join marks members back."""
+    from . import ordered
+
+    base = media_table(spark, sf).filter(F.col("media_type") == "image")
+    rehosted = base.filter(F.col("media_id") % 5 == 0).withColumn(
+        "media_id", F.col("media_id") + 3000000
+    )
+    grids = base.unionByName(rehosted).mapInPandas(_resize_batches, schema=RESIZED)
+    # the grid frame feeds TWO consumers (keeper aggregate + mark-back
+    # join); without materialization Spark clones the whole decode subtree
+    # into both branches and the Arrow pass runs twice — localCheckpoint
+    # evaluates the decode ONCE (the semantic_decontaminate precedent)
+    ok = (
+        grids.filter(F.col("error").isNull())
+        .select("media_id", "luma_csv")
+        .localCheckpoint(eager=True)
+    )
+    groups = ok.groupBy("luma_csv").agg(
+        F.min("media_id").alias("keeper"),
+        F.count("*").cast("long").alias("grp_size"),
+    )
+    out = ok.join(groups, "luma_csv").select(
+        "media_id",
+        "grp_size",
+        (F.col("media_id") == F.col("keeper")).cast("int").alias("canonical"),
+    )
+    return ordered(out, "media_id")

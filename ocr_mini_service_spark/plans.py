@@ -362,6 +362,15 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "map-side combine, ~60-row output.",
             formatted_plan(q["seqlen_buckets"](spark, sf_dir)),
         ),
+        "thumbnail_dedup": (
+            "perceptual image dedup: media_type pruned BELOW the decode, "
+            "ONE Arrow-batched grid pass (eager localCheckpoint — the "
+            "final plan has no MapInPandas; without it the decode subtree "
+            "clones into both consumers), then the line_dedup keeper shape "
+            "— grouped min on the grid key + equi-join mark-back, no "
+            "window over the hot content key.",
+            formatted_plan(q["thumbnail_dedup"](spark, sf_dir)),
+        ),
     }
 
 

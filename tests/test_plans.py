@@ -553,3 +553,17 @@ def test_seqlen_buckets_is_single_keyed_aggregate(spark, sf_dir):
     assert len(set(re.findall(r"\(\d+\) Exchange", plan))) <= 2, plan  # agg + presentation
     aggs = len(set(re.findall(r"\(\d+\) HashAggregate", plan)))
     assert aggs == 2, plan  # partial + final
+
+
+def test_thumbnail_dedup_keeper_is_aggregation_not_window(spark, sf_dir):
+    """The image-dedup keeper must be the line_dedup shape: one grouped
+    aggregation on the grid key + equi-join mark-back — a window over the
+    hot content key would sort a mass-duplicated image in one task."""
+    plan = formatted_plan(entry.queries()["thumbnail_dedup"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert len(set(re.findall(r"\(\d+\) HashAggregate", plan))) >= 2, plan
+    # the decode ran ONCE, at the eager localCheckpoint: the final plan
+    # joins two reads of the materialized grid frame and contains no
+    # MapInPandas at all (without the checkpoint the whole decode subtree
+    # is cloned into both consumers)
+    assert "MapInPandas" not in plan, plan
