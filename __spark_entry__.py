@@ -49,7 +49,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window rotates to the back.
     return {
         # --- new in r4 session 4: tokenizer/scheduler-side corpus ops +
-        # perceptual image dedup ---
+        # perceptual image dedup + incremental/drift/cluster audits ---
+        "curation_incremental": corpus.curation_incremental,
+        "source_token_drift": corpus.source_token_drift,
+        "dedup_cluster_stats": dedup.dedup_cluster_stats,
         "thumbnail_dedup": multimodal.thumbnail_dedup,
         "bpe_pair_counts": corpus.bpe_pair_counts,
         "source_leakage_matrix": corpus.source_leakage_matrix,
@@ -1022,6 +1025,68 @@ SELECT doc_id, lang, n_tokens,
        tokens_before // {corpus.PACK_BUDGET} AS shard_id,
        tokens_before
 FROM c ORDER BY doc_id""",
+        # curation_incremental: the batch overlay, the gopher gate, and the
+        # normalized index keys all re-derived independently
+        "curation_incremental": f"""
+WITH batch AS (
+    SELECT doc_id + 2000000 AS doc_id, upper(text) || '  !!' AS text
+    FROM documents WHERE doc_id % 3 = 2
+    UNION ALL
+    SELECT doc_id + 4000000 AS doc_id,
+           text || ' brand new appendix ' || CAST(doc_id AS VARCHAR) AS text
+    FROM documents WHERE doc_id % 3 = 0),
+ws AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM batch),
+st AS (
+    SELECT doc_id, text,
+           CAST(len(w) AS INT) AS n_words,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+           CAST(length(regexp_extract_all(lower(text), '{EN_STOPWORDS}')) AS INT) AS n_stop
+    FROM ws),
+gf AS (
+    SELECT doc_id, text,
+           CAST(n_words BETWEEN {corpus.GOPHER_MIN_WORDS} AND {corpus.GOPHER_MAX_WORDS}
+                AND (sum_len * 100) // n_words
+                    BETWEEN {corpus.GOPHER_MEANLEN_MIN_X100} AND {corpus.GOPHER_MEANLEN_MAX_X100}
+                AND (n_distinct * 10000) // n_words >= {corpus.GOPHER_DISTINCT_MIN_BP}
+                AND n_stop >= {corpus.GOPHER_STOP_MIN} AS INT) AS pass_gopher
+    FROM st),
+bk AS (
+    SELECT doc_id, pass_gopher,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS nt
+    FROM gf),
+idx AS (
+    SELECT DISTINCT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                        ' +', ' ', 'g')) AS nt
+    FROM documents)
+SELECT bk.doc_id, bk.pass_gopher,
+       CAST(idx.nt IS NULL AS INT) AS is_novel,
+       CAST(bk.pass_gopher = 1 AND idx.nt IS NULL AS INT) AS admitted
+FROM bk LEFT JOIN idx ON idx.nt = bk.nt
+ORDER BY bk.doc_id""",
+        # source_token_drift: HUGEINT cross-multiplication internally, the
+        # closed-form absent-mass term, BIGINT basis points out
+        "source_token_drift": """
+WITH t AS (
+    SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents),
+tt AS (SELECT source, tok FROM t WHERE tok <> ''),
+sc AS (SELECT source, tok, CAST(COUNT(*) AS HUGEINT) AS tf_s FROM tt GROUP BY source, tok),
+ccs AS (SELECT tok, CAST(SUM(tf_s) AS HUGEINT) AS tf_c FROM sc GROUP BY tok),
+tss AS (SELECT source, CAST(SUM(tf_s) AS HUGEINT) AS t_s FROM sc GROUP BY source),
+tot AS (SELECT CAST(SUM(t_s) AS HUGEINT) AS t FROM tss),
+pres AS (
+    SELECT source,
+           SUM(abs(tf_s * t - tf_c * t_s)) AS present_num,
+           SUM(tf_c) AS present_tfc
+    FROM sc JOIN ccs USING (tok) JOIN tss USING (source), tot
+    GROUP BY source)
+SELECT pres.source, CAST(t_s AS BIGINT) AS n_tokens,
+       CAST(((present_num + t_s * (t - present_tfc)) * 10000)
+            // (2 * t * t_s) AS BIGINT) AS tv_drift_bp
+FROM pres JOIN tss USING (source), tot
+ORDER BY pres.source""",
         # thumbnail_dedup: the stub-tier grid is a pure function of
         # sha256(payload) (each digest byte appears twice in the 64-cell
         # grid), so the digest is an equivalent group key the oracle can
@@ -1419,6 +1484,13 @@ WITH RECURSIVE {_CORPUS}, {_SHINGLE_HASHES}, {_LSH_PAIR_CTES}, {_CC_CTES}
 SELECT f.doc_id, f.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
 FROM final f JOIN sizes s USING (cluster_id)
 ORDER BY f.doc_id""",
+        "dedup_cluster_stats": f"""
+WITH RECURSIVE {_CORPUS}, {_SHINGLE_HASHES}, {_LSH_PAIR_CTES}, {_CC_CTES}
+SELECT CAST(cluster_size AS BIGINT) AS size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+       CAST(SUM(cluster_size - 1) AS BIGINT) AS n_dropped
+FROM sizes GROUP BY cluster_size ORDER BY size""",
         "dedup_survivors": f"""
 WITH RECURSIVE {_CORPUS}, {_SHINGLE_HASHES}, {_LSH_PAIR_CTES}, {_CC_CTES}
 SELECT f.doc_id, CAST(s.cluster_size - 1 AS BIGINT) AS n_dupes_removed

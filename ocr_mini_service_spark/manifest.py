@@ -425,3 +425,53 @@ def load_transcripts(
     spark: SparkSession, path: str, io: TableIO = DEFAULT_IO
 ) -> DataFrame:
     return io.read(spark, path, schema=TRANSCRIPTS)
+
+
+def compact_output(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    io: TableIO = DEFAULT_IO,
+) -> dict:
+    """Small-file compaction of a committed extraction output — the table
+    maintenance a long-lived ingest target needs: every ``--resume`` batch
+    and every streaming trigger appends its own part files per bucket, and
+    scan-task scheduling over thousands of tiny files eventually dominates
+    read cost.  Rewrites the data so each bucket partition holds ONE file,
+    preserving rows bit-for-bit and carrying the manifest (and its pinned
+    ``n_buckets``) to the destination — ``--resume`` against the compacted
+    output skips every bucket, exactly as against the original.
+
+    Writes to a NEW location: Spark cannot overwrite a path it is reading
+    from (lazy scan during write), and a same-path rewrite would also
+    destroy the crash-atomicity story — the swap (rename or catalog
+    pointer flip) is the operator's one atomic step.  At 100 TB this runs
+    per-partition-range, not whole-table; the shuffle is the compaction's
+    inherent cost (rows must land in one task per bucket to become one
+    file per bucket).
+
+    Returns {"rows", "files_before", "files_after", "buckets"} — counts
+    derived distributedly via input_file_name(), FS-agnostic."""
+    df = io.read(spark, src)
+    n_buckets = persisted_n_buckets(spark, src, io=io)
+    files_before = df.select(F.input_file_name()).distinct().count()
+    rows_before = df.count()
+    # one task per bucket value -> one file per bucket dir
+    compacted = df.repartition(int(n_buckets or 256), "bucket")
+    io.write(compacted, dst, partition_by=("bucket",), mode="overwrite", dynamic=True)
+    m = read_manifest(spark, src, io=io)
+    if m is not None:
+        io.write(m, f"{dst}/_manifest", mode="overwrite")
+    out = io.read(spark, dst)
+    rows_after = out.count()
+    if rows_after != rows_before:
+        raise RuntimeError(
+            f"compaction row-count mismatch: {rows_before} -> {rows_after}"
+        )
+    files_after = out.select(F.input_file_name()).distinct().count()
+    return {
+        "rows": rows_after,
+        "files_before": files_before,
+        "files_after": files_after,
+        "buckets": n_buckets,
+    }

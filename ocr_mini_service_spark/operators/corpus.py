@@ -1445,3 +1445,118 @@ def seqlen_buckets(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return ordered(out, "bucket")
+
+
+def _incremental_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """The synthetic "new crawl batch": reformatted republications of every
+    third base document (doc_id+2,000,000 — the ``normalized_dedup``
+    overlay, so they collide with the index on the normalized key) plus
+    genuinely new documents (doc_id+4,000,000, base text with a fresh
+    appended segment — novel under any content key)."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    reposts = docs.filter(F.col("doc_id") % 3 == 2).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  !!")).alias("text"),
+    )
+    fresh = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" brand new appendix "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    return reposts.unionByName(fresh)
+
+
+def curation_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental admission of a new crawl batch against the existing
+    curated index — the daily-ingest path of a production pipeline (the
+    ``dedup_incremental`` principle applied to curation): each batch
+    document gets a quality verdict (Gopher gate), a novelty verdict
+    (normalized content key not already in the index), and the admission
+    conjunction.  Reformatted republications of indexed pages must be
+    rejected as non-novel; genuinely new pages that pass quality are
+    admitted.
+
+    Scale shape: the index side collapses to DISTINCT normalized KEYS
+    (key-only, one keyed aggregate — never the corpus rows), the novelty
+    test is one hash equi-join on the key (batch side is batch-sized),
+    and the quality gate is the shared one-scan ``gopher_flags`` chain.
+    Nothing is quadratic and nothing collects."""
+    base_keys = (
+        load(spark, sf, "documents")
+        .select(F.md5(_norm_expr()).alias("nk"))
+        .distinct()
+        .withColumn("_indexed", F.lit(1))
+    )
+    batch = _incremental_batch(spark, sf)
+    flagged = gopher_flags(batch, keep=["text"])
+    keyed = flagged.select("doc_id", "pass_gopher", F.md5(_norm_expr()).alias("nk"))
+    marked = keyed.join(base_keys, "nk", "left")
+    out = marked.select(
+        "doc_id",
+        "pass_gopher",
+        F.col("_indexed").isNull().cast("int").alias("is_novel"),
+        ((F.col("pass_gopher") == 1) & F.col("_indexed").isNull())
+        .cast("int")
+        .alias("admitted"),
+    )
+    return ordered(out, "doc_id")
+
+
+def source_token_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-distribution drift: the exact total-variation
+    distance between each source's unigram distribution and the whole
+    corpus's, in basis points — the mixture-monitoring signal a pipeline
+    watches to catch a source whose content shifted (spam flood, template
+    change) before it pollutes the blend.  TV = ½ Σ|p_s(tok) − p(tok)|;
+    the sum over tokens ABSENT from the source is the closed form
+    t_s·(T − Σ_present tf_c), so only the source's own tokens are ever
+    joined.
+
+    Exactness: all cross-multiplications run in DECIMAL(38,0) (the
+    ``event_outliers`` lesson — int64 silently wraps at 100-TB counts
+    where DuckDB raises), and the final basis-point value is an integral
+    ``div``.
+
+    Scale shape: one token explode, a (source, token)-keyed count with
+    map-side combine, a token-keyed join to the (vocabulary-sized) corpus
+    counts, S-row side frames by broadcast, and a source-keyed reduce —
+    no corpus-wide state beyond the vocabulary."""
+    docs = (
+        load(spark, sf, "documents")
+        .select("source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    src_tf = toks.groupBy("source", "tok").agg(F.count("*").cast("long").alias("tf_s"))
+    corp_tf = src_tf.groupBy("tok").agg(F.sum("tf_s").cast("long").alias("tf_c"))
+    totals = src_tf.groupBy("source").agg(F.sum("tf_s").cast("long").alias("t_s"))
+    grand = totals.agg(F.sum("t_s").cast("long").alias("t"))
+    d = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    joined = (
+        src_tf.join(corp_tf, "tok")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(grand))
+    )
+    present = joined.groupBy("source").agg(
+        F.sum(F.abs(d("tf_s") * d("t") - d("tf_c") * d("t_s"))).alias("present_num"),
+        F.sum("tf_c").cast("decimal(18,0)").alias("present_tfc"),
+    )
+    out = (
+        present.join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            F.col("t_s").alias("n_tokens"),
+            F.expr(
+                "CAST((present_num"
+                " + CAST(t_s AS DECIMAL(18,0)) * (CAST(t AS DECIMAL(18,0)) - present_tfc))"
+                " * 10000 AS DECIMAL(38,0))"
+                " div (2 * CAST(t AS DECIMAL(18,0)) * CAST(t_s AS DECIMAL(18,0)))"
+            ).alias("tv_drift_bp"),
+        )
+    )
+    return ordered(out, "source")

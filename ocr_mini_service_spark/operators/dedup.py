@@ -1215,3 +1215,25 @@ def dedup_family_agreement(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_pairs"))
     )
     return ordered(venn, *flags)
+
+
+def dedup_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup graph — the audit row a
+    dedup run reads before trusting its survivor count (a fat head means a
+    boilerplate template is welding unrelated pages into one component; a
+    long singleton tail means the banding recalls nothing).  One row per
+    component size: how many clusters, how many documents they hold, and
+    how many non-canonical members a keeper pass would drop.
+
+    Scale shape: two keyed aggregates over the cluster labels (label →
+    size, size → counts) with map-side combine; output is bounded by the
+    distinct-size count.  The clustering itself is the capped-LSH + CC
+    pipeline shared with ``dedup_clusters``."""
+    labels = _clusters_frame(spark, sf)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").cast("long").alias("size"))
+    out = sizes.groupBy("size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.count("*") * F.col("size")).cast("long").alias("n_docs"),
+        ((F.col("size") - 1) * F.count("*")).cast("long").alias("n_dropped"),
+    ).select("size", "n_clusters", "n_docs", "n_dropped")
+    return ordered(out, "size")

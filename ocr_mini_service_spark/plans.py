@@ -362,6 +362,28 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "map-side combine, ~60-row output.",
             formatted_plan(q["seqlen_buckets"](spark, sf_dir)),
         ),
+        "curation_incremental": (
+            "daily-ingest admission: the index collapses to DISTINCT "
+            "normalized keys (key-only aggregate, never the corpus rows), "
+            "the novelty test is one hash equi-join on the key, the "
+            "quality gate rides the shared one-scan gopher chain.",
+            formatted_plan(q["curation_incremental"](spark, sf_dir)),
+        ),
+        "source_token_drift": (
+            "mixture drift monitor: (source, token)-keyed counts with "
+            "map-side combine, a token-keyed join to the vocabulary-sized "
+            "corpus counts, S-row totals by broadcast, and DECIMAL(38,0) "
+            "cross-multiplication so nothing wraps at 100-TB counts; the "
+            "absent-token mass is a closed form, so only present tokens "
+            "ever join.",
+            formatted_plan(q["source_token_drift"](spark, sf_dir)),
+        ),
+        "dedup_cluster_stats": (
+            "cluster-size observability: label- and size-keyed aggregates "
+            "over the shared capped-LSH + CC labels; output bounded by "
+            "distinct component sizes.",
+            formatted_plan(q["dedup_cluster_stats"](spark, sf_dir)),
+        ),
         "thumbnail_dedup": (
             "perceptual image dedup: media_type pruned BELOW the decode, "
             "ONE Arrow-batched grid pass (eager localCheckpoint — the "

@@ -80,3 +80,55 @@ def test_progress_reports_failed_on_error(spark, tmp_path):
     assert events[-1]["type"] == "failed"
     assert "boom" in events[-1]["error"]
     assert not any(e["type"] == "complete" for e in events)
+
+
+def test_compact_output_one_file_per_bucket_resume_noop(spark, tmp_path):
+    """compact_output rewrites a fragmented committed output to one file per
+    bucket, bit-for-bit (DuckDB as the independent reader), carries the
+    manifest so --resume against the compacted location skips every bucket,
+    and refuses nothing it shouldn't (row-count guard is exercised by the
+    equality assert)."""
+    from ocr_mini_service_spark.manifest import persisted_n_buckets
+    from ocr_mini_service_spark.sources import DEFAULT_IO
+    from run_compact import run as compact_run
+
+    inp = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(inp, 400)
+    out = str(tmp_path / "extracted")
+    stats = run_with_manifest(spark, load_transcripts(spark, inp), out, n_buckets=8)
+
+    # fragment the committed output the way resumed batches / streaming
+    # triggers do: many part files per bucket dir, manifest carried over
+    frag = str(tmp_path / "fragmented")
+    DEFAULT_IO.write(
+        DEFAULT_IO.read(spark, out).repartition(32),
+        frag,
+        partition_by=("bucket",),
+        mode="overwrite",
+    )
+    DEFAULT_IO.write(spark.read.parquet(f"{out}/_manifest"), f"{frag}/_manifest")
+
+    dst = str(tmp_path / "compacted")
+    res = compact_run(spark, frag, dst)
+    assert res["rows"] == stats["n_turns"]
+    assert res["buckets"] == 8
+    assert res["files_before"] > 8  # fragmented state really was fragmented
+    assert res["files_after"] == 8  # ONE file per bucket dir
+
+    # bit-for-bit row equality, independent reader
+    rows = {
+        p: duckdb.sql(
+            f"SELECT * FROM read_parquet('{p}/bucket=*/*.parquet', "
+            f"hive_partitioning=1) ORDER BY ALL"
+        ).fetchall()
+        for p in (frag, dst)
+    }
+    assert rows[frag] == rows[dst]
+
+    # the manifest (and its pinned modulus) travelled: resume is a no-op
+    assert persisted_n_buckets(spark, dst) == 8
+    again = run_with_manifest(
+        spark, load_transcripts(spark, inp), dst, resume=True
+    )
+    assert again["buckets_skipped"] == 8
+    assert again["n_turns"] == 0

@@ -567,3 +567,33 @@ def test_thumbnail_dedup_keeper_is_aggregation_not_window(spark, sf_dir):
     # MapInPandas at all (without the checkpoint the whole decode subtree
     # is cloned into both consumers)
     assert "MapInPandas" not in plan, plan
+
+
+def test_curation_incremental_index_side_is_keys_only(spark, sf_dir):
+    """The novelty test joins the batch against DISTINCT normalized KEYS of
+    the index (an aggregate of md5 keys), never the index rows; the gate +
+    key chain stays narrow (no window, no product join)."""
+    plan = formatted_plan(entry.queries()["curation_incremental"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the distinct over index keys compiles to partial+final HashAggregate
+    assert len(set(re.findall(r"\(\d+\) HashAggregate", plan))) >= 2, plan
+
+
+def test_source_token_drift_broadcasts_the_side_frames(spark, sf_dir):
+    """The S-row totals and the 1-row grand total return by broadcast; the
+    only big joins are token-keyed; nothing is a product join except the
+    literal 1-row cross joins."""
+    plan = formatted_plan(entry.queries()["source_token_drift"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2, plan
+    assert "Window" not in plan, plan
+
+
+def test_dedup_cluster_stats_is_two_keyed_aggregates(spark, sf_dir):
+    """Beyond the shared clustering pipeline, the audit itself adds only
+    label- and size-keyed aggregates — no window, no join."""
+    plan = formatted_plan(entry.queries()["dedup_cluster_stats"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
