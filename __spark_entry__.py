@@ -49,7 +49,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window rotates to the back.
     return {
         # --- new in r4 session 4: tokenizer/scheduler-side corpus ops +
-        # perceptual image dedup + incremental/drift/cluster audits ---
+        # perceptual image dedup + incremental/drift/cluster audits +
+        # real-WAV audio tier ---
+        "audio_features": multimodal.audio_features,
         "curation_incremental": corpus.curation_incremental,
         "source_token_drift": corpus.source_token_drift,
         "dedup_cluster_stats": dedup.dedup_cluster_stats,
@@ -481,6 +483,16 @@ SELECT doc_id,
        CAST(MIN(CASE WHEN n_docs >= 2 THEN pos END) AS BIGINT) AS first_shared_pos
 FROM w JOIN wc USING (win)
 GROUP BY doc_id ORDER BY doc_id"""
+
+
+def _hxb(i: int) -> str:
+    """DuckDB expression for byte ``i`` of a sha256 digest exposed as the hex
+    string column ``hx`` (the media stub tiers derive their deterministic
+    fake features from digest bytes; hashlib digest[i] == these hex pairs)."""
+    return (
+        f"((instr('0123456789abcdef', substr(hx, {2 * i + 1}, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr(hx, {2 * i + 2}, 1)) - 1))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2143,6 +2155,36 @@ ORDER BY event_id""",
         # re-derives them from sha256 hex pairs (the text payloads of the
         # driver's media table never carry real raster magics; the REAL
         # decode/resize tier is value-tested in tests/test_multimodal.py)
+        # audio_features: the synthetic payloads are text bytes (never RIFF),
+        # so the oracle re-derives the digest-seeded stub tier; the REAL
+        # RIFF/PCM WAV decode is value-tested in tests/test_multimodal.py
+        # with independently-computed expected stats
+        "audio_features": f"""
+WITH m AS (
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS hx
+    FROM documents WHERE doc_id % 3 = 1),
+d AS (
+    SELECT media_id, n_bytes,
+           ([8000, 16000, 22050, 44100])[{_hxb(0)} % 4 + 1] AS sample_rate,
+           {_hxb(1)} % 2 + 1 AS n_channels,
+           {_hxb(2)} * 256 + {_hxb(3)} + 1 AS frames,
+           ({_hxb(4)} * 256 + {_hxb(5)}) % 32768 AS peak_abs,
+           {_hxb(6)} * 16777216 + {_hxb(7)} * 65536 + {_hxb(8)} * 256 + {_hxb(9)} AS sumsq
+    FROM m)
+SELECT media_id,
+       CAST(n_bytes AS INT) AS n_bytes,
+       CASE WHEN n_bytes = 0 THEN NULL ELSE CAST(sample_rate AS INT) END AS sample_rate,
+       CASE WHEN n_bytes = 0 THEN NULL ELSE CAST(n_channels AS INT) END AS n_channels,
+       CASE WHEN n_bytes = 0 THEN NULL ELSE CAST(frames AS BIGINT) END AS n_samples,
+       CASE WHEN n_bytes = 0 THEN NULL ELSE CAST(peak_abs AS INT) END AS peak_abs,
+       CASE WHEN n_bytes = 0 THEN NULL ELSE CAST(sumsq AS BIGINT) END AS sumsq,
+       CASE WHEN n_bytes = 0 THEN NULL
+            ELSE CAST(frames * 1000 // sample_rate AS BIGINT) END AS duration_ms,
+       CASE WHEN n_bytes = 0 THEN 'decode_failed: empty payload'
+            ELSE CAST(NULL AS VARCHAR) END AS error
+FROM d ORDER BY media_id""",
         "media_resize": f"""
 WITH m AS (
     SELECT doc_id AS media_id,

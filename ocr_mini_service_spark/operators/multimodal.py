@@ -691,6 +691,16 @@ def _decode(payload: bytes, media_type: str, w: int, h: int) -> dict:
         return _decode_png(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return _decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # real PCM WAV: no raster semantics, but the frame count (and so
+        # frame_sample's byte addressing) is the file's true sample frames
+        a = _decode_wav(payload)
+        return {
+            "width": None,
+            "height": None,
+            "mean_luma": None,
+            "n_frames": int(a["n_samples"]),
+        }
     return _decode_stub(payload, media_type, w, h)
 
 
@@ -949,4 +959,171 @@ def thumbnail_dedup(spark: SparkSession, sf: str) -> DataFrame:
         "grp_size",
         (F.col("media_id") == F.col("keeper")).cast("int").alias("canonical"),
     )
+    return ordered(out, "media_id")
+
+
+# ---------------------------------------------------------------------------
+# Audio tier: real WAV (RIFF/PCM) decode.  WAV is the one mainstream audio
+# container that needs no codec library — raw integer PCM samples behind a
+# chunked header — so it moves from the stub tier to the REALLY-decoded tier
+# exactly the way PPM/BMP/PNG/JPEG did for images (the reference's decode
+# seam, SURVEY.md §2.1 S6).  Compressed audio (mp3/aac/ogg) and video stay
+# stubbed: genuinely codec-library-bound in this container.
+
+AUDIO = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("n_samples", LongType(), True),  # frames (per channel)
+        StructField("peak_abs", IntegerType(), True),  # max |sample|, 16-bit domain
+        StructField("sumsq", LongType(), True),  # exact Σ sample², 16-bit domain
+        StructField("duration_ms", LongType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def _wav_chunks(payload: bytes):
+    """Chunk walk of a RIFF/WAVE container: yields (chunk_id, data_offset,
+    size).  Sizes are little-endian; chunk data is word-aligned (odd sizes
+    pad one byte).  A chunk whose declared size runs past the payload
+    errors — a payload that CLAIMS WAVE but lies about sizes must surface,
+    never downgrade to the stub."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        data = pos + 8
+        if data + size > len(payload):
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        yield cid, data, size
+        pos = data + size + (size & 1)
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """PCM WAV decode: fmt /data chunk walk, 8-bit unsigned or 16-bit
+    signed little-endian integer PCM, any channel count, extra chunks
+    (LIST, fact, ...) skipped by the walk.  Returns exact integer stats in
+    the 16-bit domain (8-bit samples are centered and scaled ×256):
+    frames, peak |sample|, Σ sample² — all integer arithmetic, bit-stable
+    and independently recomputable by a test oracle.  Non-PCM codecs and
+    other bit depths raise (codec-library-bound), never silently stub."""
+    import struct
+
+    fmt = data = None
+    for cid, off, size in _wav_chunks(payload):
+        if cid == b"fmt " and fmt is None:
+            fmt = (off, size)
+        elif cid == b"data" and data is None:
+            data = (off, size)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt /data chunk")
+    off, size = fmt
+    if size < 16:
+        raise ValueError("WAV fmt chunk too short")
+    audio_format, n_channels, sample_rate = struct.unpack_from("<HHI", payload, off)
+    bits = struct.unpack_from("<H", payload, off + 14)[0]
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAV codec {audio_format} (integer PCM only)")
+    if bits not in (8, 16):
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError("degenerate WAV fmt")
+    doff, dsize = data
+    frame_bytes = (bits // 8) * n_channels
+    n_frames = dsize // frame_bytes
+    count = n_frames * n_channels
+    if bits == 16:
+        s = np.frombuffer(payload, dtype="<i2", count=count, offset=doff).astype(
+            np.int64
+        )
+    else:
+        s = (
+            np.frombuffer(payload, dtype=np.uint8, count=count, offset=doff).astype(
+                np.int64
+            )
+            - 128
+        ) * 256
+    return {
+        "sample_rate": int(sample_rate),
+        "n_channels": int(n_channels),
+        "n_samples": int(n_frames),
+        "peak_abs": int(np.abs(s).max()) if count else 0,
+        "sumsq": int((s * s).sum()) if count else 0,
+        "duration_ms": n_frames * 1000 // int(sample_rate),
+    }
+
+
+def _audio_stub(payload: bytes) -> dict:
+    """Deterministic fake for codec-bound audio formats, seeded from the
+    payload digest (oracle-reproducible from sha256 alone, like the
+    ``_resize_grid`` stub tier)."""
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    d = hashlib.sha256(payload).digest()
+    rate = (8000, 16000, 22050, 44100)[d[0] % 4]
+    frames = int.from_bytes(d[2:4], "big") + 1
+    return {
+        "sample_rate": rate,
+        "n_channels": d[1] % 2 + 1,
+        "n_samples": frames,
+        "peak_abs": int.from_bytes(d[4:6], "big") % 32768,
+        "sumsq": int.from_bytes(d[6:10], "big"),
+        "duration_ms": frames * 1000 // rate,
+    }
+
+
+def _audio_features_row(payload: bytes) -> dict:
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    return _audio_stub(payload)
+
+
+def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for r in pdf.itertuples(index=False):
+            payload = bytes(r.payload) if r.payload is not None else b""
+            row = {
+                "media_id": int(r.media_id),
+                "n_bytes": len(payload),
+                "sample_rate": None,
+                "n_channels": None,
+                "n_samples": None,
+                "peak_abs": None,
+                "sumsq": None,
+                "duration_ms": None,
+                "error": None,
+            }
+            try:  # per-row isolation, mirroring the raster tier
+                row.update(_audio_features_row(payload))
+            except Exception as e:
+                row["error"] = f"decode_failed: {e}"
+            out.append(row)
+        yield pd.DataFrame(out, columns=[f.name for f in AUDIO.fields])
+
+
+def audio_features(
+    spark: SparkSession, sf: str, table: DataFrame | None = None
+) -> DataFrame:
+    """Audio feature extraction over the binary column: REAL RIFF/PCM WAV
+    decode (exact integer sample stats — frames, peak, Σ sample², duration)
+    with the digest-derived stub for codec-bound formats, identical schema
+    and per-row error isolation either way.
+
+    Scale shape: media_type pruning happens BELOW the decode (a filter
+    cannot push through MapInPandas), then one embarrassingly-parallel
+    Arrow-batched pass — no shuffle before the presentation sort."""
+    from . import ordered
+
+    src = (
+        media_table(spark, sf).filter(F.col("media_type") == "audio")
+        if table is None
+        else table
+    )
+    out = src.mapInPandas(_audio_batches, schema=AUDIO)
     return ordered(out, "media_id")

@@ -384,6 +384,14 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "distinct component sizes.",
             formatted_plan(q["dedup_cluster_stats"](spark, sf_dir)),
         ),
+        "audio_features": (
+            "audio decode: media_type pruned BELOW the Arrow decode node "
+            "(a filter cannot push through MapInPandas), then ONE "
+            "embarrassingly-parallel batch pass — real RIFF/PCM WAV stats "
+            "in exact integers, digest stub for codec-bound formats; no "
+            "join, no keyed shuffle.",
+            formatted_plan(q["audio_features"](spark, sf_dir)),
+        ),
         "thumbnail_dedup": (
             "perceptual image dedup: media_type pruned BELOW the decode, "
             "ONE Arrow-batched grid pass (eager localCheckpoint — the "

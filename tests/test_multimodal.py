@@ -372,3 +372,139 @@ def test_png_decompression_bomb_rejected_before_inflate():
         raise AssertionError("overlong inflate not rejected")
     except ValueError as e:
         assert "size" in str(e)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/PCM) audio tier
+
+
+def _wav(samples_by_channel, rate=16000, bits=16, extra_chunk=None, fmt_code=1):
+    """Build a WAV payload: interleaved PCM frames, optional extra chunk
+    BEFORE data (chunk-walk coverage), word-aligned odd chunks."""
+    n_ch = len(samples_by_channel)
+    n_frames = len(samples_by_channel[0])
+    frames = b""
+    for i in range(n_frames):
+        for ch in samples_by_channel:
+            if bits == 16:
+                frames += struct.pack("<h", ch[i])
+            else:
+                frames += struct.pack("<B", ch[i])
+    fmt = struct.pack(
+        "<HHIIHH",
+        fmt_code,
+        n_ch,
+        rate,
+        rate * n_ch * bits // 8,
+        n_ch * bits // 8,
+        bits,
+    )
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk is not None:
+        cid, payload = extra_chunk
+        body += cid + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    body += b"data" + struct.pack("<I", len(frames)) + frames
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_16bit_stereo_exact_stats():
+    """16-bit stereo PCM: frames, peak, Σ sample² computed independently
+    here must match the decoder exactly (integer domain, no float)."""
+    left = [0, 100, -32768, 32767, -5]
+    right = [1, -2, 3, -4, 5]
+    payload = _wav([left, right], rate=44100)
+    got = multimodal._decode_wav(payload)
+    allsamp = left + right
+    assert got == {
+        "sample_rate": 44100,
+        "n_channels": 2,
+        "n_samples": 5,
+        "peak_abs": 32768,
+        "sumsq": sum(s * s for s in allsamp),
+        "duration_ms": 5 * 1000 // 44100,
+    }
+
+
+def test_wav_8bit_mono_centered_and_scaled():
+    """8-bit unsigned samples center at 128 and scale ×256 into the 16-bit
+    domain, so stats are comparable across bit depths."""
+    raw = [128, 0, 255, 200]
+    payload = _wav([raw], rate=8000, bits=8)
+    got = multimodal._decode_wav(payload)
+    scaled = [(s - 128) * 256 for s in raw]
+    assert got["n_channels"] == 1
+    assert got["n_samples"] == 4
+    assert got["peak_abs"] == max(abs(s) for s in scaled)
+    assert got["sumsq"] == sum(s * s for s in scaled)
+    assert got["duration_ms"] == 0  # 4 frames at 8 kHz is sub-millisecond
+
+
+def test_wav_extra_chunks_and_odd_padding_skipped():
+    """A LIST chunk with an odd size sits between fmt and data; the chunk
+    walk must skip it (with its pad byte) and still find data."""
+    payload = _wav([[7, -7, 7]], extra_chunk=(b"LIST", b"INFOx"))
+    got = multimodal._decode_wav(payload)
+    assert got["n_samples"] == 3
+    assert got["sumsq"] == 3 * 49
+
+
+def test_wav_error_contract():
+    """Truncated data, non-PCM codec, and unsupported bit depth raise
+    ValueError (never stub-downgrade, never a raw IndexError)."""
+    import pytest
+
+    ok = _wav([[1, 2, 3]])
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal._decode_wav(ok[:-2])
+    with pytest.raises(ValueError, match="codec"):
+        multimodal._decode_wav(_wav([[1, 2]], fmt_code=3))
+    # 24-bit: build manually since _wav only packs 8/16
+    f = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(f) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(f)) + f
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        multimodal._decode_wav(bad)
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal._decode_wav(b"not audio at all")
+
+
+def test_wav_through_audio_kernel_and_media_features(spark):
+    """A real WAV payload flows through BOTH Arrow kernels: audio_features
+    reports its exact integer stats, media_features reports its true frame
+    count; a prose payload next to it falls to the digest stub; a lying
+    WAV surfaces as a decode error row."""
+    import hashlib
+
+    wav = _wav([[1000, -1000, 500]], rate=22050)
+    prose = b"just some text bytes"
+    rows = [
+        (1, bytearray(wav), "audio", 16, 16),
+        (2, bytearray(prose), "audio", 16, 16),
+        (3, bytearray(wav[:-3]), "audio", 16, 16),
+    ]
+    src = spark.createDataFrame(rows, schema=multimodal.MEDIA)
+    out = {
+        r["media_id"]: r.asDict()
+        for r in multimodal.audio_features(spark, "", table=src).collect()
+    }
+    assert out[1]["sample_rate"] == 22050
+    assert out[1]["n_samples"] == 3
+    assert out[1]["sumsq"] == 2 * 1000000 + 250000
+    assert out[1]["error"] is None
+    d = hashlib.sha256(prose).digest()
+    assert out[2]["sample_rate"] == (8000, 16000, 22050, 44100)[d[0] % 4]
+    assert out[2]["n_samples"] == int.from_bytes(d[2:4], "big") + 1
+    assert out[3]["error"] is not None and "truncated" in out[3]["error"]
+
+    feats = {
+        r["media_id"]: r.asDict()
+        for r in multimodal.media_features(spark, "", table=src).collect()
+    }
+    assert feats[1]["n_frames"] == 3  # REAL frame count, not the stub's
+    assert feats[1]["width"] is None and feats[1]["mean_luma"] is None
+    assert feats[3]["error"] is not None

@@ -597,3 +597,20 @@ def test_dedup_cluster_stats_is_two_keyed_aggregates(spark, sf_dir):
     plan = formatted_plan(entry.queries()["dedup_cluster_stats"](spark, sf_dir))
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_audio_features_prunes_below_decode_one_pass(spark, sf_dir):
+    """Audio feature extraction is one scan -> filter (media_type prune
+    BELOW the Arrow decode node — a filter cannot push through
+    MapInPandas) -> one MapInPandas pass; no join, no keyed shuffle."""
+    plan = formatted_plan(entry.queries()["audio_features"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert len(set(re.findall(r"\((\d+)\) MapInPandas", plan))) == 1, plan
+    # the media_type prune happens before the Python worker: node ids
+    # ascend leaf-up in the formatted dump, so the Filter's id must be
+    # SMALLER than the MapInPandas id (filter below the decode)
+    filter_id = min(int(i) for i in re.findall(r"\((\d+)\) Filter", plan))
+    map_id = min(int(i) for i in re.findall(r"\((\d+)\) MapInPandas", plan))
+    assert filter_id < map_id, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
