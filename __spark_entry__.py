@@ -23,6 +23,7 @@ from ocr_mini_service_spark.operators import (
     dedup,
     multimodal,
     similarity,
+    sketches,
     text,
     tpch,
     transcribe,
@@ -48,6 +49,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stalwarts as window filler; everything green in the previous round's
     # window rotates to the back.
     return {
+        # --- new in r4 session 5: portable sketches (relational CMS + integer
+        # HLL, both value-oracled; GK rank-error audit) + salted skew join ---
+        "cms_heavy_audit": sketches.cms_heavy_audit,
+        "hll_distinct_audit": sketches.hll_distinct_audit,
+        "quantile_sketch_audit": sketches.quantile_sketch_audit,
+        "skew_salted_join": sketches.skew_salted_join,
         # --- new in r4 session 4: tokenizer/scheduler-side corpus ops +
         # perceptual image dedup + incremental/drift/cluster audits +
         # real-WAV audio tier ---
@@ -497,6 +504,87 @@ def _hxb(i: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # ---------------- portable sketches (full value oracles) -----------
+        # the CMS and HLL are built from md5-derived BIGINTs specifically so
+        # DuckDB can rebuild the SAME sketch: Spark conv(substr(md5,..),16,10)
+        # == DuckDB ('0x'||substr(md5,..))::BIGINT, estimates in pure integer
+        # arithmetic (powers of two, div) — no float anywhere
+        "cms_heavy_audit": f"""
+WITH wd AS (
+    SELECT string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+g AS (
+    SELECT array_to_string(list_slice(w, i, i + {sketches.SK_N - 1}), ' ') AS gram
+    FROM wd, unnest(generate_series(1, greatest(len(w) - {sketches.SK_N - 1}, 0))) AS t(i)),
+cnt AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS true_n FROM g GROUP BY gram),
+pd AS (
+    SELECT gram, true_n, d,
+           ('0x' || substr(md5(d || ':' || gram), 1, 4))::BIGINT % {sketches.CMS_W} AS pos
+    FROM cnt CROSS JOIN unnest({list(map(str, range(sketches.CMS_D)))}) AS t2(d)),
+ctr AS (SELECT d, pos, CAST(SUM(true_n) AS BIGINT) AS c FROM pd GROUP BY d, pos),
+probes AS (SELECT gram, true_n FROM cnt ORDER BY true_n DESC, gram LIMIT {sketches.CMS_TOP}),
+est AS (
+    SELECT p.gram, p.true_n, MIN(c.c) AS est_n
+    FROM probes p
+    CROSS JOIN unnest({list(map(str, range(sketches.CMS_D)))}) AS t3(d)
+    JOIN ctr c ON c.d = t3.d
+       AND c.pos = ('0x' || substr(md5(t3.d || ':' || p.gram), 1, 4))::BIGINT % {sketches.CMS_W}
+    GROUP BY p.gram, p.true_n)
+SELECT gram, true_n, CAST(est_n AS BIGINT) AS est_n,
+       CAST(est_n - true_n AS BIGINT) AS excess
+FROM est ORDER BY gram""",
+        "hll_distinct_audit": f"""
+WITH wd AS (
+    SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+g AS (
+    SELECT DISTINCT source,
+           array_to_string(list_slice(w, i, i + {sketches.SK_N - 1}), ' ') AS gram
+    FROM wd, unnest(generate_series(1, greatest(len(w) - {sketches.SK_N - 1}, 0))) AS t(i)),
+h AS (SELECT source, md5(gram) AS hx FROM g),
+r AS (
+    SELECT source,
+           ('0x' || substr(hx, 1, 2))::BIGINT % {sketches.HLL_M} AS bucket,
+           CASE WHEN ('0x' || substr(hx, 3, 12))::BIGINT = 0 THEN {sketches.HLL_RHO_CAP}
+                ELSE least(49 - length(printf('%b', ('0x' || substr(hx, 3, 12))::BIGINT)),
+                           {sketches.HLL_RHO_CAP}) END AS rho
+    FROM h),
+regs AS (SELECT source, bucket, COUNT(*) AS n_b, MAX(rho) AS r
+         FROM r GROUP BY source, bucket),
+fold AS (
+    SELECT source,
+           CAST(SUM(n_b) AS BIGINT) AS n_exact,
+           CAST(SUM(CAST(1 AS BIGINT) << ({sketches.HLL_RHO_CAP} - r))
+                + ({sketches.HLL_M} - COUNT(*)) * {1 << sketches.HLL_RHO_CAP} AS BIGINT) AS z,
+           CAST({sketches.HLL_M} - COUNT(*) AS BIGINT) AS n_zero_reg
+    FROM regs GROUP BY source)
+SELECT source, n_exact,
+       CAST({sketches.HLL_NUM} // ({sketches.HLL_DEN} * z) AS BIGINT) AS hll_est,
+       CAST(abs(({sketches.HLL_NUM} // ({sketches.HLL_DEN} * z)) - n_exact) * 10000
+            // n_exact AS BIGINT) AS err_bp,
+       n_zero_reg
+FROM fold ORDER BY source""",
+        # quantile audit: exact order statistics are value-oracled; the two
+        # verdict flags are safe constants because the GK sketch's rank-error
+        # bound (<= n div accuracy) is DETERMINISTIC, not probabilistic — any
+        # percentile_approx answer violating it mismatches the hash
+        "quantile_sketch_audit": """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50_exact,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90_exact,
+       CAST(1 AS INT) AS ok_p50,
+       CAST(1 AS INT) AS ok_p90
+FROM events GROUP BY event_type ORDER BY event_type""",
+        # salted join: results must be value-identical to the UNSALTED join —
+        # the salt only changes the physical shuffle shape
+        "skew_salted_join": """
+WITH dim AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS src_chars
+    FROM documents GROUP BY source)
+SELECT doc_id, d.source, n_docs, src_chars,
+       CAST(d.n_chars * 10000 // src_chars AS BIGINT) AS share_bp
+FROM documents d JOIN dim USING (source)
+ORDER BY doc_id""",
         # ---------------- extraction (independent arithmetic oracle) -------
         "extract_fulltext": f"""
 WITH {_EXTRACT_WORDS},

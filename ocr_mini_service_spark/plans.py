@@ -384,6 +384,29 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "distinct component sizes.",
             formatted_plan(q["dedup_cluster_stats"](spark, sf_dir)),
         ),
+        "cms_heavy_audit": (
+            "relational count-min sketch: vocabulary-keyed exact counts "
+            "with map-side combine, D x W counter aggregation, heavy "
+            "hitters via TakeOrderedAndProject, probe joins the BROADCAST "
+            "counter table — sketch state is O(D*W) at any corpus size.",
+            formatted_plan(q["cms_heavy_audit"](spark, sf_dir)),
+        ),
+        "hll_distinct_audit": (
+            "relational integer HyperLogLog: ONE aggregation chain — "
+            "distinct (source, gram), (source, bucket) partial max, then "
+            "<=64 register rows fold to one row per source carrying BOTH "
+            "the exact count and the sketch estimate; no join, no window.",
+            formatted_plan(q["hll_distinct_audit"](spark, sf_dir)),
+        ),
+        "skew_salted_join": (
+            "salt-splintered hot-key join: the per-source aggregate is "
+            "replicated SALT ways, the fact side salts on pmod(doc_id), "
+            "and the Exchange partitions on (source, salt) — a source "
+            "holding most of the corpus lands on SALT reducers instead of "
+            "one; shuffle_hash hinted, NO broadcast (the shape that "
+            "survives a dim too large to broadcast).",
+            formatted_plan(q["skew_salted_join"](spark, sf_dir)),
+        ),
         "audio_features": (
             "audio decode: media_type pruned BELOW the Arrow decode node "
             "(a filter cannot push through MapInPandas), then ONE "

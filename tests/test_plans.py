@@ -614,3 +614,45 @@ def test_audio_features_prunes_below_decode_one_pass(spark, sf_dir):
     map_id = min(int(i) for i in re.findall(r"\((\d+)\) MapInPandas", plan))
     assert filter_id < map_id, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_cms_heavy_audit_broadcast_probe_no_cartesian(spark, sf_dir):
+    """The CMS counter table (D x W rows) reaches the probe via a broadcast
+    hash join; the heavy-hitter selection is TakeOrderedAndProject (no
+    global sort); no cartesian product anywhere."""
+    plan = formatted_plan(entry.queries()["cms_heavy_audit"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hll_distinct_audit_is_joinless_aggregate_chain(spark, sf_dir):
+    """The relational HLL folds to one row per source through keyed
+    aggregations only — no join, no window: exact count and sketch ride the
+    SAME (source, bucket) aggregation."""
+    plan = formatted_plan(entry.queries()["hll_distinct_audit"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_quantile_sketch_audit_broadcasts_stats_back(spark, sf_dir):
+    """The per-type stats row (5 rows) broadcasts back over the event
+    stream for the rank count — never a shuffle join on the stream side,
+    never a window."""
+    plan = formatted_plan(entry.queries()["quantile_sketch_audit"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_skew_salted_join_shuffles_on_salted_key(spark, sf_dir):
+    """The salted join's Exchange partitions on (source, salt) — the hot
+    source key is splintered across SALT reducers — through a shuffle hash
+    join with NO broadcast (the shape that survives a dim side too large to
+    broadcast)."""
+    plan = formatted_plan(entry.queries()["skew_salted_join"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert re.search(r"hashpartitioning\(source#\d+, salt#\d+", plan), plan
