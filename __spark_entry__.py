@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_audit": sketches.hll_distinct_audit,
         "quantile_sketch_audit": sketches.quantile_sketch_audit,
         "skew_salted_join": sketches.skew_salted_join,
+        # --- new in r4 session 5: soft quality sampling + mixture solver ---
+        "quality_weighted_sample": corpus.quality_weighted_sample,
+        "mixture_rebalance": corpus.mixture_rebalance,
         # --- new in r4 session 4: tokenizer/scheduler-side corpus ops +
         # perceptual image dedup + incremental/drift/cluster audits +
         # real-WAV audio tier ---
@@ -574,6 +577,65 @@ SELECT event_type,
        CAST(1 AS INT) AS ok_p50,
        CAST(1 AS INT) AS ok_p90
 FROM events GROUP BY event_type ORDER BY event_type""",
+        # soft quality sampling: quality_classifier's score CTE + per-tier
+        # keep thresholds + the 'qws'-salted md5 bucket
+        "quality_weighted_sample": f"""
+WITH ws AS (
+    SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+st AS (
+    SELECT doc_id, text,
+           CAST(len(w) AS INT) AS n_words,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+           CAST(length(regexp_extract_all(lower(text), '{EN_STOPWORDS}')) AS INT) AS n_stop
+    FROM ws),
+sig AS (
+    SELECT doc_id, text,
+           n_words,
+           (sum_len * 100) // n_words AS mean_wlen_x100,
+           (n_distinct * 10000) // n_words AS distinct_bp,
+           n_stop
+    FROM st),
+sc AS (
+    SELECT doc_id, text,
+           CAST(CASE WHEN n_words BETWEEN {corpus.GOPHER_MIN_WORDS} AND {corpus.GOPHER_MAX_WORDS}
+                THEN {corpus.QUAL_W_WORDS} ELSE 0 END
+              + CASE WHEN mean_wlen_x100 BETWEEN {corpus.GOPHER_MEANLEN_MIN_X100} AND {corpus.GOPHER_MEANLEN_MAX_X100}
+                THEN {corpus.QUAL_W_MLEN} ELSE 0 END
+              + CASE WHEN distinct_bp >= {corpus.GOPHER_DISTINCT_MIN_BP}
+                THEN {corpus.QUAL_W_DISTINCT} ELSE 0 END
+              + CASE WHEN n_stop >= {corpus.GOPHER_STOP_MIN}
+                THEN {corpus.QUAL_W_STOPFLAG} ELSE 0 END
+              + least(n_stop, {corpus.QUAL_STOP_CAP}) AS BIGINT) AS quality_score
+    FROM sig),
+dec AS (
+    SELECT doc_id, quality_score,
+           CAST(CASE WHEN quality_score >= {corpus.QUAL_ACCEPT} THEN {corpus.QWS_KEEP_HI}
+                     WHEN quality_score >= {corpus.QWS_MID_SCORE} THEN {corpus.QWS_KEEP_MID}
+                     ELSE {corpus.QWS_KEEP_LO} END AS INT) AS keep_threshold,
+           CAST((instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text, 'qws')), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text, 'qws')), 2, 1)) - 1)
+              AS INT) AS bucket
+    FROM sc)
+SELECT doc_id, quality_score, keep_threshold, bucket,
+       CAST(bucket < keep_threshold AS INT) AS kept
+FROM dec ORDER BY doc_id""",
+        # mixture solver: global feasible scale k = min over sources of
+        # tokens*10^4 div weight; all integer div
+        "mixture_rebalance": f"""
+WITH t AS (
+    SELECT source,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source),
+w AS (
+    SELECT source, n_tokens,
+           CAST(1 + CAST(substr(source, 4) AS INT) % {corpus.REBAL_W_MOD} AS BIGINT) AS target_w
+    FROM t),
+k AS (SELECT CAST(MIN(n_tokens * 10000 // target_w) AS BIGINT) AS k FROM w)
+SELECT source, target_w, n_tokens,
+       CAST((k * target_w) // 10000 AS BIGINT) AS n_accept_tokens,
+       CAST(((k * target_w) // 10000) * 10000 // n_tokens AS BIGINT) AS accept_bp
+FROM w CROSS JOIN k ORDER BY source""",
         # salted join: results must be value-identical to the UNSALTED join —
         # the salt only changes the physical shuffle shape
         "skew_salted_join": """

@@ -744,6 +744,18 @@ QUAL_STOP_CAP = 5  # graded term: min(n_stop, cap)
 QUAL_ACCEPT = 7  # accept ⇔ score >= this
 
 
+def _quality_score():
+    """The graded integer quality score over ``gopher_flags`` signal columns
+    (shared by ``quality_classifier`` and ``quality_weighted_sample``)."""
+    return (
+        F.col("words_ok") * QUAL_W_WORDS
+        + F.col("mean_len_ok") * QUAL_W_MLEN
+        + F.col("distinct_ok") * QUAL_W_DISTINCT
+        + F.col("stopword_ok") * QUAL_W_STOPFLAG
+        + F.least(F.col("n_stop"), F.lit(QUAL_STOP_CAP))
+    ).cast("long")
+
+
 def quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     """Graded quality score (the exact-integer analog of a fastText-style
     linear quality classifier, CCNet/Gopher lineage): a fixed-weight dot
@@ -756,13 +768,7 @@ def quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     `gopher_flags` — no shuffle before the presentation sort; all signals
     and the score are exact integers."""
     flags = gopher_flags(load(spark, sf, "documents"))
-    score = (
-        F.col("words_ok") * QUAL_W_WORDS
-        + F.col("mean_len_ok") * QUAL_W_MLEN
-        + F.col("distinct_ok") * QUAL_W_DISTINCT
-        + F.col("stopword_ok") * QUAL_W_STOPFLAG
-        + F.least(F.col("n_stop"), F.lit(QUAL_STOP_CAP))
-    ).cast("long")
+    score = _quality_score()
     out = flags.select(
         "doc_id",
         score.alias("quality_score"),
@@ -1558,5 +1564,89 @@ def source_token_drift(spark: SparkSession, sf: str) -> DataFrame:
                 " div (2 * CAST(t AS DECIMAL(18,0)) * CAST(t_s AS DECIMAL(18,0)))"
             ).alias("tv_drift_bp"),
         )
+    )
+    return ordered(out, "source")
+
+
+# quality-weighted (soft) sampling: keep probability per quality tier over the
+# 256 md5 buckets — accept-tier docs all survive, mid-tier ~1/2, low ~1/10
+QWS_MID_SCORE = 4  # mid tier: score in [QWS_MID_SCORE, QUAL_ACCEPT)
+QWS_KEEP_HI = 256
+QWS_KEEP_MID = 128
+QWS_KEEP_LO = 26
+
+
+def quality_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft quality filtering (the FineWeb/DCLM-style alternative to a hard
+    gate): instead of dropping everything below the accept threshold, each
+    quality TIER keeps a configured fraction of its documents, decided by
+    deterministic content hash — low-quality text still contributes signal
+    at a discounted rate, and the decision is reproducible across runs and
+    engines (no RNG state, same discipline as ``source_mixture``).
+
+    Scale shape: one scan through the ``gopher_flags`` projection chain,
+    no shuffle before the presentation sort; tier, threshold, bucket, and
+    verdict are all exact integers."""
+    flags = gopher_flags(load(spark, sf, "documents"), keep=["text"])
+    score = _quality_score()
+    thr = (
+        F.when(score >= QUAL_ACCEPT, QWS_KEEP_HI)
+        .when(score >= QWS_MID_SCORE, QWS_KEEP_MID)
+        .otherwise(QWS_KEEP_LO)
+        .cast("int")
+    )
+    bucket = _md5_bucket(
+        F.concat_ws(":", F.col("doc_id"), F.col("text"), F.lit("qws"))
+    )
+    out = flags.select(
+        "doc_id",
+        score.alias("quality_score"),
+        thr.alias("keep_threshold"),
+        bucket.alias("bucket"),
+        (bucket < thr).cast("int").alias("kept"),
+    )
+    return ordered(out, "doc_id")
+
+
+# mixture-rebalance target weights: 1..REBAL_W_MOD by source index (a stand-in
+# for the per-domain weights a DoReMi-style optimizer or a curation spec emits)
+REBAL_W_MOD = 4
+
+
+def mixture_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """Feasible mixture solve: given per-source target WEIGHTS and the
+    observed per-source token supply, compute the largest sampling-without-
+    replacement plan that honors the target proportions — the global scale
+    k = min_s(tokens_s · 10⁴ div w_s), per-source accepted tokens
+    (k · w_s) div 10⁴, and the resulting acceptance rate in basis points.
+    This is the SOLVER step upstream of ``source_mixture`` (which applies
+    per-source rates): the binding source runs at 100% acceptance and every
+    other source downsamples to match its weight.  All arithmetic is
+    integer ``div`` — exact in both engines.
+
+    Scale shape: one source-keyed token aggregate (map-side combine), the
+    global min folds the S-row frame to one row that broadcasts back — no
+    window, nothing corpus-sized past the first aggregate."""
+    docs = (
+        load(spark, sf, "documents")
+        .select("source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    per = docs.select(
+        "source", F.size(_words()).cast("long").alias("n_toks")
+    ).groupBy("source").agg(F.sum("n_toks").cast("long").alias("n_tokens"))
+    idx = F.expr("CAST(substring(source, 4) AS INT)")
+    w = per.withColumn(
+        "target_w", (F.lit(1) + idx % REBAL_W_MOD).cast("long")
+    )
+    k = w.agg(F.min(F.expr("n_tokens * 10000 div target_w")).alias("k"))
+    out = w.crossJoin(F.broadcast(k)).select(
+        "source",
+        "target_w",
+        "n_tokens",
+        F.expr("(k * target_w) div 10000").alias("n_accept_tokens"),
+        F.expr("((k * target_w) div 10000) * 10000 div n_tokens").alias(
+            "accept_bp"
+        ),
     )
     return ordered(out, "source")

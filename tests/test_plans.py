@@ -656,3 +656,23 @@ def test_skew_salted_join_shuffles_on_salted_key(spark, sf_dir):
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
     assert re.search(r"hashpartitioning\(source#\d+, salt#\d+", plan), plan
+
+
+def test_quality_weighted_sample_is_one_scan_no_shuffle(spark, sf_dir):
+    """Soft quality sampling rides the gopher_flags projection chain: one
+    scan, no join, no keyed shuffle before the presentation sort."""
+    plan = formatted_plan(
+        entry.queries()["quality_weighted_sample"](spark, sf_dir)
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_mixture_rebalance_broadcasts_global_scale(spark, sf_dir):
+    """The mixture solver folds to one global-min row that broadcasts back
+    onto the S-row source frame — no window, no sort-merge join."""
+    plan = formatted_plan(entry.queries()["mixture_rebalance"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
