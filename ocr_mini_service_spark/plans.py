@@ -384,6 +384,13 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "distinct component sizes.",
             formatted_plan(q["dedup_cluster_stats"](spark, sf_dir)),
         ),
+        "mixture_rebalance": (
+            "mixture solver: one source-keyed token aggregate with "
+            "map-side combine, the global-min scale folds to ONE row that "
+            "broadcasts back over the S-row frame — no window, nothing "
+            "corpus-sized past the first aggregate.",
+            formatted_plan(q["mixture_rebalance"](spark, sf_dir)),
+        ),
         "cms_heavy_audit": (
             "relational count-min sketch: vocabulary-keyed exact counts "
             "with map-side combine, D x W counter aggregation, heavy "
