@@ -49,6 +49,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stalwarts as window filler; everything green in the previous round's
     # window rotates to the back.
     return {
+        # --- new in r4 session 6: real-Y4M video tier (stub path is the
+        # driver-visible surface; the real decode is pinned by exact-value
+        # pytest like the WAV tier) ---
+        "video_features": multimodal.video_features,
         # --- new in r4 session 5: portable sketches (relational CMS + integer
         # HLL, both value-oracled; GK rank-error audit) + salted skew join ---
         "cms_heavy_audit": sketches.cms_heavy_audit,
@@ -2332,6 +2336,40 @@ SELECT media_id,
        CASE WHEN n_bytes = 0 THEN NULL ELSE CAST(sumsq AS BIGINT) END AS sumsq,
        CASE WHEN n_bytes = 0 THEN NULL
             ELSE CAST(frames * 1000 // sample_rate AS BIGINT) END AS duration_ms,
+       CASE WHEN n_bytes = 0 THEN 'decode_failed: empty payload'
+            ELSE CAST(NULL AS VARCHAR) END AS error
+FROM d ORDER BY media_id""",
+        # video_features: the synthetic payloads are text bytes (never the
+        # YUV4MPEG2 magic), so the oracle re-derives the digest-seeded stub
+        # tier; the REAL Y4M decode (header parse + FRAME walk, exact integer
+        # luma stats) is value-tested in tests/test_multimodal.py with
+        # independently-computed expected stats
+        "video_features": f"""
+WITH m AS (
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS hx
+    FROM documents WHERE doc_id % 3 = 2),
+d AS (
+    SELECT media_id, n_bytes,
+           {_hxb(0)} * 4 + 16 AS width,
+           {_hxb(1)} * 4 + 16 AS height,
+           ([24, 25, 30, 60])[{_hxb(2)} % 4 + 1] AS fps_num,
+           {_hxb(3)} * 256 + {_hxb(4)} + 1 AS frames,
+           {_hxb(5)} * 16777216 + {_hxb(6)} * 65536 + {_hxb(7)} * 256 + {_hxb(8)} AS y_sum,
+           {_hxb(9)} AS y_peak
+    FROM m)
+SELECT media_id,
+       CAST(n_bytes AS INT) AS n_bytes,
+       CASE WHEN n_bytes = 0 THEN NULL ELSE CAST(width AS INT) END AS width,
+       CASE WHEN n_bytes = 0 THEN NULL ELSE CAST(height AS INT) END AS height,
+       CASE WHEN n_bytes = 0 THEN NULL ELSE CAST(fps_num AS INT) END AS fps_num,
+       CASE WHEN n_bytes = 0 THEN NULL ELSE CAST(1 AS INT) END AS fps_den,
+       CASE WHEN n_bytes = 0 THEN NULL ELSE CAST(frames AS BIGINT) END AS n_frames,
+       CASE WHEN n_bytes = 0 THEN NULL
+            ELSE CAST(frames * 1000 // fps_num AS BIGINT) END AS duration_ms,
+       CASE WHEN n_bytes = 0 THEN NULL ELSE CAST(y_sum AS BIGINT) END AS y_sum,
+       CASE WHEN n_bytes = 0 THEN NULL ELSE CAST(y_peak AS INT) END AS y_peak,
        CASE WHEN n_bytes = 0 THEN 'decode_failed: empty payload'
             ELSE CAST(NULL AS VARCHAR) END AS error
 FROM d ORDER BY media_id""",

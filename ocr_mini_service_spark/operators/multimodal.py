@@ -20,10 +20,15 @@ honestly do:
   separable float IDCT, chroma upsampling, JFIF YCbCr→RGB) — the two
   formats the reference actually accepts via Jimp
   (src/ocr/code-reader.service.ts:22-30) are both real now.
-- Progressive/arithmetic/12-bit JPEG and audio/video remain STUBBED
-  behind a deterministic fake seeded from the payload hash
-  (``_decode_stub``) — audio/video genuinely need codec libraries the
-  container doesn't ship; swap for pyav/soundfile in production.  The
+- **PCM WAV audio** (``_decode_wav``: RIFF chunk walk, 8/16-bit integer
+  PCM, exact integer sample stats) and **Y4M video** (``_decode_y4m``:
+  YUV4MPEG2 header parse + FRAME walk over raw planar YCbCr, exact
+  integer luma-plane stats) are REALLY decoded too — the codec-free
+  audio and video containers.
+- Progressive/arithmetic/12-bit JPEG and compressed audio/video remain
+  STUBBED behind a deterministic fake seeded from the payload hash
+  (``_decode_stub``) — mp3/aac/h264/vp9 genuinely need codec libraries
+  the container doesn't ship; swap for pyav/soundfile in production.  The
   Spark-side plumbing (schema, batch shape, partitioning, UDF signature,
   per-row error isolation) is identical for both tiers and is what's
   under test.  A payload that CLAIMS a decodable format but fails to
@@ -701,6 +706,17 @@ def _decode(payload: bytes, media_type: str, w: int, h: int) -> dict:
             "mean_luma": None,
             "n_frames": int(a["n_samples"]),
         }
+    if payload[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
+        # real Y4M video: true frame count + exact mean luma (the Y plane IS
+        # luma) — frame_sample's byte addressing uses the file's real frames
+        v = _decode_y4m(payload)
+        return {
+            "width": int(v["width"]),
+            "height": int(v["height"]),
+            "mean_luma": v["y_sum"]
+            / (v["n_frames"] * v["width"] * v["height"] * 255.0),
+            "n_frames": int(v["n_frames"]),
+        }
     return _decode_stub(payload, media_type, w, h)
 
 
@@ -787,6 +803,14 @@ def _resize_grid(payload: bytes, media_type: str, w: int, h: int) -> list[int]:
         raster = _decode_png_pixels(payload)
     elif payload[:3] == b"\xff\xd8\xff":
         raster = _decode_jpeg_pixels(payload)
+    elif payload[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
+        # real Y4M video thumbnail: the first frame's Y plane is already
+        # luma — skip the RGB weighting and sample it directly
+        luma = _y4m_frame0_luma(payload).astype(np.int64)
+        sh, sw = luma.shape
+        ys = [(ty * sh) // THUMB for ty in range(THUMB)]
+        xs = [(tx * sw) // THUMB for tx in range(THUMB)]
+        return [int(luma[y, x]) for y in ys for x in xs]
     else:
         raster = None
     if raster is None:
@@ -1126,4 +1150,225 @@ def audio_features(
         else table
     )
     out = src.mapInPandas(_audio_batches, schema=AUDIO)
+    return ordered(out, "media_id")
+
+
+# ---------------------------------------------------------------------------
+# Video tier: real Y4M (YUV4MPEG2) decode.  Y4M is the one mainstream video
+# container that needs no codec library — an ASCII parameter header plus raw
+# planar YCbCr frames — so it moves from the stub tier to the REALLY-decoded
+# tier exactly the way WAV did for audio and PPM/BMP/PNG/JPEG did for images
+# (the reference's decode seam, SURVEY.md §2.1 S6).  Compressed video
+# (h264/vp9/av1 in mp4/webm) stays stubbed: genuinely codec-library-bound in
+# this container; swap for pyav in production.
+
+VIDEO = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("fps_num", IntegerType(), True),
+        StructField("fps_den", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("y_sum", LongType(), True),  # exact Σ Y-plane bytes, all frames
+        StructField("y_peak", IntegerType(), True),  # max Y byte over all frames
+        StructField("error", StringType(), True),
+    ]
+)
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+# colorspace tag -> chroma subsampling divisors (x, y); None = no chroma
+# planes.  The C420 family (jpeg/mpeg2/paldv) differs only in chroma SITING,
+# not plane geometry, so one entry covers all three suffixes.
+_Y4M_CHROMA = {"420": (2, 2), "422": (2, 1), "444": (1, 1), "mono": None}
+
+# one frame may not exceed this many luma pixels (the PNG cap's analog;
+# bounds the numpy allocation per frame — total payload bytes bound the rest)
+_Y4M_MAX_PX = 4_000_000
+
+
+def _y4m_header(payload: bytes) -> tuple[int, int, int, int, str, int]:
+    """Parse the Y4M stream header: ``YUV4MPEG2`` then space-separated
+    tagged parameters terminated by LF.  Returns (w, h, fps_num, fps_den,
+    chroma_key, offset_past_newline).  W and H are required; F defaults to
+    25:1 and C to 420jpeg per common mplayer/ffmpeg practice.  Unknown tags
+    (I interlace, A aspect, X comment) are skipped — they don't change
+    plane geometry."""
+    if payload[: len(_Y4M_MAGIC)] != _Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n", 0, 4096)
+    if nl < 0:
+        raise ValueError("unterminated Y4M stream header")
+    w = h = 0
+    fn, fd = 25, 1
+    chroma = "420"
+    for tok in payload[len(_Y4M_MAGIC) : nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"C":
+            cs = val.decode("ascii", errors="replace")
+            key = "mono" if cs.startswith("mono") else cs[:3]
+            if key not in _Y4M_CHROMA:
+                raise ValueError(f"unsupported Y4M colorspace C{cs}")
+            chroma = key
+            continue
+        try:
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"F":
+                num, _, den = val.partition(b":")
+                fn, fd = int(num), int(den)
+        except ValueError as e:  # int() on malformed tag bytes
+            raise ValueError(f"malformed Y4M header tag {tok!r}: {e}") from e
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid Y4M dimensions {w}x{h}")
+    if w * h > _Y4M_MAX_PX:
+        raise ValueError(f"Y4M frame too large ({w}x{h} > {_Y4M_MAX_PX} px cap)")
+    if fn <= 0 or fd <= 0:
+        raise ValueError(f"invalid Y4M frame rate {fn}:{fd}")
+    return w, h, fn, fd, chroma, nl + 1
+
+
+def _decode_y4m(payload: bytes) -> dict:
+    """Real Y4M decode: header parse, then a FRAME-marker walk over raw
+    planar data.  Stats are exact integers over the Y (luma) plane — Y4M
+    stores luma directly, so no color conversion enters the arithmetic:
+    frame count, Σ Y bytes across all frames, peak Y byte, duration from
+    the header frame rate.  A truncated frame, a missing FRAME marker, or
+    trailing bytes raise — a payload that CLAIMS Y4M but lies about layout
+    must surface, never downgrade to the stub."""
+    w, h, fn, fd, chroma, pos = _y4m_header(payload)
+    div = _Y4M_CHROMA[chroma]
+    ysize = w * h
+    csize = 0 if div is None else 2 * (-(-w // div[0])) * (-(-h // div[1]))
+    frame_size = ysize + csize
+    n_frames = 0
+    y_sum = 0
+    y_peak = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        nl = payload.find(b"\n", pos + 5, pos + 5 + 1024)
+        if nl < 0:
+            raise ValueError("unterminated Y4M FRAME header")
+        data = nl + 1
+        if data + frame_size > n:
+            raise ValueError(
+                f"truncated Y4M frame {n_frames} ({n - data} of {frame_size} bytes)"
+            )
+        y = np.frombuffer(payload, dtype=np.uint8, count=ysize, offset=data)
+        y_sum += int(y.sum(dtype=np.int64))
+        y_peak = max(y_peak, int(y.max()))
+        n_frames += 1
+        pos = data + frame_size
+    if n_frames == 0:
+        raise ValueError("Y4M stream has no frames")
+    return {
+        "width": w,
+        "height": h,
+        "fps_num": fn,
+        "fps_den": fd,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 * fd // fn,
+        "y_sum": y_sum,
+        "y_peak": y_peak,
+    }
+
+
+def _y4m_frame0_luma(payload: bytes) -> np.ndarray:
+    """(h, w) uint8 luma plane of the FIRST frame — the video thumbnail
+    source (Y4M's Y plane IS luma; no conversion)."""
+    w, h, _fn, _fd, _chroma, pos = _y4m_header(payload)
+    if payload[pos : pos + 5] != b"FRAME":
+        raise ValueError(f"expected FRAME marker at offset {pos}")
+    nl = payload.find(b"\n", pos + 5, pos + 5 + 1024)
+    if nl < 0:
+        raise ValueError("unterminated Y4M FRAME header")
+    if nl + 1 + w * h > len(payload):
+        raise ValueError("truncated Y4M frame 0")
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=nl + 1).reshape(
+        h, w
+    )
+
+
+def _video_stub(payload: bytes) -> dict:
+    """Deterministic fake for codec-bound video formats, seeded from the
+    payload digest (oracle-reproducible from sha256 alone, like the audio
+    and raster stub tiers)."""
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    d = hashlib.sha256(payload).digest()
+    fn = (24, 25, 30, 60)[d[2] % 4]
+    frames = d[3] * 256 + d[4] + 1
+    return {
+        "width": d[0] * 4 + 16,
+        "height": d[1] * 4 + 16,
+        "fps_num": fn,
+        "fps_den": 1,
+        "n_frames": frames,
+        "duration_ms": frames * 1000 // fn,
+        "y_sum": d[5] * 16777216 + d[6] * 65536 + d[7] * 256 + d[8],
+        "y_peak": d[9],
+    }
+
+
+def _video_features_row(payload: bytes) -> dict:
+    if payload[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
+        return _decode_y4m(payload)
+    return _video_stub(payload)
+
+
+def _video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for r in pdf.itertuples(index=False):
+            payload = bytes(r.payload) if r.payload is not None else b""
+            row = {
+                "media_id": int(r.media_id),
+                "n_bytes": len(payload),
+                "width": None,
+                "height": None,
+                "fps_num": None,
+                "fps_den": None,
+                "n_frames": None,
+                "duration_ms": None,
+                "y_sum": None,
+                "y_peak": None,
+                "error": None,
+            }
+            try:  # per-row isolation, mirroring the raster and audio tiers
+                row.update(_video_features_row(payload))
+            except Exception as e:
+                row["error"] = f"decode_failed: {e}"
+            out.append(row)
+        yield pd.DataFrame(out, columns=[f.name for f in VIDEO.fields])
+
+
+def video_features(
+    spark: SparkSession, sf: str, table: DataFrame | None = None
+) -> DataFrame:
+    """Video feature extraction over the binary column: REAL Y4M
+    (YUV4MPEG2) decode — exact integer luma-plane stats per payload (frame
+    count, Σ Y bytes, peak Y, duration from the header frame rate) — with
+    the digest-derived stub for codec-bound containers, identical schema
+    and per-row error isolation either way.
+
+    Scale shape: media_type pruning happens BELOW the decode (a filter
+    cannot push through MapInPandas), then one embarrassingly-parallel
+    Arrow-batched pass — no shuffle before the presentation sort."""
+    from . import ordered
+
+    src = (
+        media_table(spark, sf).filter(F.col("media_type") == "video")
+        if table is None
+        else table
+    )
+    out = src.mapInPandas(_video_batches, schema=VIDEO)
     return ordered(out, "media_id")

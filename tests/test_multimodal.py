@@ -508,3 +508,163 @@ def test_wav_through_audio_kernel_and_media_features(spark):
     assert feats[1]["n_frames"] == 3  # REAL frame count, not the stub's
     assert feats[1]["width"] is None and feats[1]["mean_luma"] is None
     assert feats[3]["error"] is not None
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) video tier
+
+
+def _y4m(frames, chroma="420", fps=(30, 1), frame_params=False, header_extra=""):
+    """Build a Y4M payload from per-frame (y_plane, w, h) numpy arrays.
+    Chroma planes are filled with a constant 128 — the decoder's stats are
+    luma-only, and the constant makes any accidental chroma/luma mixup
+    change the expected numbers."""
+    import numpy as np
+
+    h, w = frames[0].shape
+    cs = {"420": "420jpeg", "422": "422", "444": "444", "mono": "mono"}[chroma]
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{cs}{header_extra}\n"
+    payload = head.encode("ascii")
+    div = {"420": (2, 2), "422": (2, 1), "444": (1, 1), "mono": None}[chroma]
+    for k, y in enumerate(frames):
+        marker = b"FRAME Xnote\n" if frame_params else b"FRAME\n"
+        payload += marker + y.astype(np.uint8).tobytes()
+        if div is not None:
+            cw, ch = -(-w // div[0]), -(-h // div[1])
+            payload += b"\x80" * (2 * cw * ch)
+    return payload
+
+
+def test_y4m_exact_luma_stats_all_chroma_layouts():
+    """Every chroma layout (420/422/444/mono) decodes with identical luma
+    stats — the chroma planes change only the frame STRIDE, never the
+    arithmetic.  Expected values computed independently here."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    f0 = rng.randint(0, 256, (6, 8)).astype(np.uint8)
+    f1 = rng.randint(0, 256, (6, 8)).astype(np.uint8)
+    want_sum = int(f0.astype(int).sum() + f1.astype(int).sum())
+    want_peak = int(max(f0.max(), f1.max()))
+    for chroma in ("420", "422", "444", "mono"):
+        got = multimodal._decode_y4m(_y4m([f0, f1], chroma=chroma))
+        assert got == {
+            "width": 8,
+            "height": 6,
+            "fps_num": 30,
+            "fps_den": 1,
+            "n_frames": 2,
+            "duration_ms": 2 * 1000 * 1 // 30,
+            "y_sum": want_sum,
+            "y_peak": want_peak,
+        }, chroma
+
+
+def test_y4m_frame_params_fractional_fps_odd_dims():
+    """FRAME headers may carry parameters; 444/mono allow odd dimensions;
+    a fractional (NTSC) frame rate flows into duration exactly."""
+    import numpy as np
+
+    y = np.full((5, 7), 9, dtype=np.uint8)
+    got = multimodal._decode_y4m(
+        _y4m([y] * 3, chroma="mono", fps=(30000, 1001), frame_params=True)
+    )
+    assert got["n_frames"] == 3
+    assert got["y_sum"] == 3 * 5 * 7 * 9
+    assert got["duration_ms"] == 3 * 1000 * 1001 // 30000
+    # unknown header tags (X...) are skipped without affecting geometry
+    got2 = multimodal._decode_y4m(
+        _y4m([y], chroma="444", header_extra=" Xcolorrange=FULL")
+    )
+    assert got2["width"] == 7 and got2["height"] == 5
+
+
+def test_y4m_error_contract():
+    """Truncated frame data, a missing FRAME marker, zero frames, bad
+    header fields, and unsupported colorspaces raise ValueError — a payload
+    that claims Y4M never downgrades to the stub."""
+    import numpy as np
+    import pytest
+
+    y = np.zeros((4, 4), dtype=np.uint8)
+    ok = _y4m([y])
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal._decode_y4m(ok[:-5])
+    with pytest.raises(ValueError, match="FRAME"):
+        # corrupt the frame marker in place
+        multimodal._decode_y4m(ok.replace(b"FRAME\n", b"FRAMX\n"))
+    with pytest.raises(ValueError, match="no frames"):
+        multimodal._decode_y4m(ok[: ok.index(b"\n") + 1])
+    with pytest.raises(ValueError, match="dimensions"):
+        multimodal._decode_y4m(b"YUV4MPEG2 W0 H4 F25:1\n")
+    with pytest.raises(ValueError, match="colorspace"):
+        multimodal._decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C411\n")
+    with pytest.raises(ValueError, match="frame rate"):
+        multimodal._decode_y4m(b"YUV4MPEG2 W4 H4 F0:1\n")
+    with pytest.raises(ValueError, match="malformed"):
+        multimodal._decode_y4m(b"YUV4MPEG2 Wx H4 F25:1\n")
+    with pytest.raises(ValueError, match="px cap"):
+        multimodal._decode_y4m(b"YUV4MPEG2 W99999 H99999 F25:1\n")
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        multimodal._decode_y4m(b"not video at all")
+
+
+def test_y4m_thumbnail_is_first_frame_luma():
+    """media_resize's grid for a Y4M payload samples the FIRST frame's Y
+    plane with the same nearest-neighbor mapping as the raster tier —
+    expected grid computed independently."""
+    import numpy as np
+
+    h, w = 16, 24
+    f0 = (np.arange(h * w, dtype=np.int64) % 251).reshape(h, w).astype(np.uint8)
+    f1 = np.full((h, w), 255, dtype=np.uint8)  # must NOT enter the thumbnail
+    grid = multimodal._resize_grid(_y4m([f0, f1]), "video", w, h)
+    T = multimodal.THUMB
+    want = [
+        int(f0[(ty * h) // T, (tx * w) // T]) for ty in range(T) for tx in range(T)
+    ]
+    assert grid == want
+
+
+def test_y4m_through_video_kernel_and_media_features(spark):
+    """A real Y4M payload flows through BOTH Arrow kernels: video_features
+    reports exact luma stats, media_features/frame_sample see the TRUE
+    frame count; a prose payload falls to the digest stub; a lying Y4M
+    surfaces as a decode error row."""
+    import hashlib
+
+    import numpy as np
+
+    y = np.full((4, 6), 10, dtype=np.uint8)
+    vid = _y4m([y] * 5, fps=(25, 1))
+    prose = b"just some text bytes"
+    rows = [
+        (1, bytearray(vid), "video", 16, 16),
+        (2, bytearray(prose), "video", 16, 16),
+        (3, bytearray(vid[:-4]), "video", 16, 16),
+    ]
+    src = spark.createDataFrame(rows, schema=multimodal.MEDIA)
+    out = {
+        r["media_id"]: r.asDict()
+        for r in multimodal.video_features(spark, "", table=src).collect()
+    }
+    assert out[1]["width"] == 6 and out[1]["height"] == 4
+    assert out[1]["n_frames"] == 5
+    assert out[1]["y_sum"] == 5 * 4 * 6 * 10
+    assert out[1]["y_peak"] == 10
+    assert out[1]["duration_ms"] == 5 * 1000 // 25
+    assert out[1]["error"] is None
+    d = hashlib.sha256(prose).digest()
+    assert out[2]["width"] == d[0] * 4 + 16
+    assert out[2]["n_frames"] == d[3] * 256 + d[4] + 1
+    assert out[2]["y_peak"] == d[9]
+    assert out[3]["error"] is not None and "truncated" in out[3]["error"]
+
+    feats = {
+        r["media_id"]: r.asDict()
+        for r in multimodal.media_features(spark, "", table=src).collect()
+    }
+    assert feats[1]["n_frames"] == 5  # REAL frame count, not the stub's
+    assert feats[1]["width"] == 6
+    assert feats[1]["mean_luma"] == 10 / 255.0
+    assert feats[3]["error"] is not None
