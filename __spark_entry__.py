@@ -27,6 +27,7 @@ from ocr_mini_service_spark.operators import (
     text,
     tpch,
     transcribe,
+    web,
 )
 from ocr_mini_service_spark.operators.dedup import BASE, MINHASH_AB, MOD
 from ocr_mini_service_spark.operators.similarity import B_BANDS, K_CAP, R_BITS, plane_params
@@ -49,6 +50,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stalwarts as window filler; everything green in the previous round's
     # window rotates to the back.
     return {
+        # --- new in r4 session 6: CCNet perplexity tiers + exact per-key cap ---
+        "perplexity_buckets": corpus.perplexity_buckets,
+        "source_cap": corpus.source_cap,
+        # --- new in r4 session 6: web provenance (URL canonicalization,
+        # registrable-domain rollup, link-graph PageRank step) ---
+        "url_canonicalize": web.url_canonicalize,
+        "domain_stats": web.domain_stats,
+        "pagerank_step": web.pagerank_step,
         # --- new in r4 session 6: real-Y4M video tier (stub path is the
         # driver-visible surface; the real decode is pinned by exact-value
         # pytest like the WAV tier) ---
@@ -511,6 +520,82 @@ def _hxb(i: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # ---------------- perplexity tiers + per-key cap --------------------
+        # surprisal is floor(log2(n1/n12)) == length(bin/printf('%b')) - 1 of
+        # the integer quotient (exact, no libm); terciles via the histogram
+        # cumulative trick; the cap oracle is the plain window the Spark side
+        # deliberately avoids running corpus-wide
+        "perplexity_buckets": f"""
+WITH wd AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents),
+occ AS (
+    SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+    FROM wd, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    WHERE len(w) >= 2),
+n12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM occ GROUP BY w1, w2),
+n1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM n12 GROUP BY w1),
+bits AS (
+    SELECT n12.w1, n12.w2, length(printf('%b', n1 // n12)) - 1 AS bits
+    FROM n12 JOIN n1 ON n12.w1 = n1.w1),
+pd AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(bits) AS BIGINT) AS sum_bits
+    FROM occ JOIN bits USING (w1, w2) GROUP BY doc_id),
+scored AS (
+    SELECT doc_id, n_bigrams,
+           CAST((sum_bits * 100) // n_bigrams AS BIGINT) AS ppl_c FROM pd),
+hist AS (SELECT ppl_c, COUNT(*) AS n_docs FROM scored GROUP BY ppl_c),
+cuts AS (
+    SELECT ppl_c,
+           CAST(COALESCE(SUM(n_docs) OVER (ORDER BY ppl_c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS below,
+           (SELECT COUNT(*) FROM scored) AS n_total
+    FROM hist)
+SELECT s.doc_id, s.n_bigrams, s.ppl_c,
+       ({list(corpus.PPL_STAGES)!r}[(least((c.below * 3) // c.n_total, 2) + 1)::INT])
+           AS bucket
+FROM scored s JOIN cuts c USING (ppl_c)
+ORDER BY s.doc_id""",
+        "source_cap": f"""
+WITH pr AS (
+    SELECT source, doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR || ':cap'), 1, 8))::BIGINT AS prio
+    FROM documents),
+rk AS (
+    SELECT source, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY prio, doc_id)
+               AS cap_rank
+    FROM pr)
+SELECT source, doc_id, CAST(cap_rank AS INT) AS cap_rank
+FROM rk WHERE cap_rank <= {corpus.CAP_K} ORDER BY source, cap_rank""",
+        # ---------------- web provenance ------------------------------------
+        # the oracle re-derives the synthetic URL from documents md5 bytes and
+        # re-canonicalizes with RE2 + list ops (web.URL_CTES / web.PR_CTES)
+        "url_canonicalize": f"""
+WITH {web.URL_CTES}
+SELECT doc_id, url, canon_url, domain FROM web_urls ORDER BY doc_id""",
+        "domain_stats": f"""
+WITH {web.URL_CTES},
+per_url AS (
+    SELECT domain, canon_url, COUNT(*) AS n_copies,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM web_urls GROUP BY domain, canon_url)
+SELECT domain,
+       CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST((CAST(SUM(n_copies) AS BIGINT) - COUNT(*)) * 10000
+            // CAST(SUM(n_copies) AS BIGINT) AS BIGINT) AS dup_bp,
+       CAST(SUM(chars) AS BIGINT) AS n_chars
+FROM per_url GROUP BY domain ORDER BY domain""",
+        "pagerank_step": f"""
+WITH {web.PR_CTES}
+SELECT v.doc_id, v.out_deg,
+       CAST(COALESCE(i.n_in, 0) AS BIGINT) AS n_in,
+       CAST({web.PR_BASE_BP} + ({web.PR_DAMP_NUM} * COALESCE(i.s, 0)) // 100
+            AS BIGINT) AS rank_bp
+FROM verts v LEFT JOIN inbound i ON v.doc_id = i.dst
+ORDER BY v.doc_id""",
         # ---------------- portable sketches (full value oracles) -----------
         # the CMS and HLL are built from md5-derived BIGINTs specifically so
         # DuckDB can rebuild the SAME sketch: Spark conv(substr(md5,..),16,10)

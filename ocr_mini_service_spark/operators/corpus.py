@@ -472,23 +472,9 @@ def ngram_lm_counts(spark: SparkSession, sf: str) -> DataFrame:
     probability uses integer ``div`` (half-ulp-tie-proof across engines)."""
     docs = load(spark, sf, "documents")
     wdocs = docs.select("doc_id", _words().alias("w"))
-    wc = F.col("w")
-    # guard: two-arg sequence(1, stop) DESCENDS for stop < 1 (the _doc_grams
-    # rule), so a 1-word doc must take the empty branch, not sequence(1, 0)
-    bigrams = wdocs.select(
-        F.explode(
-            F.when(
-                F.size(wc) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(wc) - 1),
-                    lambda i: F.struct(
-                        F.element_at(wc, i).alias("w1"),
-                        F.element_at(wc, i + 1).alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
-        ).alias("b")
-    ).select("b.w1", "b.w2")
+    bigrams = wdocs.select(F.explode(_bigrams(F.col("w"))).alias("b")).select(
+        "b.w1", "b.w2"
+    )
     n12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
     n1 = bigrams.groupBy("w1").agg(F.count("*").alias("n1"))
     out = n12.join(n1, "w1").select(
@@ -1650,3 +1636,177 @@ def mixture_rebalance(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     return ordered(out, "source")
+
+
+def _bigrams(wc) -> "F.Column":
+    """Adjacent-bigram structs from a words-array column.  Guarded: two-arg
+    ``sequence(1, stop)`` DESCENDS for stop < 1, so 0/1-word docs must take
+    the empty branch, never ``sequence(1, 0)``."""
+    return F.when(
+        F.size(wc) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(wc) - 1),
+            lambda i: F.struct(
+                F.element_at(wc, i).alias("w1"),
+                F.element_at(wc, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+
+
+# CCNet buckets (Wenzek et al. 2020 split a crawl corpus into three equal
+# perplexity tiers under a KenLM reference model; this is the integer-exact
+# single-corpus analog, the reference LM being the corpus's own bigram table)
+PPL_STAGES = ("head", "middle", "tail")
+
+
+def perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity tiers: every document's mean per-bigram
+    surprisal under the corpus bigram LM — ``floor(log2(n(w1) / n(w1,w2)))``
+    bits per bigram position, computed exactly as
+    ``length(bin(n1 div n12)) - 1`` (for a >= b, ``floor(log2(a div b)) ==
+    floor(log2(a/b))``, so the integer form is the true value, not an
+    approximation) — then cut into equal head/middle/tail thirds by EXACT
+    corpus quantiles of the score.  Head = most LM-predictable, the tier
+    CCNet keeps.  Documents with fewer than two words have no bigram events
+    and are not scored (same event space as ``ngram_lm_counts``).
+
+    Scale shape: one explode into bigram occurrences, a bigram-keyed count
+    (map-side combine collapses hot pairs), context totals derived from the
+    VOCAB-sized pair table (not a second corpus-wide shuffle), a keyed join
+    back, a doc-keyed sum — and the tercile cut is the histogram trick from
+    ``curriculum_stages``: the only Window runs over the distinct-score
+    frame (bounded by the score domain), never over the corpus."""
+    docs = (
+        load(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    wdocs = docs.select("doc_id", _words().alias("w"))
+    occ = wdocs.select("doc_id", F.explode(_bigrams(F.col("w"))).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    n12 = occ.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    n1 = n12.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
+    bits_tbl = n12.join(n1, "w1").select(
+        "w1",
+        "w2",
+        (F.length(F.bin(F.expr("n1 div n12"))) - 1).cast("long").alias("bits"),
+    )
+    per_doc = (
+        occ.join(bits_tbl, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("(sum_bits * 100) div n_bigrams").cast("long").alias("ppl_c"),
+        )
+    )
+    hist = per_doc.groupBy("ppl_c").agg(F.count("*").cast("long").alias("n_docs"))
+    wnd = Window.orderBy("ppl_c").rowsBetween(Window.unboundedPreceding, -1)
+    total = hist.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    cuts = (
+        hist.select(
+            "ppl_c",
+            F.coalesce(F.sum("n_docs").over(wnd), F.lit(0)).cast("long").alias("below"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "ppl_c",
+            F.expr("least((below * 3) div n_total, 2)").cast("int").alias("stage"),
+        )
+    )
+    out = per_doc.join(F.broadcast(cuts), "ppl_c").select(
+        "doc_id",
+        "n_bigrams",
+        "ppl_c",
+        F.element_at(
+            F.array(*[F.lit(s) for s in PPL_STAGES]), F.col("stage") + 1
+        ).alias("bucket"),
+    )
+    return ordered(out, "doc_id")
+
+
+# per-key document cap (the Common Crawl domain-cap shape, keyed on source):
+# keep the CAP_K hash-smallest docs per key, exactly
+CAP_K = 4
+CAP_OVER = 4  # prefilter overshoot factor
+CAP_PRIO_SPACE = 1 << 32  # priority hash domain (first 8 md5 hex digits)
+
+
+def _cap_tagged(spark: SparkSession, sf: str) -> DataFrame:
+    docs = (
+        load(spark, sf, "documents")
+        .select("doc_id", "source")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    prio = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "doc_id", F.lit("cap"))), 1, 8), 16, 10
+    ).cast("long")
+    return docs.withColumn("prio", prio)
+
+
+def _cap_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """The bounded candidate set for ``source_cap``: per-key hash-threshold
+    prefilter expecting ~CAP_K*CAP_OVER survivors per key, plus an exactness
+    fallback (whole key re-admitted) for any key where the prefilter
+    undershot min(CAP_K, n) — Chernoff-unlikely, but it makes the two-phase
+    selection EXACTLY the K hash-smallest rows, not approximately.
+
+    The checkpoint pins the prefilter output (key-count-bounded, tiny) so
+    the survivor audit and the final window don't re-scan the corpus; the
+    uniform-hash threshold is computed in the division form
+    ``prio < (2^32 * lim) div n`` so nothing overflows at any corpus size."""
+    tagged = _cap_tagged(spark, sf)
+    counts = tagged.groupBy("source").agg(F.count("*").cast("long").alias("n_key"))
+    lim = CAP_K * CAP_OVER
+    pre = (
+        tagged.join(F.broadcast(counts), "source")
+        .filter(
+            (F.col("n_key") <= lim)
+            | (F.col("prio") < F.expr(f"({CAP_PRIO_SPACE} * {lim}) div n_key"))
+        )
+        .select("source", "doc_id", "prio")
+        .localCheckpoint()
+    )
+    srv = pre.groupBy("source").agg(F.count("*").alias("n_srv"))
+    # key-count-sized (expected EMPTY); checkpointed because it feeds BOTH
+    # union branches below — uncheckpointed, each branch clones the subtree
+    # and re-scans the corpus for the key counts
+    bad = (
+        srv.join(counts, "source")
+        .filter(F.col("n_srv") < F.least(F.lit(CAP_K), F.col("n_key")))
+        .select("source")
+        .localCheckpoint()
+    )
+    fallback = tagged.join(F.broadcast(bad), "source", "leftsemi").select(
+        "source", "doc_id", "prio"
+    )
+    good = pre.join(F.broadcast(bad), "source", "leftanti")
+    return good.unionByName(fallback)
+
+
+def source_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-key document cap by deterministic hash priority: at most
+    CAP_K docs survive per source, the K smallest md5 priorities (ties to
+    the smaller doc_id) — the per-domain cap every crawl-curation pipeline
+    applies to stop mega-domains from dominating the mixture.
+
+    Scale shape: the naive version is ``row_number() OVER (PARTITION BY
+    key)`` on the corpus — a hot key lands in ONE task (the anti-pattern
+    ``line_dedup`` engineered out).  Here the window runs only over the
+    ``_cap_candidates`` prefilter output, whose per-key size concentrates
+    around CAP_K*CAP_OVER regardless of key skew; the fallback branch keeps
+    the selection exact even when the concentration bound misses."""
+    cand = _cap_candidates(spark, sf)
+    w = Window.partitionBy("source").orderBy("prio", "doc_id")
+    out = (
+        cand.withColumn("cap_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("cap_rank") <= CAP_K)
+        .select("source", "doc_id", "cap_rank")
+    )
+    return ordered(out, "source", "cap_rank")

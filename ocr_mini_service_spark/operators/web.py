@@ -1,0 +1,369 @@
+"""Web-provenance operators for a crawl-derived training corpus: URL
+canonicalization, registrable-domain rollups, and a link-graph PageRank
+step.  The standard provenance gates of CCNet/RefinedWeb-style pipelines —
+URL-level dedup needs a canonical form (scheme/host case, default ports,
+tracking parameters, fragments, trailing slashes are all display noise),
+quality and spam policies act per REGISTRABLE domain (one label below the
+public suffix), and centrality scores come from the hyperlink graph.
+
+All JVM-side (built-in functions, whole-stage codegen) — no Python anywhere;
+every operator has a DuckDB oracle that re-implements the parse
+independently (regexp + list ops on the raw URL string, never shared code).
+
+Scale notes: canonicalization is a single-scan projection (no shuffle);
+domain_stats is a two-level keyed aggregate (distinct-first, so no
+COUNT-DISTINCT state explosion on a hot domain); pagerank_step is the
+classic one keyed shuffle per iteration (groupBy dst) plus a co-keyed
+left join back to the vertex set — contributions are integer basis points,
+so the result is bit-stable under any partitioning/addition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import ordered
+from ..sources import load
+
+# second-level public suffixes the domain heuristic recognizes (a stand-in
+# for the full Mozilla PSL, which is a data file, not an algorithm; at
+# production scale this is a broadcast lookup table built from the PSL)
+SLD_SUFFIXES = ("co.uk", "ac.uk", "gov.uk", "com.au", "co.jp")
+
+TLDS = ("com", "org", "co.uk", "de")  # synthetic-URL TLD pool
+EDGE_MAX_OUT = 3  # synthetic link graph: 1..EDGE_MAX_OUT outbound edges
+PR_DAMP_NUM = 85  # damping 0.85 as integer percent
+PR_BASE_BP = 1500  # (1 - d) in basis points
+PR_RANK0_BP = 10000  # uniform initial rank, basis points
+
+
+def _b(hx: Column, i: int) -> Column:
+    """Byte ``i`` of an md5 hex column (0-based), as a BIGINT — the same
+    arithmetic DuckDB reproduces via ('0x' || substr(hx, 2i+1, 2))::BIGINT."""
+    return F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+
+
+def url_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic messy URL per document, derived from doc columns and
+    md5 bytes exactly as the DuckDB oracle re-derives them: mixed-case
+    scheme, optional WWW prefix, a TLD pool including a second-level public
+    suffix, default and non-default ports, an optional trailing slash, up
+    to three query parameters (one a tracking param) in hash-scrambled
+    order, and an optional fragment — every piece of noise the
+    canonicalizer must handle."""
+    docs = load(spark, sf, "documents")
+    hx = F.md5(F.concat_ws(":", "doc_id", F.lit("url")))
+    d = docs.select("doc_id", "source", "n_chars", hx.alias("hx"))
+    scheme = F.when(_b(F.col("hx"), 0) % 2 == 0, "https").otherwise("HTTP")
+    www = F.when(_b(F.col("hx"), 1) % 3 == 0, "WWW.").otherwise("")
+    host_core = F.concat_ws("-", "source", (F.col("doc_id") % 7).cast("string"))
+    tld = F.element_at(F.array(*[F.lit(t) for t in TLDS]), (_b(F.col("hx"), 2) % 4 + 1).cast("int"))
+    port = (
+        F.when(
+            _b(F.col("hx"), 3) % 4 == 0,
+            F.when(_b(F.col("hx"), 0) % 2 == 0, ":443").otherwise(":80"),
+        )
+        .when(_b(F.col("hx"), 3) % 4 == 1, ":8080")
+        .otherwise("")
+    )
+    path = F.concat(
+        F.lit("/p/"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.when(_b(F.col("hx"), 4) % 3 == 0, "/").otherwise(""),
+    )
+    p_id = F.when(
+        _b(F.col("hx"), 8) % 5 != 0,
+        F.concat(F.lit("id="), (F.col("doc_id") % 13).cast("string")),
+    )
+    p_utm = F.when(
+        _b(F.col("hx"), 5) % 2 == 0, F.concat(F.lit("utm_source="), F.col("source"))
+    )
+    p_ref = F.when(
+        _b(F.col("hx"), 6) % 3 == 0,
+        F.concat(F.lit("ref="), (_b(F.col("hx"), 6) % 5).cast("string")),
+    )
+    params = F.filter(F.array(p_id, p_utm, p_ref), lambda x: x.isNotNull())
+    params = F.when(_b(F.col("hx"), 7) % 2 == 0, params).otherwise(F.reverse(params))
+    query = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise("")
+    frag = F.when(
+        _b(F.col("hx"), 9) % 4 == 0,
+        F.concat(F.lit("#sec"), (_b(F.col("hx"), 9) % 7).cast("string")),
+    ).otherwise("")
+    url = F.concat(
+        scheme, F.lit("://"), www, host_core, F.lit("."), tld, port, path, query, frag
+    )
+    return d.select("doc_id", "n_chars", url.alias("url"))
+
+
+def canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds ``canon_url`` and ``domain`` to a frame with a URL string column.
+    Pure string surgery on the URL — lowercased scheme/host, leading
+    ``www.`` stripped, default ports (http:80, https:443) dropped while
+    real ports survive, trailing path slashes trimmed, tracking parameters
+    (``utm_*``, ``fbclid``) removed, surviving query parameters sorted,
+    fragment dropped.  ``domain`` is the registrable domain: two labels,
+    or three when the two-label suffix is a recognized second-level public
+    suffix (SLD_SUFFIXES).  Everything is built-in Spark functions so the
+    projection stays inside whole-stage codegen; the DuckDB oracle
+    re-implements the same surgery with RE2 + list functions."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z]+)://", 1))
+    hostport = F.regexp_extract(u, r"^[a-zA-Z]+://([^/?#]+)", 1)
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    path = F.regexp_extract(u, r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+    cpath = F.regexp_replace(path, r"/+$", "")
+    qraw = F.regexp_extract(u, r"\?([^#]*)", 1)
+    qkeep = F.array_sort(
+        F.filter(
+            F.split(qraw, "&"),
+            lambda x: (x != "")
+            & ~x.startswith("utm_")
+            & ~x.startswith("fbclid"),
+        )
+    )
+    keep_port = (port != "") & ~(
+        ((scheme == F.lit("http")) & (port == F.lit("80")))
+        | ((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    staged = df.withColumn("scheme_c", scheme).withColumn(
+        "host_raw", F.lower(F.regexp_extract(hostport, r"^([^:]+)", 1))
+    )
+    staged = staged.withColumn(
+        "host_c",
+        F.when(
+            F.col("host_raw").startswith("www."), F.expr("substring(host_raw, 5)")
+        ).otherwise(F.col("host_raw")),
+    )
+    canon = F.concat(
+        F.col("scheme_c"),
+        F.lit("://"),
+        F.col("host_c"),
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(""),
+        cpath,
+        F.when(
+            F.size(qkeep) > 0, F.concat(F.lit("?"), F.array_join(qkeep, "&"))
+        ).otherwise(""),
+    )
+    labels = F.split(F.col("host_c"), r"\.")
+    n = F.size(labels)
+    suffix2 = F.concat_ws(
+        ".", F.element_at(labels, n - 1), F.element_at(labels, n)
+    )
+    domain = F.when(
+        suffix2.isin(*SLD_SUFFIXES) & (n >= 3),
+        F.concat_ws(".", F.element_at(labels, n - 2), suffix2),
+    ).otherwise(suffix2)
+    return staged.withColumn("canon_url", canon).withColumn("domain", domain).drop(
+        "scheme_c", "host_raw", "host_c"
+    )
+
+
+def url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document URL canonicalization: the messy synthetic URL, its
+    canonical form, and the registrable domain.
+
+    Scale shape: one scan, one codegen'd projection, zero shuffles before
+    the presentation sort — runs at parquet-read speed on any corpus."""
+    out = canonicalize(url_table(spark, sf)).select(
+        "doc_id", "url", "canon_url", "domain"
+    )
+    return ordered(out, "doc_id")
+
+
+def domain_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Registrable-domain rollup: document count, distinct canonical URLs,
+    URL-collapse duplicate rate (how much of the domain's crawl is the
+    same page re-fetched under display-noise variants), and total
+    characters — the per-domain table a crawl-curation policy joins
+    against (domain caps, spam domain cuts).
+
+    Scale shape: distinct-first two-level aggregate — (domain, canon_url)
+    partial-aggregates map-side BEFORE the shuffle, so a hot domain
+    arrives pre-collapsed and no COUNT DISTINCT state is kept; the
+    second level is a plain keyed agg on the first's output."""
+    per_url = (
+        canonicalize(url_table(spark, sf))
+        .groupBy("domain", "canon_url")
+        .agg(F.count("*").alias("n_copies"), F.sum("n_chars").alias("chars"))
+    )
+    out = per_url.groupBy("domain").agg(
+        F.sum("n_copies").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_urls"),
+        F.expr("(sum(n_copies) - count(*)) * 10000 div sum(n_copies)")
+        .cast("long")
+        .alias("dup_bp"),
+        F.sum("chars").cast("long").alias("n_chars"),
+    )
+    return ordered(out, "domain")
+
+
+def pagerank_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One PageRank power-iteration step over a deterministic synthetic
+    link graph (each doc emits 1..EDGE_MAX_OUT md5-derived edges into the
+    same corpus), in exact integer basis points:
+
+        rank1(v) = PR_BASE_BP + (PR_DAMP_NUM * Σ_{u→v} (PR_RANK0_BP div
+                   out_deg(u))) div 100
+
+    The per-edge share is integer-divided BEFORE the sum, and the damping
+    factor applied once AFTER it, so the result is independent of
+    addition order — bit-stable across partitionings and engines.
+
+    Scale shape: the textbook distributed PageRank step — edges explode
+    JVM-side from the vertex scan (no driver materialization), ONE keyed
+    shuffle groups contributions by destination, and the rank join back
+    to the vertex set is co-keyed on doc_id.  The corpus-size scalar is a
+    1-row broadcast.  Per iteration at 100 TB: one shuffle of the edge
+    list, nothing quadratic, no driver state."""
+    docs = load(spark, sf, "documents").select("doc_id")
+    n_total = docs.agg(F.count("*").alias("n_total"))
+    hx_deg = F.md5(F.concat_ws(":", "doc_id", F.lit("deg")))
+    verts = docs.withColumn("out_deg", (_b(hx_deg, 0) % EDGE_MAX_OUT + 1).cast("int"))
+    edges = (
+        verts.crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "out_deg",
+            "n_total",
+            F.explode(F.sequence(F.lit(0), F.col("out_deg") - 1)).alias("k"),
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", "doc_id", "k", F.lit("edge"))), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_total")
+            ).alias("dst"),
+            F.expr(f"{PR_RANK0_BP} div out_deg").alias("share"),
+        )
+    )
+    inbound = edges.groupBy("dst").agg(
+        F.sum("share").alias("s"), F.count("*").alias("n_in")
+    )
+    out = (
+        verts.join(inbound, verts.doc_id == inbound.dst, "left")
+        .select(
+            "doc_id",
+            "out_deg",
+            F.coalesce("n_in", F.lit(0)).cast("long").alias("n_in"),
+            (
+                F.lit(PR_BASE_BP)
+                + F.expr(f"({PR_DAMP_NUM} * coalesce(s, 0)) div 100")
+            )
+            .cast("long")
+            .alias("rank_bp"),
+        )
+    )
+    return ordered(out, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle fragments (__spark_entry__.oracle_sql composes these).  The
+# oracle re-derives the synthetic URL from the documents table and then
+# re-implements the canonicalization with RE2 + list functions — shared
+# CONSTANTS, no shared code.  Spark's conv(substr(md5,..),16,10) equals
+# DuckDB's ('0x' || substr(md5,..))::BIGINT bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_SLD_SQL = ", ".join(f"'{s}'" for s in SLD_SUFFIXES)
+_TLD_SQL = "[" + ", ".join(f"'{t}'" for t in TLDS) + "]"
+_B_SQL = ",\n           ".join(
+    f"('0x' || substr(hx, {2 * i + 1}, 2))::BIGINT AS b{i}" for i in range(10)
+)
+
+# ends with a CTE named web_urls(doc_id, n_chars, url, canon_url, domain)
+URL_CTES = f"""
+u0 AS (
+    SELECT doc_id, source, n_chars, md5(doc_id::VARCHAR || ':url') AS hx
+    FROM documents),
+ub AS (
+    SELECT doc_id, source, n_chars,
+           {_B_SQL}
+    FROM u0),
+uparts AS (
+    SELECT doc_id, n_chars, b7, b9,
+           CASE WHEN b0 % 2 = 0 THEN 'https' ELSE 'HTTP' END AS scheme,
+           CASE WHEN b1 % 3 = 0 THEN 'WWW.' ELSE '' END AS www,
+           source || '-' || (doc_id % 7)::VARCHAR AS host_core,
+           ({_TLD_SQL})[(b2 % {len(TLDS)} + 1)::INT] AS tld,
+           CASE WHEN b3 % 4 = 0 THEN
+                    (CASE WHEN b0 % 2 = 0 THEN ':443' ELSE ':80' END)
+                WHEN b3 % 4 = 1 THEN ':8080' ELSE '' END AS port,
+           '/p/' || (doc_id % 97)::VARCHAR ||
+               (CASE WHEN b4 % 3 = 0 THEN '/' ELSE '' END) AS path,
+           list_filter([
+               CASE WHEN b8 % 5 != 0 THEN 'id=' || (doc_id % 13)::VARCHAR END,
+               CASE WHEN b5 % 2 = 0 THEN 'utm_source=' || source END,
+               CASE WHEN b6 % 3 = 0 THEN 'ref=' || (b6 % 5)::VARCHAR END
+           ], x -> x IS NOT NULL) AS params0
+    FROM ub),
+urls AS (
+    SELECT doc_id, n_chars,
+           scheme || '://' || www || host_core || '.' || tld || port || path ||
+           (CASE WHEN len(p) > 0 THEN '?' || array_to_string(p, '&')
+                 ELSE '' END) ||
+           (CASE WHEN b9 % 4 = 0 THEN '#sec' || (b9 % 7)::VARCHAR
+                 ELSE '' END) AS url
+    FROM (SELECT *, CASE WHEN b7 % 2 = 0 THEN params0
+                         ELSE list_reverse(params0) END AS p
+          FROM uparts)),
+cparts AS (
+    SELECT doc_id, n_chars, url,
+           lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme_c,
+           regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1) AS hostport,
+           regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path_raw,
+           regexp_extract(url, '\\?([^#]*)', 1) AS qraw
+    FROM urls),
+cparts2 AS (
+    SELECT doc_id, n_chars, url, scheme_c,
+           CASE WHEN starts_with(lower(regexp_extract(hostport, '^([^:]+)', 1)), 'www.')
+                THEN substr(lower(regexp_extract(hostport, '^([^:]+)', 1)), 5)
+                ELSE lower(regexp_extract(hostport, '^([^:]+)', 1)) END AS host_c,
+           regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+           regexp_replace(path_raw, '/+$', '') AS cpath,
+           list_sort(list_filter(string_split(qraw, '&'),
+               x -> x != '' AND NOT starts_with(x, 'utm_')
+                    AND NOT starts_with(x, 'fbclid'))) AS qkeep
+    FROM cparts),
+curls AS (
+    SELECT doc_id, n_chars, url,
+           scheme_c || '://' || host_c ||
+           (CASE WHEN port != '' AND NOT ((scheme_c = 'http' AND port = '80')
+                    OR (scheme_c = 'https' AND port = '443'))
+                 THEN ':' || port ELSE '' END) || cpath ||
+           (CASE WHEN len(qkeep) > 0 THEN '?' || array_to_string(qkeep, '&')
+                 ELSE '' END) AS canon_url,
+           string_split(host_c, '.') AS labels
+    FROM cparts2),
+web_urls AS (
+    SELECT doc_id, n_chars, url, canon_url,
+           CASE WHEN len(labels) >= 3
+                     AND (labels[-2] || '.' || labels[-1]) IN ({_SLD_SQL})
+                THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                ELSE labels[-2] || '.' || labels[-1] END AS domain
+    FROM curls)"""
+
+# ends with CTEs verts(doc_id, out_deg) and inbound(dst, s, n_in)
+PR_CTES = f"""
+n AS (SELECT COUNT(*) AS n_total FROM documents),
+verts AS (
+    SELECT doc_id,
+           (('0x' || substr(md5(doc_id::VARCHAR || ':deg'), 1, 2))::BIGINT
+               % {EDGE_MAX_OUT} + 1)::INT AS out_deg
+    FROM documents),
+edges AS (
+    SELECT ('0x' || substr(md5(v.doc_id::VARCHAR || ':' || k::VARCHAR
+                               || ':edge'), 1, 12))::BIGINT
+               % (SELECT n_total FROM n) AS dst,
+           {PR_RANK0_BP} // out_deg AS share
+    FROM verts v, unnest(generate_series(0, v.out_deg - 1)) AS t(k)),
+inbound AS (
+    SELECT dst, CAST(SUM(share) AS BIGINT) AS s, COUNT(*) AS n_in
+    FROM edges GROUP BY dst)"""

@@ -321,3 +321,61 @@ def test_normalized_dedup_merges_reformatted_republications(spark, sf_dir):
     # shrinkage signal sanity: normalization never grows the text
     assert (norm["n_chars_norm"] <= norm["n_chars_raw"]).all()
     assert (norm["n_chars_norm"] == norm["norm_text"].str.len()).all()
+
+
+def test_perplexity_buckets_are_ordered_equal_thirds(spark, sf_dir):
+    rows = corpus.perplexity_buckets(spark, sf_dir).collect()
+    by = {b: [r["ppl_c"] for r in rows if r["bucket"] == b]
+          for b in corpus.PPL_STAGES}
+    assert all(by[b] for b in corpus.PPL_STAGES)
+    # tiers are score-ordered and equal scores never split across tiers
+    assert max(by["head"]) < min(by["middle"])
+    assert max(by["middle"]) < min(by["tail"])
+    # roughly equal thirds (exact up to tie groups at the cut points)
+    n = len(rows)
+    for b in corpus.PPL_STAGES:
+        assert abs(len(by[b]) - n / 3) < n / 6, {k: len(v) for k, v in by.items()}
+
+
+def test_perplexity_score_matches_bigram_table(spark, sf_dir):
+    # recompute one doc's score from ngram_lm_counts (independent operator)
+    lm = {(r["w1"], r["w2"]): (r["n1"], r["n12"])
+          for r in corpus.ngram_lm_counts(spark, sf_dir).collect()}
+    doc = (
+        corpus.load(spark, sf_dir, "documents")
+        .select("doc_id", "text").orderBy("doc_id").first()
+    )
+    words = doc["text"].strip().split()
+    bits = []
+    for a, b in zip(words, words[1:]):
+        n1, n12 = lm[(a, b)]
+        bits.append((n1 // n12).bit_length() - 1)
+    got = {r["doc_id"]: r for r in corpus.perplexity_buckets(spark, sf_dir).collect()}
+    r = got[doc["doc_id"]]
+    assert r["n_bigrams"] == len(bits)
+    assert r["ppl_c"] == sum(bits) * 100 // len(bits)
+
+
+def test_source_cap_keeps_k_hash_smallest_per_key(spark, sf_dir):
+    rows = corpus.source_cap(spark, sf_dir).collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["source"], []).append(r["cap_rank"])
+    for src, ranks in per_key.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+        assert len(ranks) <= corpus.CAP_K
+
+
+def test_source_cap_candidates_are_prefilter_bounded(spark, sf_dir):
+    total = corpus.load(spark, sf_dir, "documents").count()
+    cand = corpus._cap_candidates(spark, sf_dir)
+    n_cand = cand.count()
+    # the prefilter must actually drop rows (keys here exceed CAP_K*CAP_OVER)
+    assert n_cand < total
+    # and every selected row comes from the candidate set
+    sel = set(
+        (r["source"], r["doc_id"])
+        for r in corpus.source_cap(spark, sf_dir).collect()
+    )
+    cset = set((r["source"], r["doc_id"]) for r in cand.collect())
+    assert sel <= cset

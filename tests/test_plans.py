@@ -676,3 +676,30 @@ def test_mixture_rebalance_broadcasts_global_scale(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_perplexity_window_runs_over_histogram_not_corpus(spark, sf_dir):
+    # the tercile cut is the curriculum_stages histogram trick: ONE Window,
+    # and its input is the distinct-score aggregate, never the documents
+    plan = formatted_plan(entry.queries()["perplexity_buckets"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_source_cap_window_runs_over_checkpointed_candidates(spark, sf_dir):
+    # the per-key row_number must rank the prefilter output (pinned by the
+    # eager localCheckpoint -> ExistingRDD scan), not the raw corpus; the
+    # only parquet scan left in the final plan is the exactness-fallback
+    # branch (semi join against the expected-empty undershoot key set)
+    plan = formatted_plan(entry.queries()["source_cap"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    # Spark pushes the rank<=K filter into partial+final WindowGroupLimit
+    # nodes — each candidate partition truncates to K before the final sort
+    assert "WindowGroupLimit" in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_url_canonicalize_plan_shape_is_asserted_in_test_web(spark):
+    # placeholder cross-reference: web plan shapes live in tests/test_web.py
+    pass

@@ -1,0 +1,113 @@
+"""Web-provenance operators: URL canonicalization semantics pinned on
+literal URLs, domain/PageRank invariants, and the scale plan shapes."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from ocr_mini_service_spark.operators import web
+from ocr_mini_service_spark.plans import formatted_plan
+
+
+CASES = [
+    # (raw url, canon_url, domain)
+    (
+        "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&id=2#frag",
+        "http://example.com/a/b?id=2",
+        "example.com",
+    ),
+    (
+        "https://news.example.co.uk:443/p/1",
+        "https://news.example.co.uk/p/1",
+        "example.co.uk",
+    ),
+    (
+        "https://a.b.example.com:8080/x?b=2&a=1",  # real port survives, params sort
+        "https://a.b.example.com:8080/x?a=1&b=2",
+        "example.com",
+    ),
+    (
+        "http://host.de/p//",  # trailing slashes collapse, no query
+        "http://host.de/p",
+        "host.de",
+    ),
+    (
+        "https://www.shop.com.au/q?fbclid=abc&utm_medium=z",  # only tracking params
+        "https://shop.com.au/q",
+        "shop.com.au",
+    ),
+]
+
+
+def test_canonicalize_literal_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _, _ in CASES], ["url"])
+    rows = {r["url"]: r for r in web.canonicalize(df).collect()}
+    for url, canon, domain in CASES:
+        assert rows[url]["canon_url"] == canon, url
+        assert rows[url]["domain"] == domain, url
+
+
+def test_url_table_is_messy_and_canonicalization_collapses(spark, sf_dir):
+    out = entry.queries()["url_canonicalize"](spark, sf_dir).collect()
+    # the synthetic generator must actually exercise the noise: some URLs
+    # change under canonicalization and some do not
+    changed = [r for r in out if r["url"] != r["canon_url"]]
+    assert 0 < len(changed) < len(out)
+    # canonicalization is idempotent: canon urls contain no display noise
+    for r in out:
+        assert "#" not in r["canon_url"]
+        assert "utm_" not in r["canon_url"]
+        assert "WWW." not in r["canon_url"] and "://www." not in r["canon_url"]
+        assert not r["canon_url"].endswith("/")
+        assert ":80/" not in r["canon_url"] and ":443/" not in r["canon_url"]
+        # registrable domain is a suffix of the canonical host
+        host = r["canon_url"].split("://")[1].split("/")[0].split(":")[0]
+        assert host == r["domain"] or host.endswith("." + r["domain"])
+
+
+def test_domain_stats_invariants(spark, sf_dir):
+    rows = entry.queries()["domain_stats"](spark, sf_dir).collect()
+    for r in rows:
+        assert 1 <= r["n_urls"] <= r["n_docs"]
+        assert 0 <= r["dup_bp"] <= 10000
+        expected = (r["n_docs"] - r["n_urls"]) * 10000 // r["n_docs"]
+        assert r["dup_bp"] == expected
+
+
+def test_pagerank_step_conserves_edges_and_floors_rank(spark, sf_dir):
+    rows = entry.queries()["pagerank_step"](spark, sf_dir).collect()
+    total_edges = sum(r["out_deg"] for r in rows)
+    assert sum(r["n_in"] for r in rows) == total_edges  # every edge lands
+    for r in rows:
+        assert 1 <= r["out_deg"] <= web.EDGE_MAX_OUT
+        assert r["rank_bp"] >= web.PR_BASE_BP
+        if r["n_in"] == 0:
+            assert r["rank_bp"] == web.PR_BASE_BP
+
+
+def test_url_canonicalize_is_single_scan_no_shuffle(spark, sf_dir):
+    # one codegen'd projection over the scan; the only Exchange is the
+    # presentation repartition(1)
+    plan = formatted_plan(entry.queries()["url_canonicalize"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_domain_stats_is_distinct_first_two_level_aggregate(spark, sf_dir):
+    plan = formatted_plan(entry.queries()["domain_stats"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    # partial+final for each of the two levels = 4 HashAggregate nodes,
+    # so a hot domain pre-collapses map-side before either shuffle
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 4, plan
+    # two agg shuffles + the presentation repartition(1)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3, plan
+
+
+def test_pagerank_step_has_no_cartesian_and_keyed_shuffle_only(spark, sf_dir):
+    plan = formatted_plan(entry.queries()["pagerank_step"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # the corpus-size scalar rides a 1-row broadcast; the edge list itself
+    # must NOT be broadcast-nested-loop-joined
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1, plan
