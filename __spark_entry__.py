@@ -50,6 +50,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stalwarts as window filler; everything green in the previous round's
     # window rotates to the back.
     return {
+        # --- new in r4 session 6: URL dedup rung + domain-level gate ---
+        "url_dedup": web.url_dedup,
+        "domain_policy": web.domain_policy,
         # --- new in r4 session 6: CCNet perplexity tiers + exact per-key cap ---
         "perplexity_buckets": corpus.perplexity_buckets,
         "source_cap": corpus.source_cap,
@@ -118,7 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_stats": corpus.shard_stats,
         # --- changed this round (r4): must re-earn a green row ---
         "curation_funnel": corpus.curation_funnel,
-        # --- window filler: least recently checked (last green in r2) ------
+        # === the 50-query window is EXACTLY full of never-driver-checked /
+        # === changed entries above this line; everything below rotates back
+        # --- least recently checked (last green in r2) ----------------------
         "topk_orders": tpch.topk_orders,
         "min_by_supplier": tpch.min_by_supplier,
         "union_by_name": tpch.union_by_name,
@@ -147,7 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": corpus.source_mixture,
         "mixture_stats": corpus.mixture_stats,
         "ngram_lm_counts": corpus.ngram_lm_counts,
-        # ------------- position 51+: green in the r3 window — rotate back ----
+        # ------------- green in the r3 window — rotate back ------------------
         # dedup production variants (seeded xxhash64, JVM-side end to end):
         # their data plane is value-checked by fast_parity /
         # substring_dupes_fast INSIDE the window; the raw signature/pair
@@ -518,6 +523,41 @@ def _hxb(i: int) -> str:
     )
 
 
+def _qual_sc_ctes(cols: str = "") -> str:
+    """The quality-score CTE chain (ws → st → sig → sc): ``sc(doc_id{cols},
+    quality_score)`` re-deriving ``corpus._quality_score`` independently.
+    ``cols`` is a passthrough column list (e.g. ``", text"``) carried to sc.
+    Shared by quality_classifier / quality_weighted_sample / domain_policy."""
+    return f"""ws AS (
+    SELECT doc_id{cols}, text AS _qtext,
+           string_split_regex(trim(text), '\\s+') AS w FROM documents),
+st AS (
+    SELECT doc_id{cols},
+           CAST(len(w) AS INT) AS n_words,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+           CAST(length(regexp_extract_all(lower(_qtext), '{EN_STOPWORDS}')) AS INT) AS n_stop
+    FROM ws),
+sig AS (
+    SELECT doc_id{cols}, n_words,
+           (sum_len * 100) // n_words AS mean_wlen_x100,
+           (n_distinct * 10000) // n_words AS distinct_bp,
+           n_stop
+    FROM st),
+sc AS (
+    SELECT doc_id{cols},
+           CAST(CASE WHEN n_words BETWEEN {corpus.GOPHER_MIN_WORDS} AND {corpus.GOPHER_MAX_WORDS}
+                THEN {corpus.QUAL_W_WORDS} ELSE 0 END
+              + CASE WHEN mean_wlen_x100 BETWEEN {corpus.GOPHER_MEANLEN_MIN_X100} AND {corpus.GOPHER_MEANLEN_MAX_X100}
+                THEN {corpus.QUAL_W_MLEN} ELSE 0 END
+              + CASE WHEN distinct_bp >= {corpus.GOPHER_DISTINCT_MIN_BP}
+                THEN {corpus.QUAL_W_DISTINCT} ELSE 0 END
+              + CASE WHEN n_stop >= {corpus.GOPHER_STOP_MIN}
+                THEN {corpus.QUAL_W_STOPFLAG} ELSE 0 END
+              + least(n_stop, {corpus.QUAL_STOP_CAP}) AS BIGINT) AS quality_score
+    FROM sig)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # ---------------- perplexity tiers + per-key cap --------------------
@@ -572,6 +612,38 @@ FROM rk WHERE cap_rank <= {corpus.CAP_K} ORDER BY source, cap_rank""",
         # ---------------- web provenance ------------------------------------
         # the oracle re-derives the synthetic URL from documents md5 bytes and
         # re-canonicalizes with RE2 + list ops (web.URL_CTES / web.PR_CTES)
+        "url_dedup": f"""
+WITH {web.URL_CTES},
+keep AS (
+    SELECT canon_url, CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id
+    FROM web_urls GROUP BY canon_url)
+SELECT u.doc_id, u.canon_url, k.kept_doc_id,
+       CAST(u.doc_id != k.kept_doc_id AS INT) AS is_dup
+FROM web_urls u JOIN keep k USING (canon_url)
+ORDER BY u.doc_id""",
+        "domain_policy": f"""
+WITH {web.URL_CTES}, {_qual_sc_ctes()},
+per_url AS (
+    SELECT u.domain, u.canon_url, COUNT(*) AS n_copies,
+           CAST(SUM(sc.quality_score) AS BIGINT) AS q_sum
+    FROM web_urls u JOIN sc
+      ON (CASE WHEN u.doc_id >= {web.REFETCH_OFF}
+               THEN u.doc_id - {web.REFETCH_OFF} ELSE u.doc_id END) = sc.doc_id
+    GROUP BY u.domain, u.canon_url),
+dom AS (
+    SELECT domain,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+           CAST((CAST(SUM(n_copies) AS BIGINT) - COUNT(*)) * 10000
+                // CAST(SUM(n_copies) AS BIGINT) AS BIGINT) AS dup_bp,
+           CAST((CAST(SUM(q_sum) AS BIGINT) * 100)
+                // CAST(SUM(n_copies) AS BIGINT) AS BIGINT) AS mean_q_c
+    FROM per_url GROUP BY domain)
+SELECT domain, n_docs, dup_bp, mean_q_c,
+       CASE WHEN mean_q_c < {web.POLICY_QUAL_MIN_C} THEN 'drop'
+            WHEN n_docs > {web.POLICY_CAP_DOCS}
+                 OR dup_bp > {web.POLICY_DUP_MAX_BP} THEN 'cap'
+            ELSE 'keep' END AS policy
+FROM dom ORDER BY domain""",
         "url_canonicalize": f"""
 WITH {web.URL_CTES}
 SELECT doc_id, url, canon_url, domain FROM web_urls ORDER BY doc_id""",
@@ -669,34 +741,7 @@ FROM events GROUP BY event_type ORDER BY event_type""",
         # soft quality sampling: quality_classifier's score CTE + per-tier
         # keep thresholds + the 'qws'-salted md5 bucket
         "quality_weighted_sample": f"""
-WITH ws AS (
-    SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents),
-st AS (
-    SELECT doc_id, text,
-           CAST(len(w) AS INT) AS n_words,
-           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
-           CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
-           CAST(length(regexp_extract_all(lower(text), '{EN_STOPWORDS}')) AS INT) AS n_stop
-    FROM ws),
-sig AS (
-    SELECT doc_id, text,
-           n_words,
-           (sum_len * 100) // n_words AS mean_wlen_x100,
-           (n_distinct * 10000) // n_words AS distinct_bp,
-           n_stop
-    FROM st),
-sc AS (
-    SELECT doc_id, text,
-           CAST(CASE WHEN n_words BETWEEN {corpus.GOPHER_MIN_WORDS} AND {corpus.GOPHER_MAX_WORDS}
-                THEN {corpus.QUAL_W_WORDS} ELSE 0 END
-              + CASE WHEN mean_wlen_x100 BETWEEN {corpus.GOPHER_MEANLEN_MIN_X100} AND {corpus.GOPHER_MEANLEN_MAX_X100}
-                THEN {corpus.QUAL_W_MLEN} ELSE 0 END
-              + CASE WHEN distinct_bp >= {corpus.GOPHER_DISTINCT_MIN_BP}
-                THEN {corpus.QUAL_W_DISTINCT} ELSE 0 END
-              + CASE WHEN n_stop >= {corpus.GOPHER_STOP_MIN}
-                THEN {corpus.QUAL_W_STOPFLAG} ELSE 0 END
-              + least(n_stop, {corpus.QUAL_STOP_CAP}) AS BIGINT) AS quality_score
-    FROM sig),
+WITH {_qual_sc_ctes(", text")},
 dec AS (
     SELECT doc_id, quality_score,
            CAST(CASE WHEN quality_score >= {corpus.QUAL_ACCEPT} THEN {corpus.QWS_KEEP_HI}
@@ -2520,33 +2565,7 @@ SELECT DISTINCT doc_id, CAST(f.pos AS BIGINT) AS pos, CAST(f.fp AS BIGINT) AS fp
 FROM sel, unnest(fps) AS t(f)
 ORDER BY doc_id, pos, fp""",
         "quality_classifier": f"""
-WITH ws AS (
-    SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents),
-st AS (
-    SELECT doc_id,
-           CAST(len(w) AS INT) AS n_words,
-           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
-           CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
-           CAST(length(regexp_extract_all(lower(text), '{EN_STOPWORDS}')) AS INT) AS n_stop
-    FROM ws),
-sig AS (
-    SELECT doc_id, n_words,
-           (sum_len * 100) // n_words AS mean_wlen_x100,
-           (n_distinct * 10000) // n_words AS distinct_bp,
-           n_stop
-    FROM st),
-sc AS (
-    SELECT doc_id,
-           CAST(CASE WHEN n_words BETWEEN {corpus.GOPHER_MIN_WORDS} AND {corpus.GOPHER_MAX_WORDS}
-                THEN {corpus.QUAL_W_WORDS} ELSE 0 END
-              + CASE WHEN mean_wlen_x100 BETWEEN {corpus.GOPHER_MEANLEN_MIN_X100} AND {corpus.GOPHER_MEANLEN_MAX_X100}
-                THEN {corpus.QUAL_W_MLEN} ELSE 0 END
-              + CASE WHEN distinct_bp >= {corpus.GOPHER_DISTINCT_MIN_BP}
-                THEN {corpus.QUAL_W_DISTINCT} ELSE 0 END
-              + CASE WHEN n_stop >= {corpus.GOPHER_STOP_MIN}
-                THEN {corpus.QUAL_W_STOPFLAG} ELSE 0 END
-              + least(n_stop, {corpus.QUAL_STOP_CAP}) AS BIGINT) AS quality_score
-    FROM sig)
+WITH {_qual_sc_ctes()}
 SELECT doc_id, quality_score,
        CAST(quality_score >= {corpus.QUAL_ACCEPT} AS INT) AS accept
 FROM sc ORDER BY doc_id""",

@@ -44,58 +44,91 @@ def _b(hx: Column, i: int) -> Column:
     return F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
 
 
+# re-fetch overlay: every REFETCH_MOD-th doc is crawled a second time under
+# doc_id + REFETCH_OFF — same URL IDENTITY (scheme value, host, tld, real
+# port, path, surviving query params), freshly rolled DISPLAY NOISE (www
+# prefix, default port, trailing slash, tracking params, param order,
+# fragment) — so canonical-URL dedup has true positives to find
+REFETCH_MOD = 5
+REFETCH_OFF = 4_000_000
+
+
 def url_table(spark: SparkSession, sf: str) -> DataFrame:
-    """Deterministic messy URL per document, derived from doc columns and
-    md5 bytes exactly as the DuckDB oracle re-derives them: mixed-case
-    scheme, optional WWW prefix, a TLD pool including a second-level public
-    suffix, default and non-default ports, an optional trailing slash, up
-    to three query parameters (one a tracking param) in hash-scrambled
-    order, and an optional fragment — every piece of noise the
-    canonicalizer must handle."""
-    docs = load(spark, sf, "documents")
-    hx = F.md5(F.concat_ws(":", "doc_id", F.lit("url")))
-    d = docs.select("doc_id", "source", "n_chars", hx.alias("hx"))
-    scheme = F.when(_b(F.col("hx"), 0) % 2 == 0, "https").otherwise("HTTP")
-    www = F.when(_b(F.col("hx"), 1) % 3 == 0, "WWW.").otherwise("")
-    host_core = F.concat_ws("-", "source", (F.col("doc_id") % 7).cast("string"))
-    tld = F.element_at(F.array(*[F.lit(t) for t in TLDS]), (_b(F.col("hx"), 2) % 4 + 1).cast("int"))
-    port = (
+    """Deterministic messy URL per crawl event (one per document plus the
+    re-fetch overlay), derived from doc columns and md5 bytes exactly as
+    the DuckDB oracle re-derives them: mixed-case scheme, optional WWW
+    prefix, a TLD pool including a second-level public suffix, default and
+    non-default ports, an optional trailing slash, up to three query
+    parameters (one a tracking param) in hash-scrambled order, and an
+    optional fragment — every piece of noise the canonicalizer must handle.
+
+    Identity fields (the things canonicalization PRESERVES) hash off the
+    base doc_id (``hxi``); display-noise fields hash off the crawl-event id
+    (``hxn``) — for base rows the two coincide, for re-fetch rows only the
+    noise re-rolls, so the pair shares one canonical URL."""
+    docs = load(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    base = docs.select(
+        F.col("doc_id").alias("out_id"),
+        F.col("doc_id").alias("base_id"),
+        "source",
+        "n_chars",
+    )
+    refetch = docs.filter(F.col("doc_id") % REFETCH_MOD == 0).select(
+        (F.col("doc_id") + REFETCH_OFF).alias("out_id"),
+        F.col("doc_id").alias("base_id"),
+        "source",
+        "n_chars",
+    )
+    hxi = F.md5(F.concat_ws(":", "base_id", F.lit("url")))
+    hxn = F.md5(F.concat_ws(":", "out_id", F.lit("url")))
+    d = base.unionByName(refetch).select(
+        "out_id", "base_id", "source", "n_chars", hxi.alias("hxi"), hxn.alias("hxn")
+    )
+
+    def bi(i: int) -> Column:
+        return _b(F.col("hxi"), i)
+
+    def bn(i: int) -> Column:
+        return _b(F.col("hxn"), i)
+
+    scheme = F.when(bi(0) % 2 == 0, "https").otherwise("HTTP")
+    www = F.when(bn(1) % 3 == 0, "WWW.").otherwise("")
+    host_core = F.concat_ws("-", "source", (F.col("base_id") % 7).cast("string"))
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in TLDS]), (bi(2) % len(TLDS) + 1).cast("int")
+    )
+    port = F.when(bi(3) % 4 == 1, ":8080").otherwise(
         F.when(
-            _b(F.col("hx"), 3) % 4 == 0,
-            F.when(_b(F.col("hx"), 0) % 2 == 0, ":443").otherwise(":80"),
-        )
-        .when(_b(F.col("hx"), 3) % 4 == 1, ":8080")
-        .otherwise("")
+            bn(3) % 2 == 0,
+            F.when(bi(0) % 2 == 0, ":443").otherwise(":80"),
+        ).otherwise("")
     )
     path = F.concat(
         F.lit("/p/"),
-        (F.col("doc_id") % 97).cast("string"),
-        F.when(_b(F.col("hx"), 4) % 3 == 0, "/").otherwise(""),
+        (F.col("base_id") % 97).cast("string"),
+        F.when(bn(4) % 3 == 0, "/").otherwise(""),
     )
     p_id = F.when(
-        _b(F.col("hx"), 8) % 5 != 0,
-        F.concat(F.lit("id="), (F.col("doc_id") % 13).cast("string")),
+        bi(8) % 5 != 0,
+        F.concat(F.lit("id="), (F.col("base_id") % 13).cast("string")),
     )
-    p_utm = F.when(
-        _b(F.col("hx"), 5) % 2 == 0, F.concat(F.lit("utm_source="), F.col("source"))
-    )
+    p_utm = F.when(bn(5) % 2 == 0, F.concat(F.lit("utm_source="), F.col("source")))
     p_ref = F.when(
-        _b(F.col("hx"), 6) % 3 == 0,
-        F.concat(F.lit("ref="), (_b(F.col("hx"), 6) % 5).cast("string")),
+        bi(6) % 3 == 0, F.concat(F.lit("ref="), (bi(6) % 5).cast("string"))
     )
     params = F.filter(F.array(p_id, p_utm, p_ref), lambda x: x.isNotNull())
-    params = F.when(_b(F.col("hx"), 7) % 2 == 0, params).otherwise(F.reverse(params))
+    params = F.when(bn(7) % 2 == 0, params).otherwise(F.reverse(params))
     query = F.when(
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
     ).otherwise("")
     frag = F.when(
-        _b(F.col("hx"), 9) % 4 == 0,
-        F.concat(F.lit("#sec"), (_b(F.col("hx"), 9) % 7).cast("string")),
+        bn(9) % 4 == 0,
+        F.concat(F.lit("#sec"), (bn(9) % 7).cast("string")),
     ).otherwise("")
     url = F.concat(
         scheme, F.lit("://"), www, host_core, F.lit("."), tld, port, path, query, frag
     )
-    return d.select("doc_id", "n_chars", url.alias("url"))
+    return d.select(F.col("out_id").alias("doc_id"), "n_chars", url.alias("url"))
 
 
 def canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -264,6 +297,90 @@ def pagerank_step(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(out, "doc_id")
 
 
+def url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-URL dedup — the FIRST dedup rung of every crawl pipeline
+    (before any content hashing): re-fetches of the same page under
+    display-noise URL variants collapse onto one keeper, the minimum doc_id
+    per canonical URL.
+
+    Scale shape: the ``line_dedup`` keeper principle — ``groupBy(canon_url)
+    .agg(min)`` + equi-join mark-back, NEVER a window over the URL key: a
+    page re-crawled 10^6 times collapses in the map-side partial aggregate
+    instead of sorting in one task."""
+    urls = canonicalize(url_table(spark, sf)).select("doc_id", "canon_url")
+    keep = urls.groupBy("canon_url").agg(
+        F.min("doc_id").cast("long").alias("kept_doc_id")
+    )
+    out = urls.join(keep, "canon_url").select(
+        "doc_id",
+        "canon_url",
+        "kept_doc_id",
+        (F.col("doc_id") != F.col("kept_doc_id")).cast("int").alias("is_dup"),
+    )
+    return ordered(out, "doc_id")
+
+
+# domain-gate thresholds (exact integers; chosen so the sf tables exercise
+# all three verdicts)
+POLICY_QUAL_MIN_C = 750  # drop domains whose mean quality score < 7.50
+POLICY_CAP_DOCS = 2  # cap domains crawled more often than this
+POLICY_DUP_MAX_BP = 2000  # cap domains whose crawl is >20% URL-duplicate
+
+
+def domain_policy(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-level curation gate — the step a crawl pipeline applies
+    BEFORE per-document filtering: per registrable domain, crawl volume,
+    URL-duplicate rate, and mean document quality (the
+    ``quality_classifier`` score), thresholded into keep / cap / drop.
+    Low mean quality drops the whole domain (spam-domain cut); high volume
+    or high dup rate marks it for capping (``source_cap`` shape).
+
+    Scale shape: a doc-keyed equi join of the URL layer onto the quality
+    signals (both corpus-scale, co-keyed — one shuffle each), then the
+    ``domain_stats`` distinct-first two-level aggregate; verdicts are
+    integer threshold CASEs on the domain-sized result."""
+    from .corpus import _quality_score, gopher_flags
+
+    urls = canonicalize(url_table(spark, sf)).select(
+        "doc_id",
+        "domain",
+        "canon_url",
+        # a re-fetch carries its base document's content, so quality joins
+        # on the base identity
+        F.when(
+            F.col("doc_id") >= REFETCH_OFF, F.col("doc_id") - REFETCH_OFF
+        )
+        .otherwise(F.col("doc_id"))
+        .alias("base_id"),
+    )
+    qual = gopher_flags(load(spark, sf, "documents")).select(
+        F.col("doc_id").alias("base_id"), _quality_score().alias("q")
+    )
+    per_url = (
+        urls.join(qual, "base_id")
+        .groupBy("domain", "canon_url")
+        .agg(F.count("*").alias("n_copies"), F.sum("q").alias("q_sum"))
+    )
+    dom = per_url.groupBy("domain").agg(
+        F.sum("n_copies").cast("long").alias("n_docs"),
+        F.expr("(sum(n_copies) - count(*)) * 10000 div sum(n_copies)")
+        .cast("long")
+        .alias("dup_bp"),
+        F.expr("(sum(q_sum) * 100) div sum(n_copies)").cast("long").alias("mean_q_c"),
+    )
+    policy = (
+        F.when(F.col("mean_q_c") < POLICY_QUAL_MIN_C, "drop")
+        .when(
+            (F.col("n_docs") > POLICY_CAP_DOCS)
+            | (F.col("dup_bp") > POLICY_DUP_MAX_BP),
+            "cap",
+        )
+        .otherwise("keep")
+    )
+    out = dom.select("domain", "n_docs", "dup_bp", "mean_q_c", policy.alias("policy"))
+    return ordered(out, "domain")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle fragments (__spark_entry__.oracle_sql composes these).  The
 # oracle re-derives the synthetic URL from the documents table and then
@@ -274,44 +391,58 @@ def pagerank_step(spark: SparkSession, sf: str) -> DataFrame:
 
 _SLD_SQL = ", ".join(f"'{s}'" for s in SLD_SUFFIXES)
 _TLD_SQL = "[" + ", ".join(f"'{t}'" for t in TLDS) + "]"
-_B_SQL = ",\n           ".join(
-    f"('0x' || substr(hx, {2 * i + 1}, 2))::BIGINT AS b{i}" for i in range(10)
+_BI_SQL = ",\n           ".join(
+    f"('0x' || substr(hxi, {2 * i + 1}, 2))::BIGINT AS bi{i}" for i in (0, 2, 3, 6, 8)
+)
+_BN_SQL = ",\n           ".join(
+    f"('0x' || substr(hxn, {2 * i + 1}, 2))::BIGINT AS bn{i}" for i in (1, 3, 4, 5, 7, 9)
 )
 
-# ends with a CTE named web_urls(doc_id, n_chars, url, canon_url, domain)
+# ends with a CTE named web_urls(doc_id, n_chars, url, canon_url, domain);
+# identity bytes (bi*) hash off the base doc, noise bytes (bn*) off the
+# crawl-event id — the re-fetch overlay re-rolls only the noise
 URL_CTES = f"""
+uids AS (
+    SELECT doc_id AS out_id, doc_id AS base_id, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + {REFETCH_OFF}, doc_id, source, n_chars FROM documents
+    WHERE doc_id % {REFETCH_MOD} = 0),
 u0 AS (
-    SELECT doc_id, source, n_chars, md5(doc_id::VARCHAR || ':url') AS hx
-    FROM documents),
+    SELECT out_id, base_id, source, n_chars,
+           md5(base_id::VARCHAR || ':url') AS hxi,
+           md5(out_id::VARCHAR || ':url') AS hxn
+    FROM uids),
 ub AS (
-    SELECT doc_id, source, n_chars,
-           {_B_SQL}
+    SELECT out_id, base_id, source, n_chars,
+           {_BI_SQL},
+           {_BN_SQL}
     FROM u0),
 uparts AS (
-    SELECT doc_id, n_chars, b7, b9,
-           CASE WHEN b0 % 2 = 0 THEN 'https' ELSE 'HTTP' END AS scheme,
-           CASE WHEN b1 % 3 = 0 THEN 'WWW.' ELSE '' END AS www,
-           source || '-' || (doc_id % 7)::VARCHAR AS host_core,
-           ({_TLD_SQL})[(b2 % {len(TLDS)} + 1)::INT] AS tld,
-           CASE WHEN b3 % 4 = 0 THEN
-                    (CASE WHEN b0 % 2 = 0 THEN ':443' ELSE ':80' END)
-                WHEN b3 % 4 = 1 THEN ':8080' ELSE '' END AS port,
-           '/p/' || (doc_id % 97)::VARCHAR ||
-               (CASE WHEN b4 % 3 = 0 THEN '/' ELSE '' END) AS path,
+    SELECT out_id, n_chars, bn7, bn9,
+           CASE WHEN bi0 % 2 = 0 THEN 'https' ELSE 'HTTP' END AS scheme,
+           CASE WHEN bn1 % 3 = 0 THEN 'WWW.' ELSE '' END AS www,
+           source || '-' || (base_id % 7)::VARCHAR AS host_core,
+           ({_TLD_SQL})[(bi2 % {len(TLDS)} + 1)::INT] AS tld,
+           CASE WHEN bi3 % 4 = 1 THEN ':8080'
+                WHEN bn3 % 2 = 0 THEN
+                    (CASE WHEN bi0 % 2 = 0 THEN ':443' ELSE ':80' END)
+                ELSE '' END AS port,
+           '/p/' || (base_id % 97)::VARCHAR ||
+               (CASE WHEN bn4 % 3 = 0 THEN '/' ELSE '' END) AS path,
            list_filter([
-               CASE WHEN b8 % 5 != 0 THEN 'id=' || (doc_id % 13)::VARCHAR END,
-               CASE WHEN b5 % 2 = 0 THEN 'utm_source=' || source END,
-               CASE WHEN b6 % 3 = 0 THEN 'ref=' || (b6 % 5)::VARCHAR END
+               CASE WHEN bi8 % 5 != 0 THEN 'id=' || (base_id % 13)::VARCHAR END,
+               CASE WHEN bn5 % 2 = 0 THEN 'utm_source=' || source END,
+               CASE WHEN bi6 % 3 = 0 THEN 'ref=' || (bi6 % 5)::VARCHAR END
            ], x -> x IS NOT NULL) AS params0
     FROM ub),
 urls AS (
-    SELECT doc_id, n_chars,
+    SELECT out_id AS doc_id, n_chars,
            scheme || '://' || www || host_core || '.' || tld || port || path ||
            (CASE WHEN len(p) > 0 THEN '?' || array_to_string(p, '&')
                  ELSE '' END) ||
-           (CASE WHEN b9 % 4 = 0 THEN '#sec' || (b9 % 7)::VARCHAR
+           (CASE WHEN bn9 % 4 = 0 THEN '#sec' || (bn9 % 7)::VARCHAR
                  ELSE '' END) AS url
-    FROM (SELECT *, CASE WHEN b7 % 2 = 0 THEN params0
+    FROM (SELECT *, CASE WHEN bn7 % 2 = 0 THEN params0
                          ELSE list_reverse(params0) END AS p
           FROM uparts)),
 cparts AS (

@@ -431,6 +431,61 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "window over the hot content key.",
             formatted_plan(q["thumbnail_dedup"](spark, sf_dir)),
         ),
+        "url_canonicalize": (
+            "URL canonicalization: one codegen'd regex/list projection over "
+            "the scan — zero shuffles before the presentation sort; runs at "
+            "parquet-read speed on any corpus.",
+            formatted_plan(q["url_canonicalize"](spark, sf_dir)),
+        ),
+        "domain_stats": (
+            "registrable-domain rollup: distinct-first two-level aggregate — "
+            "(domain, canon_url) partial-aggregates map-side BEFORE the "
+            "shuffle so a hot domain arrives pre-collapsed; no COUNT "
+            "DISTINCT state, no window.",
+            formatted_plan(q["domain_stats"](spark, sf_dir)),
+        ),
+        "pagerank_step": (
+            "one PageRank power iteration in integer basis points: edges "
+            "explode JVM-side from the vertex scan, ONE keyed shuffle "
+            "groups contributions by destination, the rank join back is "
+            "co-keyed on doc_id, and the corpus-size scalar rides a 1-row "
+            "broadcast — per iteration at 100 TB: one shuffle of the edge "
+            "list, nothing quadratic, no driver state.",
+            formatted_plan(q["pagerank_step"](spark, sf_dir)),
+        ),
+        "perplexity_buckets": (
+            "CCNet perplexity tiers: bigram-keyed count with map-side "
+            "combine, context totals derived from the VOCAB-sized pair "
+            "table (not a second corpus-wide shuffle), keyed join back, "
+            "doc-keyed sum; the tercile cut is the curriculum_stages "
+            "histogram trick — the only Window runs over the distinct-score "
+            "frame, never the corpus.",
+            formatted_plan(q["perplexity_buckets"](spark, sf_dir)),
+        ),
+        "source_cap": (
+            "exact per-key cap without a corpus-wide window: per-key "
+            "hash-threshold prefilter (expected CAP_K*CAP_OVER survivors "
+            "per key regardless of skew, checkpointed), row_number + "
+            "WindowGroupLimit over the bounded candidates only, and an "
+            "exactness fallback branch (the single remaining parquet scan) "
+            "that re-admits any key the probabilistic prefilter undershot.",
+            formatted_plan(q["source_cap"](spark, sf_dir)),
+        ),
+        "url_dedup": (
+            "canonical-URL dedup (the first dedup rung of a crawl "
+            "pipeline): the line_dedup keeper shape — groupBy(canon_url) "
+            "min + equi-join mark-back, NO window, so a page re-crawled "
+            "10^6 times collapses in the map-side partial aggregate.",
+            formatted_plan(q["url_dedup"](spark, sf_dir)),
+        ),
+        "domain_policy": (
+            "domain-level keep/cap/drop gate: URL layer equi-joined to the "
+            "quality signals on the base doc key (one keyed shuffle each), "
+            "then the distinct-first two-level domain aggregate; verdicts "
+            "are integer CASEs on the domain-sized result — no window, no "
+            "cartesian anywhere.",
+            formatted_plan(q["domain_policy"](spark, sf_dir)),
+        ),
     }
 
 

@@ -111,3 +111,47 @@ def test_pagerank_step_has_no_cartesian_and_keyed_shuffle_only(spark, sf_dir):
     # the corpus-size scalar rides a 1-row broadcast; the edge list itself
     # must NOT be broadcast-nested-loop-joined
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1, plan
+
+
+def test_url_dedup_finds_the_refetch_overlay(spark, sf_dir):
+    out = {r["doc_id"]: r for r in entry.queries()["url_dedup"](spark, sf_dir).collect()}
+    refetch = [d for d in out if d >= web.REFETCH_OFF]
+    assert refetch
+    for d in refetch:
+        base = d - web.REFETCH_OFF
+        assert out[d]["canon_url"] == out[base]["canon_url"], d
+        assert out[d]["is_dup"] == 1
+        assert out[d]["kept_doc_id"] <= base
+        assert out[base]["is_dup"] == 0 or out[base]["kept_doc_id"] < base
+    # the overlay re-rolls DISPLAY noise: raw URLs differ for some pairs
+    urls = {
+        r["doc_id"]: r["url"]
+        for r in entry.queries()["url_canonicalize"](spark, sf_dir).collect()
+    }
+    assert any(urls[d] != urls[d - web.REFETCH_OFF] for d in refetch)
+
+
+def test_domain_policy_exercises_all_verdicts(spark, sf_dir):
+    rows = entry.queries()["domain_policy"](spark, sf_dir).collect()
+    assert {r["policy"] for r in rows} == {"keep", "cap", "drop"}
+    for r in rows:
+        if r["mean_q_c"] < web.POLICY_QUAL_MIN_C:
+            assert r["policy"] == "drop", r
+        elif r["n_docs"] > web.POLICY_CAP_DOCS or r["dup_bp"] > web.POLICY_DUP_MAX_BP:
+            assert r["policy"] == "cap", r
+        else:
+            assert r["policy"] == "keep", r
+
+
+def test_url_dedup_keeper_is_aggregation_not_window(spark, sf_dir):
+    plan = formatted_plan(entry.queries()["url_dedup"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    # partial+final keeper agg: a canon_url duplicated 10^6 times collapses
+    # map-side, never sorts in one task
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+
+
+def test_domain_policy_has_no_window_or_cartesian(spark, sf_dir):
+    plan = formatted_plan(entry.queries()["domain_policy"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
