@@ -633,8 +633,7 @@ per_url AS (
 dom AS (
     SELECT domain,
            CAST(SUM(n_copies) AS BIGINT) AS n_docs,
-           CAST((CAST(SUM(n_copies) AS BIGINT) - COUNT(*)) * 10000
-                // CAST(SUM(n_copies) AS BIGINT) AS BIGINT) AS dup_bp,
+           {web._DUP_BP_SQL} AS dup_bp,
            CAST((CAST(SUM(q_sum) AS BIGINT) * 100)
                 // CAST(SUM(n_copies) AS BIGINT) AS BIGINT) AS mean_q_c
     FROM per_url GROUP BY domain)
@@ -656,8 +655,7 @@ per_url AS (
 SELECT domain,
        CAST(SUM(n_copies) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_urls,
-       CAST((CAST(SUM(n_copies) AS BIGINT) - COUNT(*)) * 10000
-            // CAST(SUM(n_copies) AS BIGINT) AS BIGINT) AS dup_bp,
+       {web._DUP_BP_SQL} AS dup_bp,
        CAST(SUM(chars) AS BIGINT) AS n_chars
 FROM per_url GROUP BY domain ORDER BY domain""",
         "pagerank_step": f"""

@@ -1744,9 +1744,9 @@ def _cap_tagged(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "source")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    prio = F.conv(
-        F.substring(F.md5(F.concat_ws(":", "doc_id", F.lit("cap"))), 1, 8), 16, 10
-    ).cast("long")
+    from .sketches import _hex_int
+
+    prio = _hex_int(F.md5(F.concat_ws(":", "doc_id", F.lit("cap"))), 1, 8)
     return docs.withColumn("prio", prio)
 
 

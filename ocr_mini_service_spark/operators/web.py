@@ -24,12 +24,22 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import ordered
+from .sketches import _hex_int
 from ..sources import load
 
 # second-level public suffixes the domain heuristic recognizes (a stand-in
 # for the full Mozilla PSL, which is a data file, not an algorithm; at
 # production scale this is a broadcast lookup table built from the PSL)
 SLD_SUFFIXES = ("co.uk", "ac.uk", "gov.uk", "com.au", "co.jp")
+
+# URL-collapse duplicate rate over a (key, canon_url)-grouped frame with a
+# per-group n_copies count, in integer basis points — shared by
+# domain_stats and domain_policy (and their oracles via _DUP_BP_SQL below)
+_DUP_BP_EXPR = "(sum(n_copies) - count(*)) * 10000 div sum(n_copies)"
+_DUP_BP_SQL = (
+    "CAST((CAST(SUM(n_copies) AS BIGINT) - COUNT(*)) * 10000\n"
+    "                // CAST(SUM(n_copies) AS BIGINT) AS BIGINT)"
+)
 
 TLDS = ("com", "org", "co.uk", "de")  # synthetic-URL TLD pool
 EDGE_MAX_OUT = 3  # synthetic link graph: 1..EDGE_MAX_OUT outbound edges
@@ -39,16 +49,20 @@ PR_RANK0_BP = 10000  # uniform initial rank, basis points
 
 
 def _b(hx: Column, i: int) -> Column:
-    """Byte ``i`` of an md5 hex column (0-based), as a BIGINT — the same
-    arithmetic DuckDB reproduces via ('0x' || substr(hx, 2i+1, 2))::BIGINT."""
-    return F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+    """Byte ``i`` of an md5 hex column (0-based), as a BIGINT."""
+    return _hex_int(hx, 2 * i + 1, 2)
 
 
 # re-fetch overlay: every REFETCH_MOD-th doc is crawled a second time under
 # doc_id + REFETCH_OFF — same URL IDENTITY (scheme value, host, tld, real
 # port, path, surviving query params), freshly rolled DISPLAY NOISE (www
 # prefix, default port, trailing slash, tracking params, param order,
-# fragment) — so canonical-URL dedup has true positives to find
+# fragment) — so canonical-URL dedup has true positives to find.
+# The +OFF id-space convention is shared with the other synthetic overlays
+# (dedup_incremental +1e6, normalized_dedup +2e6, thumbnail_dedup +3e6) and
+# is valid while base doc_ids stay below the offset — true for the whole
+# sf ladder (sf0.1 tops out at 5,000 docs); it is a TEST-DATA construct,
+# not a production id scheme
 REFETCH_MOD = 5
 REFETCH_OFF = 4_000_000
 
@@ -148,7 +162,10 @@ def canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     path = F.regexp_extract(u, r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
     cpath = F.regexp_replace(path, r"/+$", "")
-    qraw = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # the query must start BEFORE any '#': scan only [^#?] up to the '?',
+    # else a '?' inside the fragment ("/page#/route?tab=2") would leak
+    # fragment text into the canonical query string
+    qraw = F.regexp_extract(u, r"^[^#?]*\?([^#]*)", 1)
     qkeep = F.array_sort(
         F.filter(
             F.split(qraw, "&"),
@@ -185,10 +202,17 @@ def canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     suffix2 = F.concat_ws(
         ".", F.element_at(labels, n - 1), F.element_at(labels, n)
     )
-    domain = F.when(
-        suffix2.isin(*SLD_SUFFIXES) & (n >= 3),
-        F.concat_ws(".", F.element_at(labels, n - 2), suffix2),
-    ).otherwise(suffix2)
+    # the n < 2 branch must come FIRST: CaseWhen short-circuits branch
+    # evaluation in order, and suffix2 contains element_at(labels, 0) for a
+    # single-label host ("localhost"), which ANSI Spark rejects at runtime
+    domain = (
+        F.when(n < 2, F.col("host_c"))
+        .when(
+            suffix2.isin(*SLD_SUFFIXES) & (n >= 3),
+            F.concat_ws(".", F.element_at(labels, n - 2), suffix2),
+        )
+        .otherwise(suffix2)
+    )
     return staged.withColumn("canon_url", canon).withColumn("domain", domain).drop(
         "scheme_c", "host_raw", "host_c"
     )
@@ -225,9 +249,7 @@ def domain_stats(spark: SparkSession, sf: str) -> DataFrame:
     out = per_url.groupBy("domain").agg(
         F.sum("n_copies").cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_urls"),
-        F.expr("(sum(n_copies) - count(*)) * 10000 div sum(n_copies)")
-        .cast("long")
-        .alias("dup_bp"),
+        F.expr(_DUP_BP_EXPR).cast("long").alias("dup_bp"),
         F.sum("chars").cast("long").alias("n_chars"),
     )
     return ordered(out, "domain")
@@ -265,13 +287,9 @@ def pagerank_step(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(
             (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(":", "doc_id", "k", F.lit("edge"))), 1, 12
-                    ),
-                    16,
-                    10,
-                ).cast("long")
+                _hex_int(
+                    F.md5(F.concat_ws(":", "doc_id", "k", F.lit("edge"))), 1, 12
+                )
                 % F.col("n_total")
             ).alias("dst"),
             F.expr(f"{PR_RANK0_BP} div out_deg").alias("share"),
@@ -363,9 +381,7 @@ def domain_policy(spark: SparkSession, sf: str) -> DataFrame:
     )
     dom = per_url.groupBy("domain").agg(
         F.sum("n_copies").cast("long").alias("n_docs"),
-        F.expr("(sum(n_copies) - count(*)) * 10000 div sum(n_copies)")
-        .cast("long")
-        .alias("dup_bp"),
+        F.expr(_DUP_BP_EXPR).cast("long").alias("dup_bp"),
         F.expr("(sum(q_sum) * 100) div sum(n_copies)").cast("long").alias("mean_q_c"),
     )
     policy = (
@@ -450,7 +466,7 @@ cparts AS (
            lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme_c,
            regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1) AS hostport,
            regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path_raw,
-           regexp_extract(url, '\\?([^#]*)', 1) AS qraw
+           regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS qraw
     FROM urls),
 cparts2 AS (
     SELECT doc_id, n_chars, url, scheme_c,
@@ -475,7 +491,8 @@ curls AS (
     FROM cparts2),
 web_urls AS (
     SELECT doc_id, n_chars, url, canon_url,
-           CASE WHEN len(labels) >= 3
+           CASE WHEN len(labels) < 2 THEN labels[1]
+                WHEN len(labels) >= 3
                      AND (labels[-2] || '.' || labels[-1]) IN ({_SLD_SQL})
                 THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
                 ELSE labels[-2] || '.' || labels[-1] END AS domain

@@ -698,8 +698,3 @@ def test_source_cap_window_runs_over_checkpointed_candidates(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert "ExistingRDD" in plan, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
-
-
-def test_url_canonicalize_plan_shape_is_asserted_in_test_web(spark):
-    # placeholder cross-reference: web plan shapes live in tests/test_web.py
-    pass

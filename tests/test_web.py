@@ -38,6 +38,16 @@ CASES = [
         "https://shop.com.au/q",
         "shop.com.au",
     ),
+    (
+        "http://localhost:8080/x",  # single-label host must not crash
+        "http://localhost:8080/x",
+        "localhost",
+    ),
+    (
+        "https://x.com/page#/route?tab=2",  # '?' inside the fragment is
+        "https://x.com/page",  # fragment text, not a query string
+        "x.com",
+    ),
 ]
 
 
