@@ -22,6 +22,7 @@ from ocr_mini_service_spark.operators import (
     corpus,
     dedup,
     multimodal,
+    pdf,
     similarity,
     sketches,
     text,
@@ -50,6 +51,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stalwarts as window filler; everything green in the previous round's
     # window rotates to the back.
     return {
+        # --- new in r4 session 7: PDF / layout parsing (north-star modality:
+        # real xref/FlateDecode files parsed by an honest PDF-subset reader,
+        # geometric boilerplate strip, two-column reading order) ---
+        "pdf_extract": pdf.pdf_extract,
+        "pdf_line_spans": pdf.pdf_line_spans,
         # --- new in r4 session 6: URL dedup rung + domain-level gate ---
         "url_dedup": web.url_dedup,
         "domain_policy": web.domain_policy,
@@ -560,6 +566,60 @@ sc AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # ---------------- PDF / layout parsing ------------------------------
+        # the oracle recomputes the EXPECTED extraction independently from
+        # documents.text (reading order restores original word order; the
+        # geometry below mirrors pdf.py's generator constants) — the Spark
+        # side earns equality only by actually parsing the synthesized files
+        "pdf_extract": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws,
+         6 + CAST(doc_id % 5 AS INT) AS k
+  FROM documents),
+l AS (
+  SELECT doc_id, k, len(ws) AS n,
+         CAST((len(ws) + k - 1) // k AS INT) AS n_lines,
+         list_transform(generate_series(1, CAST((len(ws) + k - 1) // k AS INT)),
+            i -> array_to_string(ws[(i-1)*k+1 : least(i*k, len(ws))], ' ')) AS lines
+  FROM w)
+SELECT doc_id,
+       array_to_string(lines, chr(10)) AS extracted_text,
+       CAST(greatest((n_lines + 95) // 96, 1) AS INT) AS n_pages,
+       n_lines,
+       CAST(2 * greatest((n_lines + 95) // 96, 1) AS INT) AS n_runs_dropped,
+       CAST(length(array_to_string(lines, chr(10))) AS INT) AS n_chars,
+       CAST(NULL AS VARCHAR) AS error
+FROM l ORDER BY doc_id""",
+        "pdf_line_spans": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws,
+         6 + CAST(doc_id % 5 AS INT) AS k
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         CAST((len(ws) + k - 1) // k AS INT) AS n_lines,
+         list_transform(generate_series(1, CAST((len(ws) + k - 1) // k AS INT)),
+            i -> array_to_string(ws[(i-1)*k+1 : least(i*k, len(ws))], ' ')) AS lines
+  FROM w),
+e AS (
+  SELECT doc_id, CAST(t.i - 1 AS INT) AS line_idx, lines[t.i] AS line_text
+  FROM l, unnest(generate_series(1, n_lines)) AS t(i)),
+s AS (
+  SELECT doc_id, line_idx, line_text,
+         SUM(length(line_text)) OVER (PARTITION BY doc_id ORDER BY line_idx
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM e)
+SELECT doc_id, line_idx,
+       CAST(line_idx // 96 AS INT) AS page,
+       CAST((line_idx % 96) // 48 AS INT) AS col,
+       CAST(CASE WHEN (line_idx % 96) // 48 = 0 THEN 50 ELSE 320 END AS INT) AS x,
+       CAST(720 - 14 * (line_idx % 48) AS INT) AS y,
+       CAST(cum - length(line_text) + line_idx AS INT) AS char_start,
+       CAST(cum + line_idx AS INT) AS char_end,
+       line_text
+FROM s ORDER BY doc_id, line_idx""",
         # ---------------- perplexity tiers + per-key cap --------------------
         # surprisal is floor(log2(n1/n12)) == length(bin/printf('%b')) - 1 of
         # the integer quotient (exact, no libm); terciles via the histogram

@@ -330,6 +330,28 @@ def test_media_resize_is_one_pass_no_shuffle(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
 
 
+def test_pdf_extract_is_one_pass_no_shuffle(spark, sf_dir):
+    """PDF extraction is pure map (build+parse per document in one Arrow
+    kernel): one scan, only doc_id+text read, no Join, no Exchange beyond
+    the presentation repartition — at 100 TB the job stays shuffle-free."""
+    plan = formatted_plan(entry.queries()["pdf_extract"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+    assert re.search(r"ReadSchema:.*doc_id.*text", plan), plan
+
+
+def test_pdf_line_spans_is_one_pass_no_shuffle(spark, sf_dir):
+    """Span rows are emitted kernel-side (offset arithmetic inside the Arrow
+    pass), so there is no per-doc window shuffle: one scan, no Join, only
+    the presentation Exchange."""
+    plan = formatted_plan(entry.queries()["pdf_line_spans"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
 def test_frame_sample_explodes_jvm_side_no_join(spark, sf_dir):
     """Frame sampling is decode -> JVM-side Generate (explode) ->
     arithmetic: one scan, no Join, no keyed shuffle."""
