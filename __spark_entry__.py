@@ -56,6 +56,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geometric boilerplate strip, two-column reading order) ---
         "pdf_extract": pdf.pdf_extract,
         "pdf_line_spans": pdf.pdf_line_spans,
+        # --- new in r4 session 7: SemDeDup, DSIR selection, hard negatives,
+        # tokenizer fertility ---
+        "semdedup_prune": similarity.semdedup_prune,
+        "dsir_weights": corpus.dsir_weights,
+        "ann_hard_negatives": similarity.ann_hard_negatives,
+        "tokenizer_fertility": corpus.tokenizer_fertility,
         # --- new in r4 session 6: URL dedup rung + domain-level gate ---
         "url_dedup": web.url_dedup,
         "domain_policy": web.domain_policy,
@@ -620,6 +626,110 @@ SELECT doc_id, line_idx,
        CAST(cum + line_idx AS INT) AS char_end,
        line_text
 FROM s ORDER BY doc_id, line_idx""",
+        # ---------------- SemDeDup / DSIR / hard negatives / fertility ------
+        "semdedup_prune": f"""
+WITH {_VEC_CORPUS}, {_VEC_NORMS},
+cent AS (SELECT vec_id AS cid, embedding AS cemb FROM corpus
+         WHERE vec_id < {similarity.N_CENTROIDS}),
+dist AS (
+  SELECT c.vec_id, cent.cid,
+         CAST(list_sum(list_transform(generate_series(1, len(c.embedding)),
+              i -> (CAST(round(c.embedding[i]*1000) AS BIGINT)
+                    - CAST(round(cent.cemb[i]*1000) AS BIGINT))
+                 * (CAST(round(c.embedding[i]*1000) AS BIGINT)
+                    - CAST(round(cent.cemb[i]*1000) AS BIGINT)))) AS BIGINT) AS d
+  FROM corpus c CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM dist) t
+  WHERE rn = 1),
+capped AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id ASC) AS crn
+    FROM assigned) t
+  WHERE crn <= {similarity.SEMDEDUP_CAP}),
+pairs AS (
+  SELECT a.cid, a.vec_id AS va, b.vec_id AS vb
+  FROM capped a JOIN capped b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT p.cid, p.va, p.vb,
+         round(CAST(list_sum(list_transform(generate_series(1, len(na.embedding)),
+              i -> CAST(round(na.embedding[i]*1000) AS BIGINT)
+                 * CAST(round(nb.embedding[i]*1000) AS BIGINT))) AS BIGINT)
+              / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos
+  FROM pairs p JOIN norms na ON p.va = na.vec_id JOIN norms nb ON p.vb = nb.vec_id),
+dups AS (SELECT * FROM scored WHERE cos >= {similarity.SEMDEDUP_COS}),
+nbr AS (
+  SELECT vec_id, CAST(COUNT(*) AS INT) AS n_tau_nbrs,
+         CAST(MAX(smaller) AS INT) AS pruned
+  FROM (SELECT va AS vec_id, 0 AS smaller FROM dups
+        UNION ALL SELECT vb AS vec_id, 1 AS smaller FROM dups) u
+  GROUP BY vec_id),
+sz AS (SELECT cid, CAST(COUNT(*) AS INT) AS cluster_n FROM assigned GROUP BY cid)
+SELECT a.vec_id, a.cid, sz.cluster_n,
+       COALESCE(nbr.n_tau_nbrs, 0) AS n_tau_nbrs,
+       COALESCE(nbr.pruned, 0) AS pruned
+FROM assigned a JOIN sz USING (cid) LEFT JOIN nbr ON a.vec_id = nbr.vec_id
+ORDER BY a.vec_id""",
+        "ann_hard_negatives": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id < {similarity.N_QUERIES}),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+           CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+                    i -> CAST(round(CAST(q.qv[i] AS DOUBLE) * 1000) AS BIGINT)
+                       * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS score
+    FROM embeddings e CROSS JOIN q
+    WHERE e.label <> q.qlabel)
+SELECT query_id, rank, neighbor_id, neg_label, score FROM (
+    SELECT query_id, neighbor_id, neg_label, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored) t
+WHERE rank <= {similarity.TOP_K} ORDER BY query_id, rank""",
+        "dsir_weights": f"""
+WITH wd AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents),
+occ AS (
+  SELECT doc_id,
+         CAST(list_reduce(list_transform(generate_series(1, length(bg)),
+                  i -> CAST(ascii(bg[i]) AS BIGINT)),
+              (acc, c) -> (acc * {BASE} + c) % {MOD}) % {corpus.DSIR_BUCKETS}
+              AS INT) AS bucket
+  FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+        FROM wd, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 2)),
+cnt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r_b,
+               CAST(COUNT(*) FILTER (WHERE doc_id % {corpus.DSIR_TARGET_MOD} = 0)
+                    AS BIGINT) AS t_b
+        FROM occ GROUP BY bucket),
+tot AS (SELECT CAST(SUM(r_b) AS BIGINT) AS r_tot,
+               CAST(SUM(t_b) AS BIGINT) AS t_tot FROM cnt),
+wt AS (SELECT bucket,
+              CAST(length(printf('%b', (t_b + 1) * (r_tot + {corpus.DSIR_BUCKETS})))
+                 - length(printf('%b', (r_b + 1) * (t_tot + {corpus.DSIR_BUCKETS})))
+                 AS BIGINT) AS w
+       FROM cnt, tot),
+per AS (SELECT occ.doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+               CAST(SUM(w) AS BIGINT) AS w_sum
+        FROM occ JOIN wt USING (bucket) GROUP BY occ.doc_id)
+SELECT doc_id, n_bigrams, w_sum, CAST(w_sum > 0 AS INT) AS keep
+FROM per ORDER BY doc_id""",
+        "tokenizer_fertility": f"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_words,
+         CAST(SUM(len(regexp_extract_all(text, '{text.BPE_ISH}'))) AS BIGINT) AS n_tokens,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source)
+SELECT source, n_docs, n_words, n_tokens, n_chars,
+       n_tokens * 10000 // n_words AS fertility_bp,
+       n_chars * 10000 // n_tokens AS chars_per_token_bp
+FROM per ORDER BY source""",
         # ---------------- perplexity tiers + per-key cap --------------------
         # surprisal is floor(log2(n1/n12)) == length(bin/printf('%b')) - 1 of
         # the integer quotient (exact, no libm); terciles via the histogram

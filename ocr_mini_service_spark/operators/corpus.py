@@ -1810,3 +1810,118 @@ def source_cap(spark: SparkSession, sf: str) -> DataFrame:
         .select("source", "doc_id", "cap_rank")
     )
     return ordered(out, "source", "cap_rank")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights + tokenizer fertility (round-4 session 7)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256   # hashed-feature dimensionality (Xie et al. 2023 use 10^4)
+DSIR_TARGET_MOD = 7  # docs with doc_id % 7 == 0 proxy the target domain
+
+
+def dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style data selection with importance resampling (Xie et al.
+    2023, arXiv:2302.03169): documents are scored by how much more likely
+    their hashed-bigram features are under a TARGET domain's distribution
+    than under the raw corpus's.  Features: word bigrams -> the portable
+    rolling hash (dedup's BASE/MOD fold) -> DSIR_BUCKETS buckets.  The
+    log-ratio is kept in EXACT integer arithmetic: with add-1 smoothed
+    bucket counts t_b (target) / r_b (raw) and totals T / R, each bigram
+    occurrence contributes bitlen((t_b+1)*(R+B)) - bitlen((r_b+1)*(T+B)) —
+    a floor-log2 surrogate of log(p_target/p_raw) (the `perplexity_buckets`
+    bit-length device), so Spark and DuckDB agree bit-for-bit.  keep=1 when
+    the summed weight is positive (target-leaning doc).
+
+    Scale shape: bigram stream -> ONE map-side-combined aggregate producing
+    BOTH per-bucket counts (target via count_if) -> a DSIR_BUCKETS-row
+    weight table broadcast back onto the stream -> per-doc sum.  The
+    feature stream is re-evaluated once for scoring rather than
+    materialized — a cheap scan+explode beats caching a corpus-size
+    intermediate at 100 TB."""
+    from .dedup import BASE, MOD
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    ws = F.split(F.trim("text"), r"\s+")
+    bigrams = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(0, size(ws) - 2),"
+                       " i -> concat(ws[i], ' ', ws[i + 1]))")
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"pmod(aggregate(transform(sequence(1, length(bg)),"
+                f" i -> ascii(substring(bg, i, 1))), CAST(0 AS BIGINT),"
+                f" (acc, c) -> pmod(acc * {BASE} + c, {MOD})), {DSIR_BUCKETS})"
+            ).cast("int").alias("bucket"),
+        )
+    )
+    counts = bigrams.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("r_b"),
+        F.count_if(F.col("doc_id") % DSIR_TARGET_MOD == 0).cast("long").alias("t_b"),
+    )
+    totals = counts.agg(
+        F.sum("r_b").cast("long").alias("r_tot"),
+        F.sum("t_b").cast("long").alias("t_tot"),
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.length(F.bin((F.col("t_b") + 1) * (F.col("r_tot") + DSIR_BUCKETS)))
+            - F.length(F.bin((F.col("r_b") + 1) * (F.col("t_tot") + DSIR_BUCKETS)))
+        ).cast("long").alias("w"),
+    )
+    per_doc = (
+        bigrams.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.sum("w").cast("long").alias("w_sum"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "w_sum",
+            (F.col("w_sum") > 0).cast("int").alias("keep"),
+        )
+    )
+    return ordered(per_doc, "doc_id")
+
+
+def tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility audit per source: subword tokens per word and
+    chars per subword token — the pre-training health check that catches a
+    tokenizer exploding on a domain (fertility spikes on code/URLs) before
+    any GPU time is spent.  Words are the whitespace convention, subwords
+    the BPE-ish regex (`text.BPE_ISH`), ratios exact integer basis points.
+
+    Scale shape: one scan, one map-side-combined groupBy(source) — no
+    joins, no windows, no Python."""
+    from .text import BPE_ISH
+
+    docs = load(spark, sf, "documents")
+    per = docs.select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_words"),
+        F.regexp_count("text", F.lit(BPE_ISH)).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    out = (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .select(
+            "source", "n_docs", "n_words", "n_tokens", "n_chars",
+            F.expr("n_tokens * 10000 div n_words").alias("fertility_bp"),
+            F.expr("n_chars * 10000 div n_tokens").alias("chars_per_token_bp"),
+        )
+    )
+    return ordered(out, "source")

@@ -685,3 +685,144 @@ def embedding_hygiene(
         F.max("dim").alias("max_dim"),
     )
     return ordered(out, "label")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup + hard-negative mining (round-4 session 7)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_COS = 0.95     # intra-cluster near-dup threshold (Abbas et al. 2023)
+SEMDEDUP_CAP = 256      # per-cluster pair-generation cap (scale guard)
+
+
+def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    only ever compares WITHIN k-means clusters — the trick that turns an
+    O(n^2) cosine-dedup into per-cluster work.  Assignment reuses the IVF
+    coarse-quantizer shape (broadcast codebook, exact quantized integer L2,
+    tie -> smaller centroid id); within each cluster, capped pairs are
+    scored by exact integer dot + float norms (the `embedding_cosine_dups`
+    convention) and a vector is PRUNED when a same-cluster neighbor with a
+    smaller id sits at cosine >= SEMDEDUP_COS (min-id survivor, the
+    deterministic stand-in for the paper's keep-low-centroid-sim rule).
+    Runs over the mutant-overlaid corpus so true positives exist.
+
+    Scale shape: broadcast codebook crossJoin (codebook rows, not corpus,
+    bound the fan-out) -> one vec-keyed window for argmin -> per-cluster
+    self-join BOUNDED by SEMDEDUP_CAP (row_number cap, same posture as
+    `_capped_buckets`) -> aggregation back to vectors.  No corpus-wide
+    pair generation anywhere."""
+    vecs = _vecs_with_mutants(spark, sf)
+    n2 = F.expr(
+        "aggregate(transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)"
+        " * CAST(round(x * 1000) AS BIGINT)), CAST(0 AS BIGINT),"
+        " (acc, v) -> acc + v)"
+    )
+    vecs = vecs.select("vec_id", "embedding", n2.alias("n2"))
+    cent = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "embedding", "n2", "cid",
+            _pair_qdist(F.col("embedding"), F.col("cemb")).alias("d"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "d")
+    )
+    assigned = assigned.localCheckpoint(eager=True)  # one assignment evaluation
+    capped = assigned.withColumn(
+        "crn",
+        F.row_number().over(Window.partitionBy("cid").orderBy(F.col("vec_id").asc())),
+    ).filter(F.col("crn") <= SEMDEDUP_CAP)
+    a = capped.select(
+        "cid", F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+        F.col("n2").alias("na2"),
+    )
+    b = capped.select(
+        "cid", F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+        F.col("n2").alias("nb2"),
+    )
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "cid", "va", "vb",
+            F.round(
+                _pair_qdot(F.col("ea"), F.col("eb"))
+                / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+                4,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_COS)
+    )
+    # per-vector tallies: tau-neighbor count (either side), pruned if any
+    # smaller-id neighbor
+    nbrs = (
+        dups.select(F.col("va").alias("vec_id"), F.lit(0).alias("smaller"))
+        .unionByName(dups.select(F.col("vb").alias("vec_id"), F.lit(1).alias("smaller")))
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tau_nbrs"),
+            F.max("smaller").cast("int").alias("pruned"),
+        )
+    )
+    sizes = assigned.groupBy("cid").agg(F.count("*").cast("int").alias("cluster_n"))
+    out = (
+        assigned.select("vec_id", "cid")
+        .join(nbrs, "vec_id", "left")
+        .join(F.broadcast(sizes), "cid")
+        .select(
+            "vec_id", "cid", "cluster_n",
+            F.coalesce(F.col("n_tau_nbrs"), F.lit(0)).cast("int").alias("n_tau_nbrs"),
+            F.coalesce(F.col("pruned"), F.lit(0)).cast("int").alias("pruned"),
+        )
+    )
+    return ordered(out, "vec_id")
+
+
+def ann_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the retrieval-pipeline
+    companion of ANN search): for each query vector, the TOP_K most similar
+    corpus vectors carrying a DIFFERENT label — the negatives that sit
+    closest to the decision boundary.  Exact quantized-integer scoring over
+    a broadcast query set (the audited brute shape); at scale the corpus
+    side swaps to the banded-LSH candidate generator unchanged.
+
+    Scale shape: corpus crossJoin broadcast(queries) — fan-out bounded by
+    the query-set size, label filter applied before the score window."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v"),
+        F.col("label").alias("neg_label"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("qlabel"))
+        .select(
+            "query_id", "neighbor_id", "neg_label",
+            _pair_qdot(F.col("qv"), F.col("v")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "neg_label", "score")
+    )
+    return ordered(out, "query_id", "rank")

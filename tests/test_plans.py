@@ -720,3 +720,48 @@ def test_source_cap_window_runs_over_checkpointed_candidates(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert "ExistingRDD" in plan, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_semdedup_assignment_broadcasts_codebook_pairs_capped(spark, sf_dir):
+    """SemDeDup must broadcast the N_CENTROIDS-row codebook for assignment
+    (never a corpus-side shuffle) and generate pairs only from the
+    checkpointed assignment (ExistingRDD), cluster-capped — no cartesian
+    product anywhere."""
+    plan = formatted_plan(entry.queries()["semdedup_prune"](spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    # cluster cap shows up as the same WindowGroupLimit truncation device
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_dsir_weights_broadcasts_bucket_table_no_window(spark, sf_dir):
+    """DSIR scoring joins the feature stream to the DSIR_BUCKETS-row weight
+    table by broadcast hash join; per-doc weights are a keyed aggregate,
+    never a window; no sort-merge join of two corpus-sized sides."""
+    plan = formatted_plan(entry.queries()["dsir_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tokenizer_fertility_is_single_keyed_aggregate(spark, sf_dir):
+    """Fertility is one scan + one map-side-combined groupBy(source): no
+    joins, no windows, exactly the aggregate Exchange + presentation."""
+    plan = formatted_plan(entry.queries()["tokenizer_fertility"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan  # partial+final
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_ann_hard_negatives_broadcasts_queries(spark, sf_dir):
+    """Hard-negative mining is the audited brute shape: the bounded query
+    set broadcasts (BroadcastNestedLoopJoin over N_QUERIES rows); the label
+    filter runs before the per-query rank window."""
+    plan = formatted_plan(entry.queries()["ann_hard_negatives"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
