@@ -486,6 +486,48 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "cartesian anywhere.",
             formatted_plan(q["domain_policy"](spark, sf_dir)),
         ),
+        "pdf_extract": (
+            "PDF / layout extraction: pure map — synthesize + parse the "
+            "document's PDF inside ONE Arrow kernel; a single pruned scan "
+            "(doc_id, text), no Join, no Exchange before the presentation "
+            "repartition.  At 100 TB the job is embarrassingly parallel "
+            "over document partitions, identical to extract_fulltext.",
+            formatted_plan(q["pdf_extract"](spark, sf_dir)),
+        ),
+        "pdf_line_spans": (
+            "per-line span records emitted KERNEL-side (offset arithmetic "
+            "inside the Arrow pass), so no per-doc window shuffle exists: "
+            "one scan, no Join, no Window, presentation Exchange only.",
+            formatted_plan(q["pdf_line_spans"](spark, sf_dir)),
+        ),
+        "semdedup_prune": (
+            "SemDeDup: broadcast codebook assignment (BroadcastNestedLoop "
+            "over N_CENTROIDS rows, never a corpus shuffle), assignment "
+            "localCheckpointed (ExistingRDD) so it evaluates once, pair "
+            "generation cluster-capped via WindowGroupLimit, tallies are "
+            "keyed aggregates — no cartesian, nothing quadratic corpus-wide.",
+            formatted_plan(q["semdedup_prune"](spark, sf_dir)),
+        ),
+        "dsir_weights": (
+            "DSIR selection: bigram feature stream -> ONE map-side-combined "
+            "aggregate producing BOTH bucket count tables -> 256-row weight "
+            "table broadcast back (BroadcastHashJoin) -> per-doc keyed sum. "
+            "The stream re-evaluates for scoring instead of materializing a "
+            "corpus-size intermediate; no window, no sort-merge join.",
+            formatted_plan(q["dsir_weights"](spark, sf_dir)),
+        ),
+        "ann_hard_negatives": (
+            "hard-negative mining: the audited broadcast-brute shape — "
+            "corpus x broadcast(query set), label filter below the "
+            "per-query rank window; fan-out bounded by the query-set size.",
+            formatted_plan(q["ann_hard_negatives"](spark, sf_dir)),
+        ),
+        "tokenizer_fertility": (
+            "fertility audit: one pruned scan, one map-side-combined "
+            "groupBy(source), ratios as integer basis points in the final "
+            "projection — no joins, no windows, no Python.",
+            formatted_plan(q["tokenizer_fertility"](spark, sf_dir)),
+        ),
     }
 
 
