@@ -125,22 +125,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": corpus.normalized_dedup,
         "minhash_band_sweep": dedup.minhash_band_sweep,
         "dedup_family_agreement": dedup.dedup_family_agreement,
-        # --- deliberate window overflow (56 never-driver-checked > the
-        # 50-query window): these six are single-scan pure-INTEGER/string
-        # projections whose pytest parity compare is exact (no float
-        # tolerance), so a driver hash adds the least marginal evidence of
-        # any never-checked query; every float-bearing or composite query
-        # sits inside the window ---
+        # curation_funnel's keeper changed this round (window -> aggregation)
+        # so it must re-earn a driver row: position 50 closes the window
+        "curation_funnel": corpus.curation_funnel,
+        # --- deliberate window overflow (56 never-driver-checked + 1
+        # changed query > the 50-query window): these seven are single-scan
+        # pure-INTEGER/string projections whose pytest parity compare is
+        # exact (no float tolerance), so a driver hash adds the least
+        # marginal evidence; every float-bearing or composite never-checked
+        # query sits inside the window ---
         "token_surprisal": corpus.token_surprisal,
         "text_normalize": corpus.text_normalize,
         "extract_spans": transcribe.extract_spans,
         "shard_stats": corpus.shard_stats,
         "packed_doc_spans": corpus.packed_doc_spans,
         "seqlen_buckets": corpus.seqlen_buckets,
-        # --- changed this round (r4): must re-earn a green row ---
-        "curation_funnel": corpus.curation_funnel,
-        # === the 50-query window is EXACTLY full of never-driver-checked /
-        # === changed entries above this line; everything below rotates back
+        # === the 50-query window is EXACTLY full (49 never-driver-checked +
+        # === curation_funnel) above the overflow comment; everything below
+        # === rotates back
         # --- least recently checked (last green in r2) ----------------------
         "topk_orders": tpch.topk_orders,
         "min_by_supplier": tpch.min_by_supplier,
@@ -715,8 +717,8 @@ cnt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r_b,
 tot AS (SELECT CAST(SUM(r_b) AS BIGINT) AS r_tot,
                CAST(SUM(t_b) AS BIGINT) AS t_tot FROM cnt),
 wt AS (SELECT bucket,
-              CAST(length(printf('%b', (t_b + 1) * (r_tot + {corpus.DSIR_BUCKETS})))
-                 - length(printf('%b', (r_b + 1) * (t_tot + {corpus.DSIR_BUCKETS})))
+              CAST(length(printf('%b', (r_tot + {corpus.DSIR_BUCKETS}) // (r_b + 1)))
+                 - length(printf('%b', (t_tot + {corpus.DSIR_BUCKETS}) // (t_b + 1)))
                  AS BIGINT) AS w
        FROM cnt, tot),
 per AS (SELECT occ.doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,

@@ -1825,13 +1825,16 @@ def dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     2023, arXiv:2302.03169): documents are scored by how much more likely
     their hashed-bigram features are under a TARGET domain's distribution
     than under the raw corpus's.  Features: word bigrams -> the portable
-    rolling hash (dedup's BASE/MOD fold) -> DSIR_BUCKETS buckets.  The
-    log-ratio is kept in EXACT integer arithmetic: with add-1 smoothed
-    bucket counts t_b (target) / r_b (raw) and totals T / R, each bigram
-    occurrence contributes bitlen((t_b+1)*(R+B)) - bitlen((r_b+1)*(T+B)) —
-    a floor-log2 surrogate of log(p_target/p_raw) (the `perplexity_buckets`
-    bit-length device), so Spark and DuckDB agree bit-for-bit.  keep=1 when
-    the summed weight is positive (target-leaning doc).
+    rolling hash (dedup's ``_hash_one`` fold) -> DSIR_BUCKETS buckets.  The
+    log-ratio is kept in EXACT integer arithmetic with NO products (so
+    nothing can overflow BIGINT however large the corpus): with add-1
+    smoothed bucket counts t_b (target) / r_b (raw) and totals T / R, the
+    per-bucket inverse probabilities q_t = (T+B) div (t_b+1) and
+    q_r = (R+B) div (r_b+1) stay <= the totals, and each bigram occurrence
+    contributes bitlen(q_r) - bitlen(q_t) ~= log2(p_target/p_raw) (the
+    `perplexity_buckets` quotient-bit-length device), so Spark and DuckDB
+    agree bit-for-bit at any scale.  keep=1 when the summed weight is
+    positive (target-leaning doc).
 
     Scale shape: bigram stream -> ONE map-side-combined aggregate producing
     BOTH per-bucket counts (target via count_if) -> a DSIR_BUCKETS-row
@@ -1839,7 +1842,7 @@ def dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     feature stream is re-evaluated once for scoring rather than
     materialized — a cheap scan+explode beats caching a corpus-size
     intermediate at 100 TB."""
-    from .dedup import BASE, MOD
+    from .dedup import _hash_one
 
     docs = load(spark, sf, "documents").select("doc_id", "text")
     ws = F.split(F.trim("text"), r"\s+")
@@ -1855,11 +1858,7 @@ def dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.expr(
-                f"pmod(aggregate(transform(sequence(1, length(bg)),"
-                f" i -> ascii(substring(bg, i, 1))), CAST(0 AS BIGINT),"
-                f" (acc, c) -> pmod(acc * {BASE} + c, {MOD})), {DSIR_BUCKETS})"
-            ).cast("int").alias("bucket"),
+            F.pmod(_hash_one(F.col("bg")), F.lit(DSIR_BUCKETS)).cast("int").alias("bucket"),
         )
     )
     counts = bigrams.groupBy("bucket").agg(
@@ -1873,8 +1872,8 @@ def dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     weights = counts.crossJoin(F.broadcast(totals)).select(
         "bucket",
         (
-            F.length(F.bin((F.col("t_b") + 1) * (F.col("r_tot") + DSIR_BUCKETS)))
-            - F.length(F.bin((F.col("r_b") + 1) * (F.col("t_tot") + DSIR_BUCKETS)))
+            F.length(F.bin(F.expr(f"(r_tot + {DSIR_BUCKETS}) div (r_b + 1)")))
+            - F.length(F.bin(F.expr(f"(t_tot + {DSIR_BUCKETS}) div (t_b + 1)")))
         ).cast("long").alias("w"),
     )
     per_doc = (

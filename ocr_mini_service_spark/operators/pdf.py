@@ -723,7 +723,16 @@ def _span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf_ in batches:
         out = []
         for r in pdf_.itertuples(index=False):
-            res = extract_pdf(int(r.doc_id), r.text)
+            try:  # per-row isolation, as everywhere
+                res = extract_pdf(int(r.doc_id), r.text)
+            except Exception as e:
+                # sentinel row (line_idx=-1) so a failed document is visible
+                # downstream instead of killing the task or vanishing
+                out.append({"doc_id": int(r.doc_id), "line_idx": -1,
+                            "page": None, "col": None, "x": None, "y": None,
+                            "char_start": None, "char_end": None,
+                            "line_text": f"pdf_failed: {e}"})
+                continue
             for s in res["spans"]:
                 out.append({"doc_id": int(r.doc_id), **s})
         yield pd.DataFrame(out, columns=cols)

@@ -737,7 +737,9 @@ def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn", "d")
     )
-    assigned = assigned.localCheckpoint(eager=True)  # one assignment evaluation
+    # one assignment evaluation shared by pairs + sizes; eager=False so
+    # merely building the plan (plan reports, bench setup) costs no job
+    assigned = assigned.localCheckpoint(eager=False)
     capped = assigned.withColumn(
         "crn",
         F.row_number().over(Window.partitionBy("cid").orderBy(F.col("vec_id").asc())),

@@ -190,3 +190,15 @@ def test_unicode_words_survive():
     res = P.extract_pdf(2, "über møtley crüe naïve façade 日本語 emoji\U0001F600 end")
     assert "日本語" in res["extracted_text"]
     assert "emoji\U0001F600" in res["extracted_text"]
+
+
+def test_span_batches_isolates_bad_rows():
+    import pandas as pd
+
+    pdf_in = pd.DataFrame({"doc_id": [1, 2], "text": [None, "a b c"]})
+    (out,) = list(P._span_batches(iter([pdf_in])))
+    bad = out[out.doc_id == 1]
+    assert list(bad.line_idx) == [-1]
+    assert bad.line_text.iloc[0].startswith("pdf_failed:")
+    good = out[out.doc_id == 2]
+    assert list(good.line_text) == ["a b c"]
