@@ -19,6 +19,7 @@ from ocr_mini_service_spark.kernel import DESCENDER_REGEX
 from ocr_mini_service_spark.operators import (
     asof,
     boilerplate,
+    convo,
     corpus,
     dedup,
     multimodal,
@@ -140,6 +141,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_stats": corpus.shard_stats,
         "packed_doc_spans": corpus.packed_doc_spans,
         "seqlen_buckets": corpus.seqlen_buckets,
+        # --- new in r4 session 8: multi-turn agent-transcript curation
+        # (retry/resume containment, regeneration forks, cross-conv turn
+        # dedup, role hygiene, context budget, echo rate, reply latency,
+        # tool-payload health) — added AFTER the window deliberately: this
+        # round's 50 slots were already promised to the longest-waiting
+        # queries; these eight head round 5's window with the six overflow
+        # entries above ---
+        "conv_prefix_containment": convo.conv_prefix_containment,
+        "conv_fork_points": convo.conv_fork_points,
+        "turn_dedup_xconv": convo.turn_dedup_xconv,
+        "role_sequence_audit": convo.role_sequence_audit,
+        "context_budget": convo.context_budget,
+        "assistant_echo": convo.assistant_echo,
+        "reply_latency": convo.reply_latency,
+        "tool_turn_stats": convo.tool_turn_stats,
         # === the 50-query window is EXACTLY full (49 never-driver-checked +
         # === curation_funnel) above the overflow comment; everything below
         # === rotates back
@@ -531,6 +547,40 @@ SELECT doc_id,
        CAST(MIN(CASE WHEN n_docs >= 2 THEN pos END) AS BIGINT) AS first_shared_pos
 FROM w JOIN wc USING (win)
 GROUP BY doc_id ORDER BY doc_id"""
+
+
+# multi-turn conversation construction (operators/convo.py module docstring):
+# n(c) = 2 + c%3 turns; every 5th conversation retries its predecessor (pure
+# resume for c%10==4, last-turn regeneration for c%10==9); turn_text = first
+# TURN_WORDS normalized words of the resolved source document; bucket = first
+# md5 byte of conv:turn:turn_text.  The oracle re-derives all of it from
+# documents with arithmetic + the same proven word-split idiom.
+_CONVO_BUCKET = (
+    "CAST((instr('0123456789abcdef', substr(md5(concat_ws(':', conv_id, turn_idx, turn_text)), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(concat_ws(':', conv_id, turn_idx, turn_text)), 2, 1)) - 1) AS INT)"
+)
+_CONVO = f"""
+cv AS (
+    SELECT DISTINCT doc_id // {convo.TURNS_PER_CONV} AS conv_id FROM documents),
+cdom AS (
+    SELECT conv_id, CAST({convo.CONV_MIN_TURNS} + conv_id % 3 AS INT) AS nt, CAST(t AS INT) AS turn_idx
+    FROM cv, unnest(generate_series(0, CAST({convo.CONV_MIN_TURNS - 1} + conv_id % 3 AS BIGINT))) AS g(t)),
+cres AS (
+    SELECT conv_id, turn_idx,
+           CASE WHEN conv_id % 5 = 4 AND NOT (conv_id % 10 = 9 AND turn_idx = nt - 1)
+                THEN (conv_id - 1) * {convo.TURNS_PER_CONV} + turn_idx
+                ELSE conv_id * {convo.TURNS_PER_CONV} + turn_idx END AS src_doc
+    FROM cdom),
+cturns AS (
+    SELECT conv_id, turn_idx,
+           CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+           array_to_string(list_slice(
+               string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+               1, {convo.TURN_WORDS}), ' ') AS turn_text
+    FROM cres JOIN documents ON documents.doc_id = cres.src_doc),
+ctb AS (
+    SELECT conv_id, turn_idx, role, turn_text, {_CONVO_BUCKET} AS bucket
+    FROM cturns)"""
 
 
 def _hxb(i: int) -> str:
@@ -1108,6 +1158,140 @@ SELECT doc_id, 'paragraph' AS kind,
        CAST(n_lines AS INT) AS n_children
 FROM st
 ORDER BY doc_id, kind""",
+        # ---------------- multi-turn transcript curation (convo.py) --------
+        "role_sequence_audit": f"""
+WITH {_CONVO},
+r AS (
+    SELECT conv_id, turn_idx,
+           (['user', 'assistant', 'tool'])[bucket % 3 + 1] AS r3
+    FROM ctb),
+f AS (
+    SELECT conv_id, turn_idx, r3,
+           lag(r3) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+    FROM r),
+b AS (
+    SELECT conv_id, turn_idx,
+           CASE WHEN (turn_idx = 0 AND r3 <> 'user')
+                  OR (turn_idx > 0 AND r3 = prev)
+                  OR (r3 = 'tool' AND (turn_idx = 0 OR prev <> 'assistant'))
+                THEN 1 ELSE 0 END AS bad
+    FROM f)
+SELECT conv_id, COUNT(*) AS n_turns,
+       CAST(SUM(bad) AS BIGINT) AS n_violations,
+       CAST(COALESCE(MIN(CASE WHEN bad = 1 THEN turn_idx END), -1) AS INT) AS first_bad_turn,
+       CAST(CASE WHEN SUM(bad) = 0 THEN 1 ELSE 0 END AS INT) AS valid
+FROM b GROUP BY conv_id ORDER BY conv_id""",
+        "turn_dedup_xconv": f"""
+WITH {_CONVO},
+g AS (SELECT md5(turn_text) AS tkey, conv_id, turn_idx FROM ctb),
+a AS (
+    SELECT tkey, COUNT(*) AS n_turns, COUNT(DISTINCT conv_id) AS n_convs,
+           MIN(conv_id) AS canon_conv
+    FROM g GROUP BY tkey HAVING COUNT(DISTINCT conv_id) >= 2),
+c AS (
+    SELECT g.tkey, CAST(MIN(g.turn_idx) AS INT) AS canon_turn
+    FROM g JOIN a ON g.tkey = a.tkey AND g.conv_id = a.canon_conv
+    GROUP BY g.tkey)
+SELECT a.tkey, a.n_turns, a.n_convs, a.canon_conv, c.canon_turn
+FROM a JOIN c USING (tkey) ORDER BY tkey""",
+        "conv_prefix_containment": f"""
+WITH {_CONVO},
+sq AS (
+    SELECT conv_id, string_agg(md5(turn_text), '' ORDER BY turn_idx) AS seq,
+           CAST(COUNT(*) AS INT) AS n_turns
+    FROM ctb GROUP BY conv_id),
+pref AS (
+    SELECT conv_id AS container, n_turns AS nb,
+           substr(seq, 1, CAST(l AS INT) * 32) AS p, CAST(l AS INT) AS l
+    FROM sq, unnest(generate_series(1, CAST(n_turns AS BIGINT))) AS g(l)),
+hits AS (
+    SELECT a.conv_id, a.n_turns, b.nb
+    FROM sq a JOIN pref b
+      ON a.seq = b.p AND a.n_turns = b.l
+     AND (b.nb > a.n_turns OR (b.nb = a.n_turns AND b.container < a.conv_id)))
+SELECT conv_id, CAST(MIN(n_turns) AS INT) AS n_turns, COUNT(*) AS n_containers,
+       CAST(MAX(CASE WHEN nb = n_turns THEN 1 ELSE 0 END) AS INT) AS exact_dup
+FROM hits GROUP BY conv_id ORDER BY conv_id""",
+        "conv_fork_points": f"""
+WITH {_CONVO},
+ar AS (
+    SELECT conv_id, list(md5(turn_text) ORDER BY turn_idx) AS arr
+    FROM ctb GROUP BY conv_id),
+ex AS (
+    SELECT conv_id, CAST(d AS INT) AS depth,
+           array_to_string(list_slice(arr, 1, CAST(d AS INT)), '') AS prefix,
+           arr[CAST(d AS INT) + 1] AS nxt
+    FROM ar, unnest(generate_series(1, CAST(len(arr) - 1 AS BIGINT))) AS g(d)),
+gr AS (
+    SELECT depth, prefix, COUNT(*) AS n_convs, COUNT(DISTINCT nxt) AS n_next
+    FROM ex GROUP BY depth, prefix)
+SELECT depth,
+       CAST(SUM(CASE WHEN n_convs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_prefixes,
+       CAST(SUM(CASE WHEN n_next >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_forks
+FROM gr GROUP BY depth ORDER BY depth""",
+        "context_budget": f"""
+WITH {_CONVO},
+cc AS (
+    SELECT conv_id, turn_idx, CAST(length(turn_text) AS BIGINT) AS n_chars,
+           SUM(CAST(length(turn_text) AS BIGINT)) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS UNBOUNDED PRECEDING) + turn_idx AS cum_end
+    FROM ctb),
+k AS (
+    SELECT conv_id, n_chars,
+           CASE WHEN cum_end <= {convo.BUDGET_CHARS} THEN 1 ELSE 0 END AS kept
+    FROM cc)
+SELECT conv_id, COUNT(*) AS n_turns,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+       CAST(MAX(CASE WHEN kept = 0 THEN 1 ELSE 0 END) AS INT) AS truncated
+FROM k GROUP BY conv_id ORDER BY conv_id""",
+        "assistant_echo": f"""
+WITH {_CONVO},
+w AS (
+    SELECT conv_id, turn_idx, role,
+           list_distinct(string_split(turn_text, ' ')) AS dw
+    FROM ctb),
+l AS (
+    SELECT conv_id, turn_idx, role, dw,
+           lag(dw) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pdw
+    FROM w)
+SELECT conv_id, turn_idx,
+       CAST(len(dw) AS INT) AS n_distinct,
+       CAST(len(list_intersect(dw, pdw)) AS INT) AS n_echo,
+       (CAST(len(list_intersect(dw, pdw)) AS BIGINT) * 10000) // len(dw) AS echo_bp
+FROM l WHERE role = 'assistant' AND turn_idx >= 1
+ORDER BY conv_id, turn_idx""",
+        "reply_latency": f"""
+WITH {_CONVO},
+o AS (
+    SELECT conv_id, turn_idx,
+           CAST(turn_idx * 60 + bucket % 60 AS BIGINT) AS off_s
+    FROM ctb),
+g AS (
+    SELECT conv_id,
+           off_s - lag(off_s) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_s
+    FROM o)
+SELECT conv_id, COUNT(*) AS n_gaps,
+       CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+       CAST(SUM(CASE WHEN gap_s > {convo.LONG_GAP_S} THEN 1 ELSE 0 END) AS BIGINT) AS n_long_gaps
+FROM g WHERE gap_s IS NOT NULL GROUP BY conv_id ORDER BY conv_id""",
+        "tool_turn_stats": f"""
+WITH {_CONVO},
+s AS (
+    SELECT conv_id,
+           CASE WHEN bucket % 5 IN (0, 1, 2) THEN 1 ELSE 0 END AS has_tool,
+           CASE WHEN bucket % 5 IN (0, 1) THEN 1 ELSE 0 END AS ok,
+           CASE WHEN bucket % 5 = 0 THEN 2 ELSE 0 END AS nc
+    FROM ctb)
+SELECT conv_id, COUNT(*) AS n_turns,
+       CAST(SUM(has_tool) AS BIGINT) AS n_tool,
+       CAST(SUM(ok) AS BIGINT) AS n_valid,
+       CAST(SUM(has_tool - ok) AS BIGINT) AS n_malformed,
+       CAST(SUM(nc) AS BIGINT) AS n_codes
+FROM s GROUP BY conv_id ORDER BY conv_id""",
         "conversation_stats": f"""
 WITH t AS (
     SELECT doc_id // {transcribe.TURNS_PER_CONV} AS conv_id,

@@ -1,0 +1,388 @@
+"""Agent-transcript curation operators: the hygiene / dedup rungs a
+training-data pipeline runs over MULTI-TURN conversation logs before the
+extracted text is packed into samples.  The reference is a per-request
+service (one image/PDF per call — /root/reference/src/ocr/
+image-recognition.controller.ts); at corpus scale its callers hold the
+conversation state, so these operators are the corpus-side analog of the
+state the service never sees: retries, regenerations, truncation, echoes,
+tool payload health.
+
+Multi-turn construction (shared by every operator here; each DuckDB oracle
+in ``__spark_entry__`` re-derives it independently from ``documents``):
+
+- conversation ``c`` has ``n(c) = 2 + c % 3`` turns (2..4)
+- turn ``t`` of conversation ``c`` normally sources document ``c*4 + t``
+- every 5th conversation (``c % 5 == 4``) is a RETRY of its predecessor:
+  - ``c % 10 == 4``: a pure RESUME — every turn re-sources ``(c-1)*4 + t``
+  - ``c % 10 == 9``: an EDITED retry — every turn but the last re-sources
+    ``(c-1)*4 + t``; the final turn is its own regenerated document
+- ``turn_text`` = first ``TURN_WORDS`` whitespace-normalized words of the
+  source document; ``role`` alternates user/assistant by turn parity;
+  ``bucket`` = first md5 byte of ``conv:turn:turn_text``
+
+This mirrors the duplication structure of real agent-transcript corpora:
+resumed sessions replay a prefix of an earlier conversation verbatim and
+regenerations fork a shared prefix into different continuations — exactly
+the two phenomena ``conv_prefix_containment`` / ``conv_fork_points``
+detect from content alone (full per-turn hashes, no id lineage), the way a
+crawler-side pipeline must (session ids are not stable across retries).
+
+Scale notes (100 TB posture):
+- every per-turn derivation is a narrow projection; every per-conversation
+  reduction is ONE keyed aggregation or ONE bounded window on the conv_id
+  shuffle key (per-conversation cost = its turn rows);
+- the containment join keys on the FULL md5-chain of a conversation's
+  turns, so join groups are true-duplicate sets (sparse by construction) —
+  never a coarse bucket that goes quadratic;
+- the turn-resolution join (``src_doc`` → documents) is an equi hash join
+  on the unique doc key — the realistic "resolve turn references" shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load
+from . import ordered
+from .corpus import _md5_bucket
+
+TURNS_PER_CONV = 4  # documents per conversation slot (same as transcribe)
+CONV_MIN_TURNS = 2  # n(c) = CONV_MIN_TURNS + c % 3
+TURN_WORDS = 12  # words kept per turn (same budget as the loss-mask family)
+BUDGET_CHARS = 150  # context_budget: training-sample character budget
+LONG_GAP_S = 90  # reply_latency: a gap above this splits attention
+ROLES3 = ("user", "assistant", "tool")  # role_sequence_audit alphabet
+
+
+def _turns(spark: SparkSession, sf: str) -> DataFrame:
+    """The shared (conv_id, turn_idx, role, turn_text, bucket) frame per the
+    module-docstring construction.  Shape: a generated (conv, turn) domain
+    resolved against documents by one equi join on the unique doc key."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    n = (F.lit(CONV_MIN_TURNS) + F.col("conv_id") % 3).cast("int")
+    dom = (
+        docs.select(F.expr(f"doc_id div {TURNS_PER_CONV}").alias("conv_id"))
+        .distinct()
+        .select("conv_id", n.alias("n_turns"))
+        .select(
+            "conv_id",
+            "n_turns",
+            F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
+        )
+    )
+    is_retry = F.col("conv_id") % 5 == 4
+    own_last = (F.col("conv_id") % 10 == 9) & (
+        F.col("turn_idx") == F.col("n_turns") - 1
+    )
+    src = F.when(
+        is_retry & ~own_last,
+        (F.col("conv_id") - 1) * TURNS_PER_CONV + F.col("turn_idx"),
+    ).otherwise(F.col("conv_id") * TURNS_PER_CONV + F.col("turn_idx"))
+    words = F.slice(
+        F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " "), 1, TURN_WORDS
+    )
+    resolved = dom.select("conv_id", "turn_idx", src.alias("src_doc")).join(
+        docs, F.col("src_doc") == F.col("doc_id")
+    )
+    turn_text = F.array_join(words, " ")
+    return resolved.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.when(F.col("turn_idx") % 2 == 0, "user").otherwise("assistant").alias("role"),
+        turn_text.alias("turn_text"),
+        _md5_bucket(
+            F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"), turn_text)
+        ).alias("bucket"),
+    )
+
+
+def role_sequence_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Transcript hygiene gate: flag conversations whose role sequence is
+    structurally invalid — first turn not 'user', two consecutive turns
+    with the same role, or a 'tool' turn not immediately preceded by
+    'assistant'.  Roles here come from the content-hash bucket (mod 3) so
+    the synthetic corpus actually exercises every violation class; a real
+    corpus supplies its logged roles.  One bounded lag window on the
+    conv_id shuffle key, then one keyed aggregation."""
+    t = _turns(spark, sf).select(
+        "conv_id",
+        "turn_idx",
+        F.element_at(
+            F.array(*[F.lit(r) for r in ROLES3]), F.col("bucket") % 3 + 1
+        ).alias("r3"),
+    )
+    win = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("r3").over(win)
+    bad = (
+        ((F.col("turn_idx") == 0) & (F.col("r3") != "user"))
+        | ((F.col("turn_idx") > 0) & (F.col("r3") == prev))
+        | ((F.col("r3") == "tool") & ((F.col("turn_idx") == 0) | (prev != "assistant")))
+    )
+    flagged = t.select("conv_id", "turn_idx", bad.cast("int").alias("bad"))
+    out = flagged.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("bad").alias("n_violations"),
+        F.coalesce(
+            F.min(F.when(F.col("bad") == 1, F.col("turn_idx"))), F.lit(-1)
+        ).alias("first_bad_turn"),
+        (F.sum("bad") == 0).cast("int").alias("valid"),
+    )
+    return ordered(out, "conv_id")
+
+
+def turn_dedup_xconv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-conversation turn dedup: turn texts that recur in >= 2 distinct
+    conversations (retried sessions, templated/canned replies), keyed by the
+    full content hash with a deterministic canonical occurrence (min
+    (conv, turn)).  ONE aggregation on the content key — a mass-duplicated
+    turn collapses in the map-side partial, never sorts a hot key in one
+    task (the line_dedup keeper principle)."""
+    t = _turns(spark, sf)
+    out = (
+        t.groupBy(F.md5("turn_text").alias("tkey"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.min(F.struct("conv_id", "turn_idx")).alias("c"),
+        )
+        .filter(F.col("n_convs") >= 2)
+        .select(
+            "tkey",
+            "n_turns",
+            "n_convs",
+            F.col("c.conv_id").alias("canon_conv"),
+            F.col("c.turn_idx").alias("canon_turn"),
+        )
+    )
+    return ordered(out, "tkey")
+
+
+def _seqs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per conversation: the ordered concatenation of its full per-turn
+    content hashes (the conversation's content 'spine') plus its length.
+    Bounded per-conversation state: 32 hex chars per turn."""
+    t = _turns(spark, sf).select("conv_id", "turn_idx", F.md5("turn_text").alias("tk"))
+    return t.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "tk"))),
+                lambda s: s["tk"],
+            ),
+            "",
+        ).alias("seq"),
+        F.count("*").cast("int").alias("n_turns"),
+    )
+
+
+def conv_prefix_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Retry/resume dedup: conversations whose ENTIRE turn sequence is a
+    prefix of another conversation's (a resumed session replays its
+    predecessor verbatim and continues) or an exact duplicate of one with a
+    smaller conv_id (canonical-keeper tiebreak).  Detection is by content
+    alone: join the full md5-chain of each conversation against every
+    proper-or-full prefix chain of every other.
+
+    Scale: prefix keys are full 32-hex-per-turn hash chains, so a join
+    group is a TRUE duplicate set — group sizes track the real retry rate,
+    never a coarse bucket that goes quadratic; prefix fan-out per
+    conversation is bounded by its turn count."""
+    seqs = _seqs(spark, sf)
+    pref = (
+        seqs.select(
+            F.col("conv_id").alias("container"),
+            F.col("n_turns").alias("nb"),
+            "seq",
+            F.explode(F.sequence(F.lit(1), F.col("n_turns"))).alias("l"),
+        )
+        .select(
+            "container",
+            "nb",
+            "l",
+            F.expr("substring(seq, 1, l * 32)").alias("p"),
+        )
+    )
+    hits = seqs.join(
+        pref,
+        (F.col("seq") == F.col("p"))
+        & (F.col("n_turns") == F.col("l"))
+        & (
+            (F.col("nb") > F.col("n_turns"))
+            | ((F.col("nb") == F.col("n_turns")) & (F.col("container") < F.col("conv_id")))
+        ),
+    )
+    out = hits.groupBy("conv_id").agg(
+        F.first("n_turns").alias("n_turns"),
+        F.count("*").alias("n_containers"),
+        F.max((F.col("nb") == F.col("n_turns")).cast("int")).alias("exact_dup"),
+    )
+    return ordered(out, "conv_id")
+
+
+def conv_fork_points(spark: SparkSession, sf: str) -> DataFrame:
+    """Regeneration forks: depths at which conversations sharing an
+    identical turn-prefix diverge into different next turns (an edited
+    retry keeps the prefix and regenerates the continuation).  Per depth:
+    how many full-hash prefix groups are shared by >= 2 conversations, and
+    how many of those fork (>= 2 distinct next-turn hashes).  Two keyed
+    aggregations; prefix keys are true-duplicate chains (sparse groups)."""
+    t = _turns(spark, sf).select("conv_id", "turn_idx", F.md5("turn_text").alias("tk"))
+    arrs = t.groupBy("conv_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "tk"))), lambda s: s["tk"]
+        ).alias("arr")
+    )
+    expl = arrs.select(
+        "conv_id",
+        F.explode(F.sequence(F.lit(1), F.size("arr") - 1)).alias("depth"),
+        "arr",
+    ).select(
+        "conv_id",
+        "depth",
+        F.array_join(F.slice("arr", 1, F.col("depth")), "").alias("prefix"),
+        F.element_at("arr", F.col("depth") + 1).alias("nxt"),
+    )
+    groups = expl.groupBy("depth", "prefix").agg(
+        F.count("*").alias("n_convs"),
+        F.countDistinct("nxt").alias("n_next"),
+    )
+    out = groups.groupBy("depth").agg(
+        F.sum((F.col("n_convs") >= 2).cast("long")).alias("n_shared_prefixes"),
+        F.sum((F.col("n_next") >= 2).cast("long")).alias("n_forks"),
+    )
+    return ordered(out, "depth")
+
+
+def context_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window truncation audit: pack each conversation's turns (in
+    order, '\\n'-separated) into a BUDGET_CHARS sample and report what
+    survives — the pre-tokenizer capacity planning a transcript pipeline
+    runs before packing.  One cumulative-sum window on the conv_id shuffle
+    key, then one keyed aggregation; the joined string is never built
+    (offset arithmetic only, as in loss_mask_spans)."""
+    t = _turns(spark, sf)
+    win = Window.partitionBy("conv_id").orderBy("turn_idx")
+    n = F.length("turn_text").cast("long")
+    cum_end = F.sum(F.length("turn_text").cast("long")).over(win) + F.col("turn_idx")
+    staged = t.select(
+        "conv_id",
+        n.alias("n_chars"),
+        (cum_end <= BUDGET_CHARS).cast("int").alias("kept"),
+    )
+    out = staged.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("kept").alias("n_kept"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(F.col("kept") == 1, F.col("n_chars")).otherwise(F.lit(0))).alias(
+            "kept_chars"
+        ),
+        F.max(F.when(F.col("kept") == 0, 1).otherwise(0)).alias("truncated"),
+    )
+    return ordered(out, "conv_id")
+
+
+def assistant_echo(spark: SparkSession, sf: str) -> DataFrame:
+    """Echo rate: for every assistant turn, the share of its distinct words
+    already present in the immediately preceding user turn — the
+    parrot-detection signal transcript curation uses to down-weight
+    low-information replies.  One bounded lag window on the conv_id
+    shuffle key; set arithmetic on per-turn word arrays (<= TURN_WORDS
+    elements) — no shuffle beyond the conv key."""
+    t = _turns(spark, sf).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.array_distinct(F.split("turn_text", " ")).alias("dw"),
+    )
+    win = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("dw").over(win)
+    staged = t.select(
+        "conv_id", "turn_idx", "role", "dw", prev.alias("pdw")
+    ).filter((F.col("role") == "assistant") & (F.col("turn_idx") >= 1))
+    out = staged.select(
+        "conv_id",
+        "turn_idx",
+        F.size("dw").alias("n_distinct"),
+        F.size(F.array_intersect("dw", "pdw")).alias("n_echo"),
+        F.expr("(size(array_intersect(dw, pdw)) * 10000) div size(dw)").alias(
+            "echo_bp"
+        ),
+    )
+    return ordered(out, "conv_id", "turn_idx")
+
+
+def reply_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Turn-gap audit: per conversation, the count / sum / max of the
+    seconds between consecutive turns plus how many gaps exceed
+    LONG_GAP_S (stale-context splits).  Timestamps are constructed per the
+    module scheme (turn t at base + t*60 + jitter(bucket) seconds, so gaps
+    land in [1, 119]) and the deltas are computed with real timestamp
+    arithmetic; one lag window + one keyed aggregation."""
+    t = _turns(spark, sf).select(
+        "conv_id",
+        "turn_idx",
+        F.expr(
+            "timestampadd(SECOND, turn_idx * 60 + bucket % 60,"
+            " timestamp'2026-03-01 08:00:00')"
+        ).alias("ts"),
+    )
+    win = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(win))).alias(
+        "gap_s"
+    )
+    gaps = t.select("conv_id", "turn_idx", gap).filter(F.col("gap_s").isNotNull())
+    out = gaps.groupBy("conv_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_s").alias("sum_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.sum((F.col("gap_s") > LONG_GAP_S).cast("long")).alias("n_long_gaps"),
+    )
+    return ordered(out, "conv_id")
+
+
+def tool_turn_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Tool-payload health: per conversation, how many turns carry a tool
+    payload, how many of those parse as JSON, and the total parsed code
+    count — the reference's ZBar symbol envelope health check
+    (code-reader.service.ts:64-90) lifted to corpus scale.  The payload
+    variant is chosen by the content-hash bucket (mod 5: 2-code / empty /
+    malformed / absent) so the Spark side must actually PARSE to classify;
+    the oracle re-derives the expectation arithmetically.  One narrow
+    from_json projection + one keyed aggregation."""
+    t = _turns(spark, sf)
+    m = F.col("bucket") % 5
+    tool = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('{"codes": [{"data": "'),
+                F.substring(F.md5("turn_text"), 1, 6),
+                F.lit('"}, {"data": "x"}]}'),
+            ),
+        )
+        .when(m == 1, F.lit('{"codes": []}'))
+        .when(m == 2, F.lit('{"codes": ['))
+        .otherwise(F.lit(""))
+    )
+    parsed = F.from_json(tool, "codes array<struct<data:string>>")
+    staged = t.select(
+        "conv_id",
+        tool.alias("tool"),
+        parsed.getField("codes").alias("codes"),
+    ).select(
+        "conv_id",
+        (F.col("tool") != "").cast("int").alias("has_tool"),
+        ((F.col("tool") != "") & F.col("codes").isNotNull()).cast("int").alias("ok"),
+        F.when(F.col("codes").isNotNull(), F.size("codes"))
+        .otherwise(F.lit(0))
+        .alias("nc"),
+    )
+    out = staged.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("has_tool").alias("n_tool"),
+        F.sum("ok").alias("n_valid"),
+        F.sum(F.col("has_tool") - F.col("ok")).alias("n_malformed"),
+        F.sum("nc").alias("n_codes"),
+    )
+    return ordered(out, "conv_id")
