@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assistant_echo": convo.assistant_echo,
         "reply_latency": convo.reply_latency,
         "tool_turn_stats": convo.tool_turn_stats,
+        "transcript_funnel": convo.transcript_funnel,
         # === the 50-query window is EXACTLY full (49 never-driver-checked +
         # === curation_funnel) above the overflow comment; everything below
         # === rotates back
@@ -1292,6 +1293,64 @@ SELECT conv_id, COUNT(*) AS n_turns,
        CAST(SUM(has_tool - ok) AS BIGINT) AS n_malformed,
        CAST(SUM(nc) AS BIGINT) AS n_codes
 FROM s GROUP BY conv_id ORDER BY conv_id""",
+        "transcript_funnel": f"""
+WITH {_CONVO},
+r AS (
+    SELECT conv_id, turn_idx,
+           (['user', 'assistant', 'tool'])[bucket % 3 + 1] AS r3
+    FROM ctb),
+fch AS (
+    SELECT conv_id, turn_idx, r3,
+           lag(r3) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+    FROM r),
+bd AS (
+    SELECT conv_id,
+           CASE WHEN (turn_idx = 0 AND r3 <> 'user')
+                  OR (turn_idx > 0 AND r3 = prev)
+                  OR (r3 = 'tool' AND (turn_idx = 0 OR prev <> 'assistant'))
+                THEN 1 ELSE 0 END AS bad
+    FROM fch),
+vv AS (SELECT conv_id, CASE WHEN SUM(bad) = 0 THEN 1 ELSE 0 END AS v FROM bd GROUP BY conv_id),
+sq AS (
+    SELECT conv_id, string_agg(md5(turn_text), '' ORDER BY turn_idx) AS seq,
+           CAST(COUNT(*) AS INT) AS n_turns
+    FROM ctb GROUP BY conv_id),
+pref AS (
+    SELECT conv_id AS container, n_turns AS nb,
+           substr(seq, 1, CAST(l AS INT) * 32) AS p, CAST(l AS INT) AS l
+    FROM sq, unnest(generate_series(1, CAST(n_turns AS BIGINT))) AS g(l)),
+cont AS (
+    SELECT DISTINCT a.conv_id
+    FROM sq a JOIN pref b
+      ON a.seq = b.p AND a.n_turns = b.l
+     AND (b.nb > a.n_turns OR (b.nb = a.n_turns AND b.container < a.conv_id))),
+cb AS (
+    SELECT conv_id,
+           SUM(CAST(length(turn_text) AS BIGINT)) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS UNBOUNDED PRECEDING) + turn_idx AS cum_end
+    FROM ctb),
+ff AS (
+    SELECT conv_id,
+           CASE WHEN SUM(CASE WHEN cum_end <= {convo.BUDGET_CHARS} THEN 0 ELSE 1 END) = 0
+                THEN 1 ELSE 0 END AS f
+    FROM cb GROUP BY conv_id),
+per AS (
+    SELECT vv.conv_id, v,
+           CASE WHEN cont.conv_id IS NULL THEN 1 ELSE 0 END AS canon, f
+    FROM vv LEFT JOIN cont ON vv.conv_id = cont.conv_id
+    JOIN ff ON vv.conv_id = ff.conv_id),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+           CAST(SUM(v) AS BIGINT) AS s1,
+           CAST(SUM(v * canon) AS BIGINT) AS s2,
+           CAST(SUM(v * canon * f) AS BIGINT) AS s3
+    FROM per)
+SELECT 0 AS stage_idx, 'raw' AS stage, s0 AS n_convs FROM s
+UNION ALL SELECT 1, 'role_valid', s1 FROM s
+UNION ALL SELECT 2, 'containment_dedup', s2 FROM s
+UNION ALL SELECT 3, 'in_budget', s3 FROM s
+ORDER BY stage_idx""",
         "conversation_stats": f"""
 WITH t AS (
     SELECT doc_id // {transcribe.TURNS_PER_CONV} AS conv_id,

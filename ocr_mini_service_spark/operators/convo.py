@@ -98,19 +98,15 @@ def _turns(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def role_sequence_audit(spark: SparkSession, sf: str) -> DataFrame:
-    """Transcript hygiene gate: flag conversations whose role sequence is
-    structurally invalid — first turn not 'user', two consecutive turns
-    with the same role, or a 'tool' turn not immediately preceded by
-    'assistant'.  Roles here come from the content-hash bucket (mod 3) so
-    the synthetic corpus actually exercises every violation class; a real
-    corpus supplies its logged roles.  One bounded lag window on the
-    conv_id shuffle key, then one keyed aggregation."""
-    t = _turns(spark, sf).select(
+def _bad_turns(t: DataFrame) -> DataFrame:
+    """Per-turn role-hygiene flag: (conv_id, turn_idx, bad).  Roles come
+    from the content-hash bucket (mod 3) so the synthetic corpus exercises
+    every violation class; a real corpus supplies its logged roles."""
+    r = t.select(
         "conv_id",
         "turn_idx",
         F.element_at(
-            F.array(*[F.lit(r) for r in ROLES3]), F.col("bucket") % 3 + 1
+            F.array(*[F.lit(x) for x in ROLES3]), F.col("bucket") % 3 + 1
         ).alias("r3"),
     )
     win = Window.partitionBy("conv_id").orderBy("turn_idx")
@@ -120,7 +116,16 @@ def role_sequence_audit(spark: SparkSession, sf: str) -> DataFrame:
         | ((F.col("turn_idx") > 0) & (F.col("r3") == prev))
         | ((F.col("r3") == "tool") & ((F.col("turn_idx") == 0) | (prev != "assistant")))
     )
-    flagged = t.select("conv_id", "turn_idx", bad.cast("int").alias("bad"))
+    return r.select("conv_id", "turn_idx", bad.cast("int").alias("bad"))
+
+
+def role_sequence_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Transcript hygiene gate: flag conversations whose role sequence is
+    structurally invalid — first turn not 'user', two consecutive turns
+    with the same role, or a 'tool' turn not immediately preceded by
+    'assistant'.  One bounded lag window on the conv_id shuffle key, then
+    one keyed aggregation."""
+    flagged = _bad_turns(_turns(spark, sf))
     out = flagged.groupBy("conv_id").agg(
         F.count("*").alias("n_turns"),
         F.sum("bad").alias("n_violations"),
@@ -159,11 +164,11 @@ def turn_dedup_xconv(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(out, "tkey")
 
 
-def _seqs(spark: SparkSession, sf: str) -> DataFrame:
+def _seqs(t: DataFrame) -> DataFrame:
     """Per conversation: the ordered concatenation of its full per-turn
     content hashes (the conversation's content 'spine') plus its length.
     Bounded per-conversation state: 32 hex chars per turn."""
-    t = _turns(spark, sf).select("conv_id", "turn_idx", F.md5("turn_text").alias("tk"))
+    t = t.select("conv_id", "turn_idx", F.md5("turn_text").alias("tk"))
     return t.groupBy("conv_id").agg(
         F.array_join(
             F.transform(
@@ -188,7 +193,19 @@ def conv_prefix_containment(spark: SparkSession, sf: str) -> DataFrame:
     group is a TRUE duplicate set — group sizes track the real retry rate,
     never a coarse bucket that goes quadratic; prefix fan-out per
     conversation is bounded by its turn count."""
-    seqs = _seqs(spark, sf)
+    hits = _containment_hits(_seqs(_turns(spark, sf)))
+    out = hits.groupBy("conv_id").agg(
+        F.first("n_turns").alias("n_turns"),
+        F.count("*").alias("n_containers"),
+        F.max((F.col("nb") == F.col("n_turns")).cast("int")).alias("exact_dup"),
+    )
+    return ordered(out, "conv_id")
+
+
+def _containment_hits(seqs: DataFrame) -> DataFrame:
+    """One row per (contained conversation, container): the equi join of
+    full-hash chains against every proper-or-full prefix chain, with the
+    canonical-keeper tiebreak for exact duplicates."""
     pref = (
         seqs.select(
             F.col("conv_id").alias("container"),
@@ -212,12 +229,7 @@ def conv_prefix_containment(spark: SparkSession, sf: str) -> DataFrame:
             | ((F.col("nb") == F.col("n_turns")) & (F.col("container") < F.col("conv_id")))
         ),
     )
-    out = hits.groupBy("conv_id").agg(
-        F.first("n_turns").alias("n_turns"),
-        F.count("*").alias("n_containers"),
-        F.max((F.col("nb") == F.col("n_turns")).cast("int")).alias("exact_dup"),
-    )
-    return ordered(out, "conv_id")
+    return hits
 
 
 def conv_fork_points(spark: SparkSession, sf: str) -> DataFrame:
@@ -254,6 +266,21 @@ def conv_fork_points(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(out, "depth")
 
 
+def _budget_staged(t: DataFrame) -> DataFrame:
+    """Per-turn budget fit: (conv_id, n_chars, kept) where kept means the
+    '\\n'-joined prefix through this turn still fits BUDGET_CHARS.  The
+    joined string is never built — offset arithmetic only, one cumulative
+    window on the conv_id shuffle key (the loss_mask_spans shape)."""
+    win = Window.partitionBy("conv_id").orderBy("turn_idx")
+    n = F.length("turn_text").cast("long")
+    cum_end = F.sum(F.length("turn_text").cast("long")).over(win) + F.col("turn_idx")
+    return t.select(
+        "conv_id",
+        n.alias("n_chars"),
+        (cum_end <= BUDGET_CHARS).cast("int").alias("kept"),
+    )
+
+
 def context_budget(spark: SparkSession, sf: str) -> DataFrame:
     """Context-window truncation audit: pack each conversation's turns (in
     order, '\\n'-separated) into a BUDGET_CHARS sample and report what
@@ -261,15 +288,7 @@ def context_budget(spark: SparkSession, sf: str) -> DataFrame:
     runs before packing.  One cumulative-sum window on the conv_id shuffle
     key, then one keyed aggregation; the joined string is never built
     (offset arithmetic only, as in loss_mask_spans)."""
-    t = _turns(spark, sf)
-    win = Window.partitionBy("conv_id").orderBy("turn_idx")
-    n = F.length("turn_text").cast("long")
-    cum_end = F.sum(F.length("turn_text").cast("long")).over(win) + F.col("turn_idx")
-    staged = t.select(
-        "conv_id",
-        n.alias("n_chars"),
-        (cum_end <= BUDGET_CHARS).cast("int").alias("kept"),
-    )
+    staged = _budget_staged(_turns(spark, sf))
     out = staged.groupBy("conv_id").agg(
         F.count("*").alias("n_turns"),
         F.sum("kept").alias("n_kept"),
@@ -386,3 +405,58 @@ def tool_turn_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("nc").alias("n_codes"),
     )
     return ordered(out, "conv_id")
+
+
+def transcript_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The multi-turn flagship COMPOSITION: the convo signals chained into
+    one conversation-level curation funnel with cumulative survivor counts —
+    raw -> role-valid (role_sequence_audit rule) -> containment-deduped
+    (conv_prefix_containment rule: drop contained/duplicate conversations,
+    keep canonicals) -> in-budget (context_budget rule: never truncated).
+    This is what a transcript pipeline actually ships: hygiene, then
+    retry/resume dedup, then capacity fit, audited per stage.
+
+    Composition shape: the resolved turns frame is localCheckpointed ONCE
+    and every per-conversation flag derives from it (one lag window, one
+    hash-chain aggregation + equi join, one cumulative window — each keyed
+    by conv_id); the flags meet in two equi joins on conv_id and collapse
+    in ONE global aggregation of cumulative conjunctions.  No stage
+    re-evaluates the turn resolution; nothing shuffles on anything but
+    conv_id or a true-duplicate hash chain."""
+    t = _turns(spark, sf).localCheckpoint()
+    valid = _bad_turns(t).groupBy("conv_id").agg(
+        (F.sum("bad") == 0).cast("long").alias("v")
+    )
+    contained = (
+        _containment_hits(_seqs(t))
+        .select("conv_id")
+        .distinct()
+        .withColumn("contained", F.lit(True))
+    )
+    fit = _budget_staged(t).groupBy("conv_id").agg(
+        (F.sum(F.when(F.col("kept") == 0, 1).otherwise(0)) == 0)
+        .cast("long")
+        .alias("f")
+    )
+    per = (
+        valid.join(contained, "conv_id", "left")
+        .join(fit, "conv_id")
+        .select(
+            "v",
+            (~F.coalesce("contained", F.lit(False))).cast("long").alias("canon"),
+            "f",
+        )
+    )
+    agg = per.agg(
+        F.count("*").alias("s0"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("canon")).alias("s2"),
+        F.sum(F.col("v") * F.col("canon") * F.col("f")).alias("s3"),
+    )
+    out = agg.select(
+        F.expr(
+            "stack(4, 0, 'raw', s0, 1, 'role_valid', s1,"
+            " 2, 'containment_dedup', s2, 3, 'in_budget', s3)"
+        ).alias("stage_idx", "stage", "n_convs")
+    )
+    return ordered(out, "stage_idx")

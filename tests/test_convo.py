@@ -169,3 +169,21 @@ def test_containment_join_is_equi_keyed(spark):
     plan = formatted_plan(convo.conv_prefix_containment(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_transcript_funnel_monotone_and_consistent(spark):
+    rows = {r.stage: r.n_convs for r in convo.transcript_funnel(spark, SF).collect()}
+    assert list(rows) == ["raw", "role_valid", "containment_dedup", "in_budget"]
+    vals = list(rows.values())
+    assert vals == sorted(vals, reverse=True)
+    assert rows["raw"] > 0
+    # cross-check the two gates against the standalone operators
+    audit = convo.role_sequence_audit(spark, SF).collect()
+    assert rows["raw"] == len(audit)
+    assert rows["role_valid"] == sum(r.valid for r in audit)
+
+
+def test_transcript_funnel_no_cartesian(spark):
+    plan = formatted_plan(convo.transcript_funnel(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
