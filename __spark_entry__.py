@@ -146,8 +146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup, role hygiene, context budget, echo rate, reply latency,
         # tool-payload health) — added AFTER the window deliberately: this
         # round's 50 slots were already promised to the longest-waiting
-        # queries; these eight head round 5's window with the six overflow
-        # entries above ---
+        # queries; these nine (eight signals + transcript_funnel) head round
+        # 5's window with the six overflow entries above ---
         "conv_prefix_containment": convo.conv_prefix_containment,
         "conv_fork_points": convo.conv_fork_points,
         "turn_dedup_xconv": convo.turn_dedup_xconv,

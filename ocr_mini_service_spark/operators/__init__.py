@@ -14,8 +14,18 @@ are); large distributed outputs keep real orderBy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def ordered(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(1).sortWithinPartitions(*cols)
+
+
+def first_words(col: str | Column, n: int) -> Column:
+    """First *n* whitespace-normalized words of *col*, as an array — the
+    word-split idiom every transcript construction shares (transcribe,
+    convo).  The DuckDB oracles re-derive the same trim/collapse/split
+    steps, so a normalization change must land HERE and in the oracles
+    together; keeping one definition removes the four-copy drift risk."""
+    return F.slice(F.split(F.regexp_replace(F.trim(col), r"\s+", " "), " "), 1, n)

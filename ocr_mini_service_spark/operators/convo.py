@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources import load
-from . import ordered
+from . import first_words, ordered
 from .corpus import _md5_bucket
 
 TURNS_PER_CONV = 4  # documents per conversation slot (same as transcribe)
@@ -80,9 +80,7 @@ def _turns(spark: SparkSession, sf: str) -> DataFrame:
         is_retry & ~own_last,
         (F.col("conv_id") - 1) * TURNS_PER_CONV + F.col("turn_idx"),
     ).otherwise(F.col("conv_id") * TURNS_PER_CONV + F.col("turn_idx"))
-    words = F.slice(
-        F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " "), 1, TURN_WORDS
-    )
+    words = first_words("text", TURN_WORDS)
     resolved = dom.select("conv_id", "turn_idx", src.alias("src_doc")).join(
         docs, F.col("src_doc") == F.col("doc_id")
     )
@@ -239,13 +237,23 @@ def conv_fork_points(spark: SparkSession, sf: str) -> DataFrame:
     how many full-hash prefix groups are shared by >= 2 conversations, and
     how many of those fork (>= 2 distinct next-turn hashes).  Two keyed
     aggregations; prefix keys are true-duplicate chains (sparse groups)."""
-    t = _turns(spark, sf).select("conv_id", "turn_idx", F.md5("turn_text").alias("tk"))
+    return _fork_depths(_turns(spark, sf))
+
+
+def _fork_depths(turns: DataFrame) -> DataFrame:
+    """``conv_fork_points`` over an explicit turns frame (testable with
+    hand-built single-turn conversations)."""
+    t = turns.select("conv_id", "turn_idx", F.md5("turn_text").alias("tk"))
     arrs = t.groupBy("conv_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("turn_idx", "tk"))), lambda s: s["tk"]
         ).alias("arr")
     )
-    expl = arrs.select(
+    # single-turn conversations contribute no fork depths; without the guard
+    # F.sequence(1, 0) is DESCENDING [1, 0] in Spark (unlike DuckDB's empty
+    # generate_series(1, 0)) and element_at(arr, 2) on a 1-element array
+    # aborts under ANSI mode
+    expl = arrs.filter(F.size("arr") >= 2).select(
         "conv_id",
         F.explode(F.sequence(F.lit(1), F.size("arr") - 1)).alias("depth"),
         "arr",

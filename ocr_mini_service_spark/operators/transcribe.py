@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..pipeline import extract_fused
 from ..sources import load
-from . import ordered
+from . import first_words, ordered
 from ..synth import TSV_HEADER
 
 MAX_WORDS = 40
@@ -54,9 +54,7 @@ def build_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    words = F.slice(
-        F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " "), 1, MAX_WORDS
-    )
+    words = first_words("text", MAX_WORDS)
     # (w, i) -> one level-5 TSV row; i is 0-based
     rows = F.transform(
         words,
@@ -98,9 +96,7 @@ def build_structured_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    wcol = F.slice(
-        F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " "), 1, MAX_WORDS
-    )
+    wcol = first_words("text", MAX_WORDS)
     staged = docs.select(
         "doc_id",
         wcol.alias("w"),
@@ -337,9 +333,7 @@ def _conv_turns(spark: SparkSession, sf: str) -> DataFrame:
     MASK_WORDS whitespace-normalized words) — the shared construction behind
     ``loss_mask_spans`` and ``conversation_stats``."""
     docs = load(spark, sf, "documents")
-    words = F.slice(
-        F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " "), 1, MASK_WORDS
-    )
+    words = first_words("text", MASK_WORDS)
     return docs.select(
         F.expr(f"doc_id div {TURNS_PER_CONV}").alias("conv_id"),
         (F.col("doc_id") % TURNS_PER_CONV).cast("int").alias("turn_idx"),

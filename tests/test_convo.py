@@ -94,6 +94,41 @@ def test_containment_finds_every_pure_resume_pair(spark, turns):
         assert out[c].exact_dup == 1, c
 
 
+def test_containment_exact_dup_tiebreak(spark):
+    """The synthetic corpus never produces equal-length resumes (n(c) and
+    n(c-1) always differ mod 3), so the exact_dup=1 path is exercised
+    directly: two identical chains must report ONLY the larger conv_id as
+    contained, flagged exact, with the smaller id as container."""
+    h = "a" * 32
+    seqs = spark.createDataFrame(
+        [(7, h + h, 2), (3, h + h, 2), (9, h, 1)],
+        "conv_id long, seq string, n_turns int",
+    )
+    hits = convo._containment_hits(seqs).collect()
+    # conv 9 (single-turn prefix of both) + conv 7 (exact dup of 3)
+    by = {(r.conv_id, r.container) for r in hits}
+    assert (7, 3) in by, hits
+    assert not any(c == 3 for c, _ in by), hits  # canonical keeper survives
+    exact = [r for r in hits if r.conv_id == 7]
+    assert len(exact) == 1 and exact[0].nb == exact[0].n_turns
+    # 9 is contained by both 3 and 7 as a proper prefix
+    assert {(9, 3), (9, 7)} <= by
+
+
+def test_fork_points_single_turn_conversation_guard(spark):
+    """A 1-turn conversation must contribute no depths (Spark's
+    sequence(1, 0) is DESCENDING, which unguarded aborts element_at under
+    ANSI mode and diverges from DuckDB's empty generate_series(1, 0))."""
+    t = spark.createDataFrame(
+        [(1, 0, "only turn"), (2, 0, "shared"), (2, 1, "left"),
+         (3, 0, "shared"), (3, 1, "right")],
+        "conv_id long, turn_idx int, turn_text string",
+    )
+    rows = {r.depth: r for r in convo._fork_depths(t).collect()}
+    assert list(rows) == [1]  # no depth rows from conv 1
+    assert rows[1].n_shared_prefixes == 1 and rows[1].n_forks == 1
+
+
 def test_fork_points_nonempty_and_bounded(spark):
     rows = convo.conv_fork_points(spark, SF).collect()
     assert rows, "no fork depths at all"
