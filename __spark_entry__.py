@@ -157,6 +157,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reply_latency": convo.reply_latency,
         "tool_turn_stats": convo.tool_turn_stats,
         "transcript_funnel": convo.transcript_funnel,
+        # --- new in r4 session 9: preference pairs mined from regeneration
+        # forks + length-bias audit + conversation-aware SFT packing with
+        # loss-mask offsets — queued behind the session-8 batch for round
+        # 5's window ---
+        "fork_preference_pairs": convo.fork_preference_pairs,
+        "preference_pair_stats": convo.preference_pair_stats,
+        "sft_pack_conversations": convo.sft_pack_conversations,
         # === the 50-query window is EXACTLY full (49 never-driver-checked +
         # === curation_funnel) above the overflow comment; everything below
         # === rotates back
@@ -1351,6 +1358,90 @@ UNION ALL SELECT 1, 'role_valid', s1 FROM s
 UNION ALL SELECT 2, 'containment_dedup', s2 FROM s
 UNION ALL SELECT 3, 'in_budget', s3 FROM s
 ORDER BY stage_idx""",
+        "fork_preference_pairs": f"""
+WITH {_CONVO},
+ar AS (
+    SELECT conv_id,
+           list(md5(turn_text) ORDER BY turn_idx) AS arr,
+           list(turn_text ORDER BY turn_idx) AS txts
+    FROM ctb GROUP BY conv_id),
+ex AS (
+    SELECT conv_id, CAST(d AS INT) AS depth,
+           md5(array_to_string(list_slice(arr, 1, CAST(d AS INT)), '')) AS prefix_key,
+           txts[CAST(d AS INT) + 1] AS nxt_text
+    FROM ar, unnest(generate_series(1, CAST(len(arr) - 1 AS BIGINT))) AS g(d)),
+gr AS (
+    SELECT depth, prefix_key,
+           CAST(COUNT(*) AS BIGINT) AS n_attempts,
+           arg_max(conv_id, conv_id) AS chosen_conv,
+           arg_min(conv_id, conv_id) AS rejected_conv,
+           arg_max(nxt_text, conv_id) AS chosen_text,
+           arg_min(nxt_text, conv_id) AS rejected_text
+    FROM ex GROUP BY depth, prefix_key)
+SELECT depth, prefix_key, n_attempts, chosen_conv, rejected_conv,
+       chosen_text, rejected_text
+FROM gr WHERE n_attempts >= 2 AND chosen_text <> rejected_text
+ORDER BY depth, prefix_key""",
+        "preference_pair_stats": f"""
+WITH {_CONVO},
+ar AS (
+    SELECT conv_id,
+           list(md5(turn_text) ORDER BY turn_idx) AS arr,
+           list(turn_text ORDER BY turn_idx) AS txts
+    FROM ctb GROUP BY conv_id),
+ex AS (
+    SELECT conv_id, CAST(d AS INT) AS depth,
+           md5(array_to_string(list_slice(arr, 1, CAST(d AS INT)), '')) AS prefix_key,
+           txts[CAST(d AS INT) + 1] AS nxt_text
+    FROM ar, unnest(generate_series(1, CAST(len(arr) - 1 AS BIGINT))) AS g(d)),
+gr AS (
+    SELECT depth, prefix_key,
+           COUNT(*) AS n_attempts,
+           arg_max(nxt_text, conv_id) AS chosen_text,
+           arg_min(nxt_text, conv_id) AS rejected_text
+    FROM ex GROUP BY depth, prefix_key),
+pr AS (
+    SELECT depth,
+           CAST(length(chosen_text) AS BIGINT) AS cl,
+           CAST(length(rejected_text) AS BIGINT) AS rl
+    FROM gr WHERE n_attempts >= 2 AND chosen_text <> rejected_text)
+SELECT depth, COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN cl > rl THEN 1 ELSE 0 END) AS BIGINT) AS n_chosen_longer,
+       CAST(SUM(CASE WHEN cl < rl THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected_longer,
+       CAST(SUM(cl - rl) AS BIGINT) AS sum_margin_chars
+FROM pr GROUP BY depth ORDER BY depth""",
+        "sft_pack_conversations": f"""
+WITH {_CONVO},
+cc AS (
+    SELECT conv_id, turn_idx, role,
+           CAST(length(turn_text) AS BIGINT) AS n_chars,
+           CAST(SUM(CAST(length(turn_text) AS BIGINT)) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM ctb),
+pt AS (
+    SELECT conv_id, turn_idx, role,
+           cum - n_chars + turn_idx AS t_start, cum + turn_idx AS t_end
+    FROM cc),
+cv2 AS (
+    SELECT conv_id, MAX(cum) + MAX(turn_idx) AS conv_chars FROM cc GROUP BY conv_id),
+pk AS (
+    SELECT conv_id, conv_id % {convo.PACK_STREAMS} AS stream,
+           CAST(SUM(conv_chars) OVER (
+               PARTITION BY conv_id % {convo.PACK_STREAMS} ORDER BY conv_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) - conv_chars AS before
+    FROM cv2),
+pl AS (
+    SELECT conv_id, stream, before // {convo.SFT_BUDGET_CHARS} AS sample_id,
+           before - MIN(before) OVER (
+               PARTITION BY stream, before // {convo.SFT_BUDGET_CHARS}) AS base
+    FROM pk)
+SELECT stream, sample_id, pt.conv_id AS conv_id,
+       CAST(turn_idx AS INT) AS turn_idx, role,
+       base + t_start AS start_off, base + t_end AS end_off,
+       CAST(role = 'assistant' AS INT) AS mask
+FROM pt JOIN pl ON pt.conv_id = pl.conv_id
+ORDER BY stream, sample_id, conv_id, turn_idx""",
         "conversation_stats": f"""
 WITH t AS (
     SELECT doc_id // {transcribe.TURNS_PER_CONV} AS conv_id,

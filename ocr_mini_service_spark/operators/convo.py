@@ -54,6 +54,8 @@ TURN_WORDS = 12  # words kept per turn (same budget as the loss-mask family)
 BUDGET_CHARS = 150  # context_budget: training-sample character budget
 LONG_GAP_S = 90  # reply_latency: a gap above this splits attention
 ROLES3 = ("user", "assistant", "tool")  # role_sequence_audit alphabet
+SFT_BUDGET_CHARS = 512  # sft_pack_conversations: packed-sample capacity
+PACK_STREAMS = 8  # sft_pack_conversations: parallel packing streams
 
 
 def _turns(spark: SparkSession, sf: str) -> DataFrame:
@@ -272,6 +274,169 @@ def _fork_depths(turns: DataFrame) -> DataFrame:
         F.sum((F.col("n_next") >= 2).cast("long")).alias("n_forks"),
     )
     return ordered(out, "depth")
+
+
+def fork_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Preference-pair construction from regeneration forks: when >= 2
+    conversations share an identical turn-prefix and continue differently
+    (the ``conv_fork_points`` phenomenon), the later attempt is the one the
+    user kept — emit (prefix, rejected = first attempt's next turn, chosen =
+    last attempt's next turn) per fork group, the raw material an RLHF/DPO
+    pipeline mines from transcript logs.  One pair per (depth, prefix)
+    group: original-vs-final attempt, skipped when their continuations
+    coincide (e.g. an intermediate attempt diverged but the final retry
+    landed back on the original).
+
+    Scale: identical to ``conv_fork_points`` — grouping keys are full
+    md5-chain prefixes (true-duplicate groups, sparse by construction), the
+    per-group reduction is min_by/max_by (map-side combinable), and per-doc
+    work is bounded by turn count.  Never a coarse bucket, never a window
+    over a hot key."""
+    t = _turns(spark, sf).select(
+        "conv_id", "turn_idx", "turn_text", F.md5("turn_text").alias("tk")
+    )
+    arrs = t.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "tk", "turn_text"))).alias("a")
+    )
+    # single-turn conversations have no (prefix, continuation) split — same
+    # descending-sequence guard as _fork_depths
+    expl = (
+        arrs.filter(F.size("a") >= 2)
+        .select(
+            "conv_id",
+            F.explode(F.sequence(F.lit(1), F.size("a") - 1)).alias("depth"),
+            "a",
+        )
+        .select(
+            "conv_id",
+            "depth",
+            F.md5(
+                F.array_join(
+                    F.transform(F.slice("a", 1, F.col("depth")), lambda s: s["tk"]), ""
+                )
+            ).alias("prefix_key"),
+            F.element_at("a", F.col("depth") + 1)["tk"].alias("nxt_tk"),
+            F.element_at("a", F.col("depth") + 1)["turn_text"].alias("nxt_text"),
+        )
+    )
+    groups = expl.groupBy("depth", "prefix_key").agg(
+        F.count("*").alias("n_attempts"),
+        F.min_by(F.struct("conv_id", "nxt_text"), "conv_id").alias("rej"),
+        F.max_by(F.struct("conv_id", "nxt_text"), "conv_id").alias("cho"),
+    )
+    pairs = groups.filter(
+        (F.col("n_attempts") >= 2)
+        & (F.col("cho.nxt_text") != F.col("rej.nxt_text"))
+    ).select(
+        "depth",
+        "prefix_key",
+        F.col("n_attempts").cast("long").alias("n_attempts"),
+        F.col("cho.conv_id").alias("chosen_conv"),
+        F.col("rej.conv_id").alias("rejected_conv"),
+        F.col("cho.nxt_text").alias("chosen_text"),
+        F.col("rej.nxt_text").alias("rejected_text"),
+    )
+    return ordered(pairs, "depth", "prefix_key")
+
+
+def preference_pair_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-bias audit over the mined preference pairs: per fork depth,
+    how many pairs exist and how often / by how much the chosen continuation
+    is longer than the rejected one — the first check an RLHF data pipeline
+    runs, because a length-skewed pair set trains a length-hacking reward
+    model.  Exact integer char margins; one keyed aggregation over the
+    (already sparse) pair set."""
+    p = fork_preference_pairs(spark, sf)
+    cl = F.length("chosen_text").cast("long")
+    rl = F.length("rejected_text").cast("long")
+    out = (
+        p.select("depth", cl.alias("cl"), rl.alias("rl"))
+        .groupBy("depth")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum((F.col("cl") > F.col("rl")).cast("long")).alias("n_chosen_longer"),
+            F.sum((F.col("cl") < F.col("rl")).cast("long")).alias("n_rejected_longer"),
+            F.sum(F.col("cl") - F.col("rl")).alias("sum_margin_chars"),
+        )
+    )
+    return ordered(out, "depth")
+
+
+def sft_pack_conversations(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversation-aware sample packing with loss-mask offsets: whole
+    conversations (turns '\\n'-joined, never split) are packed greedily in
+    conv_id order into ~SFT_BUDGET_CHARS samples across PACK_STREAMS
+    parallel streams, and every turn is emitted with its sample-relative
+    [start_off, end_off) char interval plus the assistant-only loss-mask
+    flag (``mask`` — 1 where loss IS computed, matching ``loss_mask_spans``) — exactly the metadata an SFT trainer needs to reset attention at
+    conversation boundaries and mask user turns inside packed sequences.
+    Conversations sit end-to-end inside a sample (no separator chars — the
+    attention reset makes one redundant); a conversation joins the current
+    sample if any budget remains, so samples may overflow by one
+    conversation's tail (the ``pack_shards`` greedy rule).
+
+    Scale shape: one conv-keyed cumulative window (turn offsets), one
+    stream-keyed cumulative window (the packing scan — parallelism is
+    per-stream, PACK_STREAMS serial scans at worst, same trade
+    ``pack_shards`` documents for its lang streams), one sample-sized MIN
+    window for the base offset (the ``packed_doc_spans`` shape).  The
+    joined sample text is never built."""
+    t = _turns(spark, sf)
+    wturn = Window.partitionBy("conv_id").orderBy("turn_idx")
+    staged = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.length("turn_text").cast("long").alias("n_chars"),
+        F.sum(F.length("turn_text").cast("long")).over(wturn).alias("cum"),
+    )
+    # within-conversation offsets: previous turns + one '\n' per boundary
+    per_turn = staged.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        (F.col("cum") - F.col("n_chars") + F.col("turn_idx")).alias("t_start"),
+        (F.col("cum") + F.col("turn_idx")).alias("t_end"),
+    )
+    conv = staged.groupBy("conv_id").agg(
+        (F.max("cum") + F.max("turn_idx")).alias("conv_chars")
+    )
+    wstream = Window.partitionBy("stream").orderBy("conv_id")
+    packed = (
+        conv.select(
+            "conv_id", F.pmod(F.col("conv_id"), F.lit(PACK_STREAMS)).alias("stream"),
+            "conv_chars",
+        )
+        .select(
+            "conv_id",
+            "stream",
+            (F.sum("conv_chars").over(wstream) - F.col("conv_chars")).alias("before"),
+        )
+        .select(
+            "conv_id",
+            "stream",
+            "before",
+            F.expr(f"before div {SFT_BUDGET_CHARS}").alias("sample_id"),
+        )
+    )
+    wsamp = Window.partitionBy("stream", "sample_id")
+    placed = packed.select(
+        "conv_id",
+        "stream",
+        "sample_id",
+        (F.col("before") - F.min("before").over(wsamp)).alias("base"),
+    )
+    out = per_turn.join(placed, "conv_id").select(
+        "stream",
+        "sample_id",
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "role",
+        (F.col("base") + F.col("t_start")).alias("start_off"),
+        (F.col("base") + F.col("t_end")).alias("end_off"),
+        (F.col("role") == "assistant").cast("int").alias("mask"),
+    )
+    return ordered(out, "stream", "sample_id", "conv_id", "turn_idx")
 
 
 def _budget_staged(t: DataFrame) -> DataFrame:

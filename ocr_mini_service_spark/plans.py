@@ -528,6 +528,39 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "projection — no joins, no windows, no Python.",
             formatted_plan(q["tokenizer_fertility"](spark, sf_dir)),
         ),
+        "conv_prefix_containment": (
+            "retry/resume dedup: the containment join is an EQUI hash join "
+            "on full md5-chain prefixes (true-duplicate groups — group "
+            "sizes track the real retry rate, never a coarse bucket); "
+            "prefix fan-out per conversation is bounded by its turn count; "
+            "every window/aggregate is conv_id-keyed.",
+            formatted_plan(q["conv_prefix_containment"](spark, sf_dir)),
+        ),
+        "transcript_funnel": (
+            "conversation-level curation funnel: turns localCheckpointed "
+            "once (ExistingRDD), three conv_id-keyed flag branches (lag "
+            "window / chain join / cumulative window) meet in two equi "
+            "joins on conv_id and collapse in one global aggregate of "
+            "cumulative conjunctions — nothing shuffles on anything but "
+            "conv_id or a true-duplicate hash chain.",
+            formatted_plan(q["transcript_funnel"](spark, sf_dir)),
+        ),
+        "fork_preference_pairs": (
+            "RLHF pair mining: fork groups keyed by full md5-chain "
+            "prefixes; the per-group original-vs-final reduction is "
+            "min_by/max_by AGGREGATION (map-side combinable) — no window, "
+            "no product join, per-doc work bounded by turn count.",
+            formatted_plan(q["fork_preference_pairs"](spark, sf_dir)),
+        ),
+        "sft_pack_conversations": (
+            "conversation-aware packing: one conv_id-keyed cumulative "
+            "window (turn offsets), one stream-keyed cumulative window "
+            "(the packing scan — parallelism per stream), one sample-sized "
+            "MIN window for base offsets, one equi join back to turns. "
+            "The packed sample text is never built — offset arithmetic "
+            "only.",
+            formatted_plan(q["sft_pack_conversations"](spark, sf_dir)),
+        ),
     }
 
 

@@ -139,6 +139,91 @@ def test_fork_points_nonempty_and_bounded(spark):
         assert r.n_forks <= r.n_shared_prefixes
 
 
+def test_preference_pairs_match_independent_reconstruction(spark, turns):
+    """Full independent pandas re-derivation of the fork-group min/max
+    semantics: one pair per (depth, prefix) group, rejected = first
+    attempt's continuation, chosen = last attempt's, only when they
+    differ."""
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    chains = {}
+    for c, g in turns.sort_values("turn_idx").groupby("conv_id"):
+        chains[c] = list(g["turn_text"])
+    groups = {}
+    for c, ts in chains.items():
+        for d in range(1, len(ts)):
+            key = (d, md5("".join(md5(x) for x in ts[:d])))
+            groups.setdefault(key, []).append((c, ts[d]))
+    expected = {}
+    for (d, pk), members in groups.items():
+        if len(members) < 2:
+            continue
+        members.sort()
+        (rc, rt), (cc, ct) = members[0], members[-1]
+        if ct != rt:
+            expected[(d, pk)] = (cc, rc, ct, rt)
+    got = {
+        (r.depth, r.prefix_key): (
+            r.chosen_conv, r.rejected_conv, r.chosen_text, r.rejected_text
+        )
+        for r in convo.fork_preference_pairs(spark, SF).collect()
+    }
+    assert got == expected
+    assert expected, "construction must yield at least one preference pair"
+    # at least one pair comes from a genuine edited retry (c % 10 == 9)
+    assert any(cc % 10 == 9 for cc, _, _, _ in expected.values())
+
+
+def test_preference_stats_aggregate_pairs(spark):
+    pairs = convo.fork_preference_pairs(spark, SF).collect()
+    stats = {r.depth: r for r in convo.preference_pair_stats(spark, SF).collect()}
+    by_depth = {}
+    for p in pairs:
+        d = by_depth.setdefault(p.depth, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += len(p.chosen_text) > len(p.rejected_text)
+        d[2] += len(p.chosen_text) < len(p.rejected_text)
+        d[3] += len(p.chosen_text) - len(p.rejected_text)
+    assert set(stats) == set(by_depth)
+    for d, (n, cl, rl, m) in by_depth.items():
+        r = stats[d]
+        assert (r.n_pairs, r.n_chosen_longer, r.n_rejected_longer,
+                r.sum_margin_chars) == (n, cl, rl, m)
+
+
+def test_sft_pack_invariants(spark, turns):
+    rows = convo.sft_pack_conversations(spark, SF).collect()
+    n_lens = {c: len(g) for c, g in turns.groupby("conv_id")}
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append(r)
+        assert r.stream == r.conv_id % convo.PACK_STREAMS
+        assert r.mask == (1 if r.role == "assistant" else 0)
+    # a conversation is never split across samples and keeps all its turns
+    for c, rs in by_conv.items():
+        assert len(rs) == n_lens[c]
+        assert len({(r.stream, r.sample_id) for r in rs}) == 1
+        rs.sort(key=lambda r: r.turn_idx)
+        for a, b in zip(rs, rs[1:]):
+            assert b.start_off == a.end_off + 1  # one '\n' separator char
+    # conversations sit end-to-end inside a sample; first starts at 0; a
+    # conversation only STARTS inside the budget (greedy overflow-by-tail)
+    by_sample = {}
+    for r in rows:
+        by_sample.setdefault((r.stream, r.sample_id), []).append(r)
+    for (_, _), rs in by_sample.items():
+        rs.sort(key=lambda r: (r.conv_id, r.turn_idx))
+        assert rs[0].start_off == 0
+        prev_end = None
+        for c in sorted({r.conv_id for r in rs}):
+            cr = [r for r in rs if r.conv_id == c]
+            assert cr[0].start_off < convo.SFT_BUDGET_CHARS
+            if prev_end is not None:
+                assert cr[0].start_off == prev_end  # end-to-end, no gap
+            prev_end = cr[-1].end_off
+
+
 def test_turn_dedup_catches_retried_turns(spark, turns):
     out = convo.turn_dedup_xconv(spark, SF).collect()
     assert out
@@ -196,6 +281,21 @@ def test_convo_windows_are_conv_partitioned(spark):
         plan = formatted_plan(q(spark, SF))
         for m in re.finditer(r"\(\d+\) Window\b.*?\n(.*?)\n\n", plan, re.S):
             assert "conv_id" in m.group(1), (q.__name__, m.group(1))
+
+
+def test_preference_pairs_no_product_join(spark):
+    plan = formatted_plan(convo.fork_preference_pairs(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan  # min_by/max_by aggregation, no window
+
+
+def test_sft_pack_windows_are_keyed(spark):
+    """Every packing window is keyed (conv_id / stream) — never a global
+    single-partition window that would serialize the corpus."""
+    plan = formatted_plan(convo.sft_pack_conversations(spark, SF))
+    for m in re.finditer(r"\(\d+\) Window\b.*?\n(.*?)\n\n", plan, re.S):
+        assert "conv_id" in m.group(1) or "stream" in m.group(1), m.group(1)
 
 
 def test_containment_join_is_equi_keyed(spark):
