@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stalwarts as window filler; everything green in the previous round's
     # window rotates to the back.
     return {
+        # --- new in r4 session 8: conversation-level decontamination ---
+        "conv_decontaminate": convo.conv_decontaminate,
         # --- new in r4 session 7: PDF / layout parsing (north-star modality:
         # real xref/FlateDecode files parsed by an honest PDF-subset reader,
         # geometric boilerplate strip, two-column reading order) ---
@@ -1237,6 +1239,40 @@ SELECT depth,
        CAST(SUM(CASE WHEN n_convs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_prefixes,
        CAST(SUM(CASE WHEN n_next >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_forks
 FROM gr GROUP BY depth ORDER BY depth""",
+        # conv_decontaminate: a transcript is tainted if ANY turn shares a
+        # DECON_N-gram with the held-out test split; bench grams re-derived
+        # exactly as in the document-level decontaminate oracle, turn grams
+        # from the single-space turn_text (already whitespace-normalized)
+        "conv_decontaminate": f"""
+WITH {_CONVO},
+lab AS (
+    SELECT doc_id, text,
+           CASE WHEN bucket < {corpus.TRAIN_UPTO} THEN 'train'
+                WHEN bucket < {corpus.VAL_UPTO} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, text,
+               CAST((instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text)), 1, 1)) - 1) * 16
+                  + (instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text)), 2, 1)) - 1)
+                  AS INT) AS bucket
+        FROM documents)),
+bw AS (SELECT string_split_regex(trim(text), '\\s+') AS ws FROM lab WHERE split = 'test'),
+bg AS (
+    SELECT DISTINCT array_to_string(list_slice(ws, i, i + {corpus.DECON_N - 1}), ' ') AS gram
+    FROM bw, unnest(generate_series(1, greatest(len(ws) - {corpus.DECON_N - 1}, 0))) AS t(i)),
+tw AS (SELECT conv_id, turn_idx, string_split(turn_text, ' ') AS ws FROM ctb),
+bad AS (
+    SELECT conv_id, COUNT(*) AS n_bad FROM (
+        SELECT DISTINCT conv_id, turn_idx
+        FROM tw, unnest(generate_series(1, greatest(len(ws) - {corpus.DECON_N - 1}, 0))) AS t(i)
+        WHERE array_to_string(list_slice(ws, i, i + {corpus.DECON_N - 1}), ' ')
+              IN (SELECT gram FROM bg))
+    GROUP BY conv_id),
+nt AS (SELECT conv_id, COUNT(*) AS n_turns FROM ctb GROUP BY conv_id)
+SELECT nt.conv_id, nt.n_turns,
+       CAST(COALESCE(n_bad, 0) AS BIGINT) AS n_leaky_turns,
+       CAST(COALESCE(n_bad, 0) = 0 AS INT) AS keep
+FROM nt LEFT JOIN bad USING (conv_id) ORDER BY conv_id""",
         "context_budget": f"""
 WITH {_CONVO},
 cc AS (

@@ -46,7 +46,7 @@ from pyspark.sql.window import Window
 
 from ..sources import load
 from . import first_words, ordered
-from .corpus import _md5_bucket
+from .corpus import DECON_N, _doc_grams, _gram_array, _md5_bucket, _split_expr
 
 TURNS_PER_CONV = 4  # documents per conversation slot (same as transcribe)
 CONV_MIN_TURNS = 2  # n(c) = CONV_MIN_TURNS + c % 3
@@ -437,6 +437,49 @@ def sft_pack_conversations(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("role") == "assistant").cast("int").alias("mask"),
     )
     return ordered(out, "stream", "sample_id", "conv_id", "turn_idx")
+
+
+def conv_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversation-level benchmark decontamination: a transcript is
+    tainted if ANY of its turns shares a DECON_N-gram with the held-out
+    test split — leakage audits are conversation-granular, because a model
+    trained on the rest of a contaminated conversation still sees the
+    benchmark item in its context window.  Mirrors ``decontaminate``'s
+    shingle + broadcast-semi-join machinery at turn granularity, then one
+    conv_id-keyed rollup of the verdict.
+
+    Scale shape: the benchmark gram set is fixed-size (benchmarks don't
+    grow with the corpus) → broadcast; the turn side never shuffles for
+    the membership test; the only exchanges are the conv_id rollups."""
+    docs = load(spark, sf, "documents").withColumn("split", _split_expr())
+    bench = (
+        _doc_grams(docs.filter(F.col("split") == "test")).select("gram").distinct()
+    )
+    t = _turns(spark, sf)
+    grams = t.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(_gram_array(F.split("turn_text", " "), DECON_N)).alias("gram"),
+    )
+    bad = (
+        grams.join(F.broadcast(bench), "gram", "left_semi")
+        .select("conv_id", "turn_idx")
+        .distinct()
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_bad"))
+    )
+    out = (
+        t.groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .join(bad, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            F.coalesce("n_bad", F.lit(0)).cast("long").alias("n_leaky_turns"),
+            (F.coalesce("n_bad", F.lit(0)) == 0).cast("int").alias("keep"),
+        )
+    )
+    return ordered(out, "conv_id")
 
 
 def _budget_staged(t: DataFrame) -> DataFrame:

@@ -360,21 +360,25 @@ def _doc_grams(docs: DataFrame) -> DataFrame:
     re-split per gram).  The sequence is guarded: Spark's two-arg
     ``sequence(1, stop)`` DESCENDS for stop < 1, so short docs must take
     the empty-array branch, not ``sequence(1, 0)``."""
-    n = DECON_N
     wdocs = docs.select("doc_id", _words().alias("w"))
     return wdocs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.when(
-                    F.size("w") >= n,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("w") - (n - 1)),
-                        lambda i: F.array_join(F.slice("w", i, n), " "),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            )
-        ).alias("gram"),
+        F.explode(_gram_array(F.col("w"), DECON_N)).alias("gram"),
+    )
+
+
+def _gram_array(w, n: int):
+    """Distinct n-word shingles of a words-array column, [] when too short
+    (guarded: Spark's two-arg ``sequence(1, stop)`` DESCENDS for stop < 1).
+    Shared by doc-level and turn-level decontamination."""
+    return F.array_distinct(
+        F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.array_join(F.slice(w, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
 
 

@@ -322,3 +322,52 @@ def test_transcript_funnel_no_cartesian(spark):
     plan = formatted_plan(convo.transcript_funnel(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_conv_decontaminate_flags_test_sourced_turns(spark, turns):
+    """A turn whose resolved source document is test-split and long enough to
+    shingle (min(len(words), TURN_WORDS) >= DECON_N) is leaky by construction:
+    turn_text is the first TURN_WORDS normalized words of that document, so
+    every turn gram is also a document gram in the bench set.  The verdict
+    must flag every such conversation."""
+    from ocr_mini_service_spark.operators.corpus import DECON_N, _split_expr
+    from ocr_mini_service_spark.sources import load
+
+    out = {r.conv_id: r for r in convo.conv_decontaminate(spark, SF).collect()}
+    docs = (
+        load(spark, SF, "documents")
+        .select(
+            "doc_id",
+            _split_expr().alias("split"),
+            F.size(F.split(F.trim("text"), r"\s+")).alias("nw"),
+        )
+        .collect()
+    )
+    meta = {r.doc_id: r for r in docs}
+    forced = set()
+    for r in turns.itertuples():
+        is_retry = r.conv_id % 5 == 4
+        own_last = r.conv_id % 10 == 9 and r.turn_idx == _n(r.conv_id) - 1
+        src = (
+            (r.conv_id - 1) * convo.TURNS_PER_CONV + r.turn_idx
+            if is_retry and not own_last
+            else r.conv_id * convo.TURNS_PER_CONV + r.turn_idx
+        )
+        m = meta[src]
+        if m.split == "test" and min(m.nw, convo.TURN_WORDS) >= DECON_N:
+            forced.add(r.conv_id)
+    assert forced, "fixture should contain at least one test-sourced turn"
+    for conv_id in forced:
+        assert out[conv_id].n_leaky_turns >= 1, conv_id
+        assert out[conv_id].keep == 0, conv_id
+    for r in out.values():
+        assert (r.keep == 0) == (r.n_leaky_turns > 0)
+        assert 0 <= r.n_leaky_turns <= r.n_turns
+
+
+def test_conv_decontaminate_membership_is_broadcast(spark):
+    """The bench-gram membership test must be a broadcast LeftSemi (the
+    benchmark side is fixed-size) — never a shuffled join of the turn grams."""
+    plan = formatted_plan(convo.conv_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
