@@ -71,10 +71,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 session 6: CCNet perplexity tiers + exact per-key cap ---
         "perplexity_buckets": corpus.perplexity_buckets,
         "source_cap": corpus.source_cap,
-        # --- new in r4 session 6: web provenance (URL canonicalization,
-        # registrable-domain rollup, link-graph PageRank step) ---
-        "url_canonicalize": web.url_canonicalize,
-        "domain_stats": web.domain_stats,
+        # --- new in r4 session 6: web provenance (URL canonicalization +
+        # registrable-domain rollup sit in the overflow region — pure
+        # string/count projections — to make room for the two changed
+        # funnels; PageRank keeps its slot) ---
         "pagerank_step": web.pagerank_step,
         # --- new in r4 session 6: real-Y4M video tier (stub path is the
         # driver-visible surface; the real decode is pinned by exact-value
@@ -128,16 +128,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": corpus.normalized_dedup,
         "minhash_band_sweep": dedup.minhash_band_sweep,
         "dedup_family_agreement": dedup.dedup_family_agreement,
-        # curation_funnel's keeper changed this round (window -> aggregation)
-        # so it must re-earn a driver row: position 50 closes the window
+        # both funnels' keepers changed this round (window -> aggregation)
+        # so they must re-earn driver rows: positions 49-50 close the window
+        "curation_funnel_v2": boilerplate.curation_funnel_v2,
         "curation_funnel": corpus.curation_funnel,
-        # --- deliberate window overflow (56 never-driver-checked + 1
-        # changed query > the 50-query window): these seven are single-scan
+        # --- deliberate window overflow (never-driver-checked + changed >
+        # the 50-query window): the overflow entries are single-scan
         # pure-INTEGER/string projections whose pytest parity compare is
         # exact (no float tolerance), so a driver hash adds the least
         # marginal evidence; every float-bearing or composite never-checked
         # query sits inside the window ---
         "token_surprisal": corpus.token_surprisal,
+        "url_canonicalize": web.url_canonicalize,
+        "domain_stats": web.domain_stats,
         "text_normalize": corpus.text_normalize,
         "extract_spans": transcribe.extract_spans,
         "shard_stats": corpus.shard_stats,

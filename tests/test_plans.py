@@ -438,6 +438,19 @@ def test_curation_funnel_keeper_is_aggregation_not_window(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_curation_funnel_v2_keeper_is_aggregation_not_window(spark, sf_dir):
+    """v2's dedup stage must be the ck-keyed aggregation shape too — the
+    classifier windows upstream are doc_id-keyed (prev/next block context),
+    so the only permitted Window partitions on doc_id, never the content
+    key (VERDICT r3 item 3, closed for v2 in r4)."""
+    plan = formatted_plan(entry.queries()["curation_funnel_v2"](spark, sf_dir))
+    for m in re.finditer(
+        r"\(\d+\) Window\b.*?Arguments: (.*?)\n", plan, re.S
+    ):
+        assert "doc_id" in m.group(1), m.group(1)
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_fast_parity_is_capped_pairs_plus_hash_joins(spark, sf_dir):
     """fast_parity rides the lsh_jaccard_verify shape: banded capped pair
     list + two doc-id hash joins bringing the xxhash64 shingle sets to the
