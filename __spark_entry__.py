@@ -52,7 +52,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stalwarts as window filler; everything green in the previous round's
     # window rotates to the back.
     return {
-        # --- new in r4 session 8: conversation-level decontamination ---
+        # --- new in r4 session 8: densitometric extraction rung +
+        # two-rung agreement audit; conversation-level decontamination ---
+        "density_blocks": boilerplate.density_blocks,
+        "extractor_agreement": boilerplate.extractor_agreement,
         "conv_decontaminate": convo.conv_decontaminate,
         # --- new in r4 session 7: PDF / layout parsing (north-star modality:
         # real xref/FlateDecode files parsed by an honest PDF-subset reader,
@@ -70,7 +73,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_policy": web.domain_policy,
         # --- new in r4 session 6: CCNet perplexity tiers + exact per-key cap ---
         "perplexity_buckets": corpus.perplexity_buckets,
-        "source_cap": corpus.source_cap,
         # --- new in r4 session 6: web provenance (URL canonicalization +
         # registrable-domain rollup sit in the overflow region — pure
         # string/count projections — to make room for the two changed
@@ -99,7 +101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "thumbnail_dedup": multimodal.thumbnail_dedup,
         "bpe_pair_counts": corpus.bpe_pair_counts,
         "source_leakage_matrix": corpus.source_leakage_matrix,
-        "curriculum_stages": corpus.curriculum_stages,
         # --- never driver-checked: the 14 round-3 additions (VERDICT r3) ---
         "extraction_funnel": transcribe.extraction_funnel,
         "lsh_jaccard_verify": dedup.lsh_jaccard_verify,
@@ -139,6 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # marginal evidence; every float-bearing or composite never-checked
         # query sits inside the window ---
         "token_surprisal": corpus.token_surprisal,
+        "source_cap": corpus.source_cap,
+        "curriculum_stages": corpus.curriculum_stages,
         "url_canonicalize": web.url_canonicalize,
         "domain_stats": web.domain_stats,
         "text_normalize": corpus.text_normalize,
@@ -285,6 +288,9 @@ from ocr_mini_service_spark.operators.boilerplate import (
     PREV_LINK_BP_LOW as _PLB,
     PREV_WORDS_A as _PWA,
     WRAP_COLS as _WC,
+    DENS_CURR_A as _DCA,
+    DENS_CTX_A as _DXA,
+    DENS_CURR_B as _DCB,
 )
 
 _BOILER_CTES = f"""
@@ -309,16 +315,26 @@ ctx AS (
                (length(block_text) + {_WC - 1}) // {_WC}, 1) AS BIGINT) AS text_density_x100,
            CAST(COALESCE(LAG(n_words) OVER w, 0) AS INT) AS prev_words,
            CAST(COALESCE(LEAD(n_words) OVER w, 0) AS INT) AS next_words,
-           CAST(COALESCE(LAG((n_links * 10000) // n_words) OVER w, 0) AS BIGINT) AS prev_link_bp
+           CAST(COALESCE(LAG((n_links * 10000) // n_words) OVER w, 0) AS BIGINT) AS prev_link_bp,
+           CAST(COALESCE(LAG((n_words * 100) // greatest(
+               (length(block_text) + {_WC - 1}) // {_WC}, 1)) OVER w, 0) AS BIGINT) AS prev_density_x100,
+           CAST(COALESCE(LEAD((n_words * 100) // greatest(
+               (length(block_text) + {_WC - 1}) // {_WC}, 1)) OVER w, 0) AS BIGINT) AS next_density_x100
     FROM feats
     WINDOW w AS (PARTITION BY doc_id ORDER BY block_idx)),
 cls AS (
     SELECT doc_id, block_idx, block_text, n_words, n_links, link_bp,
            text_density_x100, prev_words, next_words,
+           prev_density_x100, next_density_x100,
            CAST(CASE WHEN link_bp > {_CLB} THEN FALSE
                 WHEN prev_link_bp <= {_PLB}
                      THEN (n_words > {_CWA} OR next_words > {_NWA} OR prev_words > {_PWA})
-                ELSE (n_words > {_CWB} OR next_words > {_NWB}) END AS INT) AS is_content
+                ELSE (n_words > {_CWB} OR next_words > {_NWB}) END AS INT) AS is_content,
+           CAST(CASE WHEN link_bp > {_CLB} THEN FALSE
+                WHEN prev_link_bp <= {_PLB}
+                     THEN (text_density_x100 > {_DCA}
+                           OR (prev_density_x100 > {_DXA} AND next_density_x100 > {_DXA}))
+                ELSE text_density_x100 > {_DCB} END AS INT) AS is_content_density
     FROM ctx)"""
 
 # embeddings ∪ deterministic near-dup mutants (must mirror
@@ -2174,6 +2190,19 @@ WITH {_BOILER_CTES}
 SELECT doc_id, block_idx, n_words, n_links, link_bp, text_density_x100,
        prev_words, next_words, is_content
 FROM cls ORDER BY doc_id, block_idx""",
+        "density_blocks": f"""
+WITH {_BOILER_CTES}
+SELECT doc_id, block_idx, n_words, link_bp, text_density_x100,
+       prev_density_x100, next_density_x100, is_content_density
+FROM cls ORDER BY doc_id, block_idx""",
+        "extractor_agreement": f"""
+WITH {_BOILER_CTES}
+SELECT doc_id, COUNT(*) AS n_blocks,
+       CAST(SUM(is_content * is_content_density) AS BIGINT) AS n_both,
+       CAST(SUM(is_content * (1 - is_content_density)) AS BIGINT) AS n_only_rules,
+       CAST(SUM((1 - is_content) * is_content_density) AS BIGINT) AS n_only_density,
+       CAST(SUM((1 - is_content) * (1 - is_content_density)) AS BIGINT) AS n_neither
+FROM cls GROUP BY doc_id ORDER BY doc_id""",
         "boilerplate_strip": f"""
 WITH {_BOILER_CTES}
 SELECT doc_id,

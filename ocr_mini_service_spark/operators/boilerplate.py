@@ -45,6 +45,17 @@ CURR_WORDS_A, NEXT_WORDS_A, PREV_WORDS_A = 16, 15, 4
 # high-prev-link branch: content iff curr>40 or next>17 words
 CURR_WORDS_B, NEXT_WORDS_B = 40, 17
 
+# Densitometric rung — the density twin of the NumWordsRules tree.
+# Kohlschütter et al. §3.2 measure text density as words per WRAP_COLS-
+# wrapped line and show it separates content from boilerplate; their
+# density CLASSIFIER is a trained decision tree, so the integer thresholds
+# here are repo-defined at the synthetic block grid's separation points
+# (full 8-word one-line blocks sit at 800; doc-tail fragments below), not a
+# paper citation.  Link gates are identical to the rules rung.
+DENS_CURR_A = 700  # low-prev-link branch: content iff curr density > 7.00
+DENS_CTX_A = 400  # ... or BOTH neighbors dense (> 4.00 words/line)
+DENS_CURR_B = 750  # high-prev-link branch: content iff curr > 7.50 only
+
 
 def _words(col: str = "text"):
     return F.split(F.trim(F.col(col)), r"\s+")
@@ -105,7 +116,10 @@ def _block_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _classified(spark: SparkSession, sf: str) -> DataFrame:
-    """Block features + prev/next context + the NumWordsRules decision."""
+    """Block features + prev/next context + BOTH rung decisions (the
+    NumWordsRules word-count tree and its densitometric twin) — one doc-key
+    window pass feeds every downstream classifier/audit, so adding a rung
+    costs two lag/lead columns, never a second scan or a join."""
     feats = _block_features(spark, sf)
     w = Window.partitionBy("doc_id").orderBy("block_idx")
     ctx = feats.select(
@@ -113,6 +127,12 @@ def _classified(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.lag("n_words").over(w), F.lit(0)).alias("prev_words"),
         F.coalesce(F.lead("n_words").over(w), F.lit(0)).alias("next_words"),
         F.coalesce(F.lag("link_bp").over(w), F.lit(0)).alias("prev_link_bp"),
+        F.coalesce(F.lag("text_density_x100").over(w), F.lit(0)).alias(
+            "prev_density_x100"
+        ),
+        F.coalesce(F.lead("text_density_x100").over(w), F.lit(0)).alias(
+            "next_density_x100"
+        ),
     )
     low_branch = (
         (F.col("n_words") > CURR_WORDS_A)
@@ -129,7 +149,21 @@ def _classified(spark: SparkSession, sf: str) -> DataFrame:
             high_branch
         )
     )
-    return ctx.withColumn("is_content", is_content.cast("int"))
+    dens_low = (F.col("text_density_x100") > DENS_CURR_A) | (
+        (F.col("prev_density_x100") > DENS_CTX_A)
+        & (F.col("next_density_x100") > DENS_CTX_A)
+    )
+    dens_high = F.col("text_density_x100") > DENS_CURR_B
+    is_content_density = F.when(
+        F.col("link_bp") > CURR_LINK_BP_MAX, F.lit(False)
+    ).otherwise(
+        F.when(F.col("prev_link_bp") <= PREV_LINK_BP_LOW, dens_low).otherwise(
+            dens_high
+        )
+    )
+    return ctx.withColumn("is_content", is_content.cast("int")).withColumn(
+        "is_content_density", is_content_density.cast("int")
+    )
 
 
 def boilerplate_blocks(spark: SparkSession, sf: str) -> DataFrame:
@@ -148,6 +182,44 @@ def boilerplate_blocks(spark: SparkSession, sf: str) -> DataFrame:
         "is_content",
     )
     return ordered(out, "doc_id", "block_idx")
+
+
+def density_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-block densitometric classification — the text-density rung of
+    the north-star DOM-heuristic family (density scoring alongside the
+    word-count rules): exact ×100 densities with prev/next context and the
+    density-tree verdict.  Same single window pass as the rules rung."""
+    out = _classified(spark, sf).select(
+        "doc_id",
+        "block_idx",
+        "n_words",
+        "link_bp",
+        "text_density_x100",
+        "prev_density_x100",
+        "next_density_x100",
+        "is_content_density",
+    )
+    return ordered(out, "doc_id", "block_idx")
+
+
+def extractor_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document agreement audit between the two extraction rungs
+    (NumWordsRules vs densitometric) — the confusion counts a pipeline
+    owner watches before switching classifiers: blocks both keep, blocks
+    only one keeps, blocks both drop.  Both verdicts come out of the SAME
+    window pass, so the audit is one doc-keyed aggregation over the
+    classified blocks — no join of two classifier outputs."""
+    cls = _classified(spark, sf)
+    r = F.col("is_content")
+    d = F.col("is_content_density")
+    out = cls.groupBy("doc_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum((r * d).cast("long")).alias("n_both"),
+        F.sum((r * (1 - d)).cast("long")).alias("n_only_rules"),
+        F.sum(((1 - r) * d).cast("long")).alias("n_only_density"),
+        F.sum(((1 - r) * (1 - d)).cast("long")).alias("n_neither"),
+    )
+    return ordered(out, "doc_id")
 
 
 def _stripped(spark: SparkSession, sf: str) -> DataFrame:

@@ -92,3 +92,54 @@ def test_curation_funnel_v2_consistent_with_components(spark, sf_dir):
     assert f["dedup"] == (m["has_content"] & m["quality"] & m["canon"]).sum()
     # monotone funnel with real attrition at every stage on the synthetic corpus
     assert f["raw"] > f["content"] >= f["quality"] >= f["dedup"]
+
+
+def test_density_rung_replicates_in_pandas_and_disagrees_somewhere(spark, sf_dir):
+    """The density tree re-derived independently in pandas over the emitted
+    features must match every verdict; and the two rungs must genuinely
+    disagree on some blocks (otherwise the agreement audit is vacuous)."""
+    df = bp.density_blocks(spark, sf_dir).toPandas()
+    lowlink = df["link_bp"] <= bp.CURR_LINK_BP_MAX
+    # prev_link_bp isn't emitted here; recompute from the block order
+    rules = bp.boilerplate_blocks(spark, sf_dir).toPandas()
+    m = df.merge(
+        rules[["doc_id", "block_idx", "link_bp", "is_content"]],
+        on=["doc_id", "block_idx", "link_bp"],
+    )
+    assert len(m) == len(df)
+    m = m.sort_values(["doc_id", "block_idx"]).reset_index(drop=True)
+    prev_link = (
+        m.groupby("doc_id")["link_bp"].shift(1).fillna(0).astype(int)
+    )
+    low = (m["text_density_x100"] > bp.DENS_CURR_A) | (
+        (m["prev_density_x100"] > bp.DENS_CTX_A)
+        & (m["next_density_x100"] > bp.DENS_CTX_A)
+    )
+    high = m["text_density_x100"] > bp.DENS_CURR_B
+    expect = (
+        lowlink
+        & ((prev_link <= bp.PREV_LINK_BP_LOW) & low | (prev_link > bp.PREV_LINK_BP_LOW) & high)
+    ).astype(int)
+    assert (m["is_content_density"] == expect).all()
+    assert (m["is_content_density"] != m["is_content"]).any(), (
+        "rungs never disagree — audit is vacuous"
+    )
+
+
+def test_extractor_agreement_identities(spark, sf_dir):
+    ag = bp.extractor_agreement(spark, sf_dir).toPandas()
+    total = ag["n_both"] + ag["n_only_rules"] + ag["n_only_density"] + ag["n_neither"]
+    assert (total == ag["n_blocks"]).all()
+    assert ag["n_only_rules"].sum() + ag["n_only_density"].sum() > 0
+
+
+def test_extractor_agreement_is_one_pass_no_join(spark, sf_dir):
+    """Both verdicts come from the same window pass: the audit plan has no
+    join at all and exactly one doc_id-keyed Window."""
+    import re
+    from ocr_mini_service_spark.plans import formatted_plan
+
+    plan = formatted_plan(bp.extractor_agreement(spark, sf_dir))
+    assert not re.search(r"Join", plan), plan
+    wins = re.findall(r"\(\d+\) Window", plan)
+    assert len(wins) == 1, plan
