@@ -133,6 +133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so they must re-earn driver rows: positions 49-50 close the window
         "curation_funnel_v2": boilerplate.curation_funnel_v2,
         "curation_funnel": corpus.curation_funnel,
+        # --- added late in r4 after the 50-slot window was already
+        # allocated and strict-parity-validated: FRONT these in r5 ---
+        "justext_blocks": boilerplate.justext_blocks,
+        "justext_strip": boilerplate.justext_strip,
         # --- deliberate window overflow (never-driver-checked + changed >
         # the 50-query window): the overflow entries are single-scan
         # pure-INTEGER/string projections whose pytest parity compare is
@@ -226,7 +230,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_gap_events": tpch.session_gap_events,
         "boilerplate_blocks": boilerplate.boilerplate_blocks,
         "boilerplate_strip": boilerplate.boilerplate_strip,
-        "curation_funnel_v2": boilerplate.curation_funnel_v2,
         "vocab_coverage": corpus.vocab_coverage,
         "tokenize_ids": corpus.tokenize_ids,
         "gopher_rules": corpus.gopher_rules,
@@ -291,6 +294,12 @@ from ocr_mini_service_spark.operators.boilerplate import (
     DENS_CURR_A as _DCA,
     DENS_CTX_A as _DXA,
     DENS_CURR_B as _DCB,
+    JT_STOPWORDS as _JTS,
+    JT_MAX_LINK_BP as _JML,
+    JT_LEN_LOW as _JLL,
+    JT_LEN_HIGH as _JLH,
+    JT_STOP_LOW_BP as _JSL,
+    JT_STOP_HIGH_BP as _JSH,
 )
 
 _BOILER_CTES = f"""
@@ -336,6 +345,70 @@ cls AS (
                            OR (prev_density_x100 > {_DXA} AND next_density_x100 > {_DXA}))
                 ELSE text_density_x100 > {_DCB} END AS INT) AS is_content_density
     FROM ctx)"""
+
+# jusText rung (mirrors operators/boilerplate.py _justext_classified: the
+# context-free stopword/length/link ladder, then the symmetric
+# context-sensitive relabel via nearest context-free good/bad neighbours)
+_JT_SW_SQL = ", ".join(f"'{s}'" for s in _JTS)
+_JT_CTES = f"""
+ws AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+blocks AS (
+    SELECT doc_id,
+           CAST((s - 1) // {_BW} AS INT) AS block_idx,
+           list_slice(w, s, s + {_BW - 1}) AS bw
+    FROM ws, unnest(generate_series(1, len(w), {_BW})) AS t(s)),
+jf AS (
+    SELECT doc_id, block_idx,
+           array_to_string(bw, ' ') AS block_text,
+           CAST(len(bw) AS INT) AS n_words,
+           CAST(length(array_to_string(bw, ' ')) AS INT) AS n_chars,
+           CAST((len(list_filter(generate_series(1, len(bw)),
+                j -> (doc_id * 31 + block_idx * 7 + j) % {_LM} = 0)) * 10000)
+                // len(bw) AS BIGINT) AS link_bp,
+           CAST((len(list_filter(bw, x -> x IN ({_JT_SW_SQL}))) * 10000)
+                // len(bw) AS BIGINT) AS stop_bp
+    FROM blocks),
+jcf AS (
+    SELECT *, CASE
+        WHEN link_bp > {_JML} THEN 'bad'
+        WHEN n_chars < {_JLL} THEN
+             CASE WHEN link_bp > 0 THEN 'bad' ELSE 'short' END
+        WHEN stop_bp >= {_JSH} THEN
+             CASE WHEN n_chars > {_JLH} THEN 'good' ELSE 'neargood' END
+        WHEN stop_bp >= {_JSL} THEN 'neargood'
+        ELSE 'bad' END AS cf_class
+    FROM jf),
+jctx AS (
+    SELECT *,
+           COALESCE(LAST_VALUE(CASE WHEN cf_class IN ('good','bad')
+                                    THEN cf_class END IGNORE NULLS)
+               OVER wp, 'bad') AS prev_gb,
+           COALESCE(FIRST_VALUE(CASE WHEN cf_class IN ('good','bad')
+                                     THEN cf_class END IGNORE NULLS)
+               OVER wn, 'bad') AS next_gb,
+           COALESCE(LAST_VALUE(CASE WHEN cf_class <> 'short'
+                                    THEN cf_class END IGNORE NULLS)
+               OVER wp, 'bad') AS prev_any,
+           COALESCE(FIRST_VALUE(CASE WHEN cf_class <> 'short'
+                                     THEN cf_class END IGNORE NULLS)
+               OVER wn, 'bad') AS next_any
+    FROM jcf
+    WINDOW wp AS (PARTITION BY doc_id ORDER BY block_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           wn AS (PARTITION BY doc_id ORDER BY block_idx
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+jfinal AS (
+    SELECT *, CASE
+        WHEN cf_class IN ('good','bad') THEN cf_class
+        WHEN cf_class = 'neargood' THEN
+             CASE WHEN prev_gb = 'bad' AND next_gb = 'bad'
+                  THEN 'bad' ELSE 'good' END
+        WHEN prev_gb = next_gb THEN prev_gb
+        WHEN prev_gb = 'bad' AND prev_any = 'neargood' THEN 'good'
+        WHEN next_gb = 'bad' AND next_any = 'neargood' THEN 'good'
+        ELSE 'bad' END AS final_class
+    FROM jctx)"""
 
 # embeddings ∪ deterministic near-dup mutants (must mirror
 # similarity._vecs_with_mutants exactly) and their quantized squared norms —
@@ -2195,6 +2268,21 @@ WITH {_BOILER_CTES}
 SELECT doc_id, block_idx, n_words, link_bp, text_density_x100,
        prev_density_x100, next_density_x100, is_content_density
 FROM cls ORDER BY doc_id, block_idx""",
+        "justext_blocks": f"""
+WITH {_JT_CTES}
+SELECT doc_id, block_idx, n_words, n_chars, link_bp, stop_bp,
+       cf_class, final_class
+FROM jfinal ORDER BY doc_id, block_idx""",
+        "justext_strip": f"""
+WITH {_JT_CTES}
+SELECT doc_id,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN final_class = 'good' THEN 1 ELSE 0 END) AS BIGINT) AS n_good_blocks,
+       CAST(SUM(CASE WHEN final_class = 'good' THEN n_words ELSE 0 END) AS BIGINT) AS n_good_words,
+       CAST(SUM(CASE WHEN final_class = 'good' AND cf_class <> 'good' THEN 1 ELSE 0 END) AS BIGINT) AS n_context_promoted,
+       COALESCE(string_agg(block_text, ' ' ORDER BY block_idx)
+                FILTER (WHERE final_class = 'good'), '') AS main_text
+FROM jfinal GROUP BY doc_id ORDER BY doc_id""",
         "extractor_agreement": f"""
 WITH {_BOILER_CTES}
 SELECT doc_id, COUNT(*) AS n_blocks,

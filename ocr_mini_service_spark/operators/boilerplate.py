@@ -45,6 +45,24 @@ CURR_WORDS_A, NEXT_WORDS_A, PREV_WORDS_A = 16, 15, 4
 # high-prev-link branch: content iff curr>40 or next>17 words
 CURR_WORDS_B, NEXT_WORDS_B = 40, 17
 
+# jusText rung (Pomikálek 2011, "Removing Boilerplate and Duplicate
+# Content from Web Corpora", ch. 4) — the stopword-density block classifier:
+# context-free pass assigns good / neargood / short / bad from link density,
+# block length, and stopword density; the context-sensitive pass re-labels
+# short and neargood blocks from their nearest good/bad neighbours.
+# MAX_LINK_DENSITY = 0.2 is the published default; the length/stopword
+# thresholds mirror the paper's length_low/length_high and
+# stopwords_low/stopwords_high STRUCTURE with values pinned at the synthetic
+# 8-word grid's separation points (stopword density quantizes at 1250 bp
+# steps; full blocks run 33–52 chars), same convention as the densitometric
+# rung above.
+JT_STOPWORDS = ("a", "the")  # the corpus vocabulary's function words
+JT_MAX_LINK_BP = 2000  # link_density > 0.2 => bad (paper default)
+JT_LEN_LOW = 25  # chars; below => short (or bad if any link)
+JT_LEN_HIGH = 38  # chars; stopword-dense blocks above => good
+JT_STOP_LOW_BP = 1200  # >= one stopword per 8-word block
+JT_STOP_HIGH_BP = 2400  # >= two stopwords per 8-word block
+
 # Densitometric rung — the density twin of the NumWordsRules tree.
 # Kohlschütter et al. §3.2 measure text density as words per WRAP_COLS-
 # wrapped line and show it separates content from boilerplate; their
@@ -255,6 +273,160 @@ def boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
     classified blocks; docs whose every block is boilerplate survive with
     empty main_text (no silent row drops)."""
     return ordered(_stripped(spark, sf), "doc_id")
+
+
+def _justext_classified(spark: SparkSession, sf: str) -> DataFrame:
+    """Block features + both jusText passes (the shared core of
+    ``justext_blocks`` / ``justext_strip``).
+
+    Context-free pass (paper ch. 4.1): link-dense blocks are bad; very
+    short blocks are short (bad if they carry any link); otherwise the
+    stopword density ladder assigns good / neargood / bad with the length
+    gate splitting good from neargood.
+
+    Context-sensitive pass (ch. 4.2): each short / neargood block looks at
+    its nearest CONTEXT-FREE good/bad neighbour on each side (edges default
+    bad).  neargood becomes bad only between two bad neighbours; short
+    takes the class both sides agree on, and on a good/bad boundary sides
+    whose nearest any-class neighbour is neargood pull it to good.  The
+    reference implementation revises classes IN PLACE while iterating, so
+    its left-neighbour lookups are order-dependent; this variant reads
+    context-free classes in both directions — deterministic, symmetric,
+    and partition-parallel (one doc-keyed window, no sequential scan).
+
+    Scale shape: the same single posexplode projection as the other rungs
+    plus one window on the doc key (four lag/lead-style frames share the
+    one Sort+Window pass) — no join, nothing quadratic, no UDF."""
+    feats = _block_features(spark, sf)
+    stop_list = F.array(*[F.lit(s) for s in JT_STOPWORDS])
+    jt = feats.select(
+        "doc_id",
+        "block_idx",
+        "block_text",
+        "n_words",
+        "link_bp",
+        F.length("block_text").cast("int").alias("n_chars"),
+        (
+            F.size(
+                F.filter(
+                    F.split("block_text", " "),
+                    lambda x: F.array_contains(stop_list, x),
+                )
+            ).cast("long")
+            * 10000
+            / F.col("n_words")
+        ).cast("long").alias("stop_bp"),
+    )
+    cf = (
+        F.when(F.col("link_bp") > JT_MAX_LINK_BP, F.lit("bad"))
+        .when(
+            F.col("n_chars") < JT_LEN_LOW,
+            F.when(F.col("link_bp") > 0, F.lit("bad")).otherwise(F.lit("short")),
+        )
+        .when(
+            F.col("stop_bp") >= JT_STOP_HIGH_BP,
+            F.when(F.col("n_chars") > JT_LEN_HIGH, F.lit("good")).otherwise(
+                F.lit("neargood")
+            ),
+        )
+        .when(F.col("stop_bp") >= JT_STOP_LOW_BP, F.lit("neargood"))
+        .otherwise(F.lit("bad"))
+    )
+    cfd = jt.withColumn("cf_class", cf)
+    base = Window.partitionBy("doc_id").orderBy("block_idx")
+    wprev = base.rowsBetween(Window.unboundedPreceding, -1)
+    wnext = base.rowsBetween(1, Window.unboundedFollowing)
+    gb = F.when(F.col("cf_class").isin("good", "bad"), F.col("cf_class"))
+    nonshort = F.when(F.col("cf_class") != "short", F.col("cf_class"))
+    ctx = cfd.select(
+        "*",
+        F.coalesce(F.last(gb, ignorenulls=True).over(wprev), F.lit("bad")).alias(
+            "prev_gb"
+        ),
+        F.coalesce(F.first(gb, ignorenulls=True).over(wnext), F.lit("bad")).alias(
+            "next_gb"
+        ),
+        F.coalesce(
+            F.last(nonshort, ignorenulls=True).over(wprev), F.lit("bad")
+        ).alias("prev_any"),
+        F.coalesce(
+            F.first(nonshort, ignorenulls=True).over(wnext), F.lit("bad")
+        ).alias("next_any"),
+    )
+    final = (
+        F.when(F.col("cf_class").isin("good", "bad"), F.col("cf_class"))
+        .when(
+            F.col("cf_class") == "neargood",
+            F.when(
+                (F.col("prev_gb") == "bad") & (F.col("next_gb") == "bad"),
+                F.lit("bad"),
+            ).otherwise(F.lit("good")),
+        )
+        # short: agreement wins; on a good/bad boundary a neargood bridge
+        # on the bad side pulls it to good (paper's conductor rule)
+        .when(F.col("prev_gb") == F.col("next_gb"), F.col("prev_gb"))
+        .when(
+            (F.col("prev_gb") == "bad") & (F.col("prev_any") == "neargood"),
+            F.lit("good"),
+        )
+        .when(
+            (F.col("next_gb") == "bad") & (F.col("next_any") == "neargood"),
+            F.lit("good"),
+        )
+        .otherwise(F.lit("bad"))
+    )
+    return ctx.withColumn("final_class", final)
+
+
+def justext_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-block jusText classification — the stopword-density rung of the
+    DOM-heuristic family: shallow features plus both the context-free and
+    the context-sensitive (final) class."""
+    out = _justext_classified(spark, sf).select(
+        "doc_id",
+        "block_idx",
+        "n_words",
+        "n_chars",
+        "link_bp",
+        "stop_bp",
+        "cf_class",
+        "final_class",
+    )
+    return ordered(out, "doc_id", "block_idx")
+
+
+def justext_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate stripping under the jusText rung: each document reduced
+    to its final_class == good blocks in block order, with the audit counts
+    (kept blocks/words and how many keeps the context pass added over the
+    context-free goods).  One keyed groupBy over the classified blocks;
+    all-boilerplate docs survive with empty main_text."""
+    cls = _justext_classified(spark, sf)
+    keep = (F.col("final_class") == "good").cast("int")
+    out = cls.groupBy("doc_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(keep).cast("long").alias("n_good_blocks"),
+        F.sum(keep * F.col("n_words")).cast("long").alias("n_good_words"),
+        F.sum(
+            ((F.col("final_class") == "good") & (F.col("cf_class") != "good"))
+            .cast("long")
+        ).alias("n_context_promoted"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("final_class") == "good",
+                            F.struct("block_idx", "block_text"),
+                        )
+                    )
+                ),
+                lambda s: s["block_text"],
+            ),
+            " ",
+        ).alias("main_text"),
+    )
+    return ordered(out, "doc_id")
 
 
 def curation_funnel_v2(spark: SparkSession, sf: str) -> DataFrame:

@@ -133,6 +133,110 @@ def test_extractor_agreement_identities(spark, sf_dir):
     assert ag["n_only_rules"].sum() + ag["n_only_density"].sum() > 0
 
 
+def test_justext_classes_and_context_pass_replicate(spark, sf_dir):
+    """The jusText rung re-derived independently in pandas: the context-free
+    ladder from the emitted features, then the symmetric context-sensitive
+    relabel from nearest context-free good/bad neighbours.  All four
+    context-free classes must occur, the final pass must both promote and
+    demote somewhere, and final classes are binary."""
+    df = (
+        bp.justext_blocks(spark, sf_dir)
+        .toPandas()
+        .sort_values(["doc_id", "block_idx"])
+        .reset_index(drop=True)
+    )
+
+    def cf_row(r):
+        if r["link_bp"] > bp.JT_MAX_LINK_BP:
+            return "bad"
+        if r["n_chars"] < bp.JT_LEN_LOW:
+            return "bad" if r["link_bp"] > 0 else "short"
+        if r["stop_bp"] >= bp.JT_STOP_HIGH_BP:
+            return "good" if r["n_chars"] > bp.JT_LEN_HIGH else "neargood"
+        if r["stop_bp"] >= bp.JT_STOP_LOW_BP:
+            return "neargood"
+        return "bad"
+
+    assert (df["cf_class"] == df.apply(cf_row, axis=1)).all()
+    assert set(df["cf_class"]) == {"good", "neargood", "short", "bad"}
+    assert set(df["final_class"]) == {"good", "bad"}
+
+    def finals(grp):
+        cf = grp["cf_class"].tolist()
+        out = []
+        for i, c in enumerate(cf):
+            if c in ("good", "bad"):
+                out.append(c)
+                continue
+            prev_gb = next(
+                (x for x in reversed(cf[:i]) if x in ("good", "bad")), "bad"
+            )
+            next_gb = next((x for x in cf[i + 1:] if x in ("good", "bad")), "bad")
+            if c == "neargood":
+                out.append(
+                    "bad" if prev_gb == "bad" and next_gb == "bad" else "good"
+                )
+                continue
+            prev_any = next(
+                (x for x in reversed(cf[:i]) if x != "short"), "bad"
+            )
+            next_any = next((x for x in cf[i + 1:] if x != "short"), "bad")
+            if prev_gb == next_gb:
+                out.append(prev_gb)
+            elif prev_gb == "bad" and prev_any == "neargood":
+                out.append("good")
+            elif next_gb == "bad" and next_any == "neargood":
+                out.append("good")
+            else:
+                out.append("bad")
+        return out
+
+    want = [c for _, g in df.groupby("doc_id", sort=True) for c in finals(g)]
+    assert df["final_class"].tolist() == want
+    promoted = (df["final_class"] == "good") & (df["cf_class"] != "good")
+    demoted = (df["final_class"] == "bad") & (
+        df["cf_class"].isin(["neargood", "short"])
+    )
+    assert promoted.any(), "context pass never promotes — rung is vacuous"
+    assert demoted.any(), "context pass never demotes — rung is vacuous"
+
+
+def test_justext_strip_telescopes(spark, sf_dir):
+    blocks = bp.justext_blocks(spark, sf_dir).toPandas()
+    strip = bp.justext_strip(spark, sf_dir).toPandas().set_index("doc_id")
+    per = blocks.groupby("doc_id").agg(
+        n_blocks=("block_idx", "size"),
+        n_good_blocks=("final_class", lambda s: (s == "good").sum()),
+    )
+    good_words = (
+        blocks.loc[blocks["final_class"] == "good"]
+        .groupby("doc_id")["n_words"]
+        .sum()
+    )
+    m = strip.join(per, rsuffix="_chk")
+    assert (m["n_blocks"] == m["n_blocks_chk"]).all()
+    assert (m["n_good_blocks"] == m["n_good_blocks_chk"]).all()
+    assert (
+        m["n_good_words"]
+        == good_words.reindex(m.index).fillna(0).astype(int)
+    ).all()
+    got_words = m["main_text"].str.split().str.len().fillna(0).astype(int)
+    assert (got_words == m["n_good_words"]).all()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    assert set(m.index) == set(docs["doc_id"])
+
+
+def test_justext_is_one_window_pass_no_join(spark, sf_dir):
+    """All four neighbour lookups ride ONE doc-keyed Window (one Sort, one
+    Exchange on the doc key) and the rung never joins."""
+    import re
+    from ocr_mini_service_spark.plans import formatted_plan
+
+    plan = formatted_plan(bp.justext_blocks(spark, sf_dir))
+    assert not re.search(r"Join", plan), plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
 def test_extractor_agreement_is_one_pass_no_join(spark, sf_dir):
     """Both verdicts come from the same window pass: the audit plan has no
     join at all and exactly one doc_id-keyed Window."""
