@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # allocated and strict-parity-validated: FRONT these in r5 ---
         "justext_blocks": boilerplate.justext_blocks,
         "justext_strip": boilerplate.justext_strip,
+        "pq_encode": similarity.pq_encode,
+        "ann_pq_topk": similarity.ann_pq_topk,
+        "ann_pq_recall": similarity.ann_pq_recall,
         # --- deliberate window overflow (never-driver-checked + changed >
         # the 50-query window): the overflow entries are single-scan
         # pure-INTEGER/string projections whose pytest parity compare is
@@ -409,6 +412,39 @@ jfinal AS (
         WHEN next_gb = 'bad' AND next_any = 'neargood' THEN 'good'
         ELSE 'bad' END AS final_class
     FROM jctx)"""
+
+def _pq_qdist_sql(a: str, b: str, n: str = str(similarity.PQ_SUB)) -> str:
+    """Exact quantized-integer squared L2 between two list columns as a SQL
+    fragment (mirrors similarity._qdist_fold / _pair_qdist)."""
+    qa = f"CAST(round(CAST({a}[i] AS DOUBLE) * 1000) AS BIGINT)"
+    qb = f"CAST(round(CAST({b}[i] AS DOUBLE) * 1000) AS BIGINT)"
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {n}), "
+        f"i -> ({qa} - {qb}) * ({qa} - {qb}))) AS BIGINT)"
+    )
+
+
+# product quantization (mirrors operators/similarity.py PQ_M/PQ_SUB/PQ_K:
+# subvector slices, the deterministic seed codebook, nearest-code assignment
+# with the (d, code) tiebreak)
+_PQ_CTES = f"""
+subs AS (
+    SELECT vec_id, CAST(m AS INT) AS subspace,
+           list_slice(embedding, m * {similarity.PQ_SUB} + 1,
+                      (m + 1) * {similarity.PQ_SUB}) AS sub
+    FROM embeddings, unnest(generate_series(0, {similarity.PQ_M - 1})) AS t(m)),
+cb AS (
+    SELECT subspace, vec_id AS code, sub AS csub
+    FROM subs WHERE vec_id < {similarity.PQ_K}),
+assign AS (
+    SELECT s.vec_id, s.subspace, c.code,
+           {_pq_qdist_sql('s.sub', 'c.csub', str(similarity.PQ_SUB))} AS d
+    FROM subs s JOIN cb c USING (subspace)),
+best AS (
+    SELECT vec_id, subspace, code, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                              ORDER BY d ASC, code ASC) AS rn
+    FROM assign)"""
 
 # embeddings ∪ deterministic near-dup mutants (must mirror
 # similarity._vecs_with_mutants exactly) and their quantized squared norms —
@@ -2614,6 +2650,68 @@ SELECT query_id, rank, neighbor_id, score FROM (
                 ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
     FROM scored) t
 WHERE rank <= {similarity.TOP_K} ORDER BY query_id, rank""",
+        "pq_encode": f"""
+WITH {_PQ_CTES}
+SELECT vec_id, subspace, code, d FROM best WHERE rn = 1
+ORDER BY vec_id, subspace""",
+        "ann_pq_topk": f"""
+WITH {_PQ_CTES},
+enc AS (SELECT vec_id, subspace, code FROM best WHERE rn = 1),
+dtab AS (
+    SELECT s.vec_id AS query_id, s.subspace, c.code,
+           {_pq_qdist_sql('s.sub', 'c.csub')} AS dpart
+    FROM subs s JOIN cb c USING (subspace)
+    WHERE s.vec_id < {similarity.N_QUERIES}),
+adist AS (
+    SELECT d.query_id, e.vec_id,
+           CAST(SUM(d.dpart) AS BIGINT) AS adist
+    FROM enc e JOIN dtab d ON d.subspace = e.subspace AND d.code = e.code
+    WHERE e.vec_id <> d.query_id
+    GROUP BY d.query_id, e.vec_id)
+SELECT query_id, rank, neighbor_id, adist FROM (
+    SELECT query_id, vec_id AS neighbor_id, adist,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, vec_id ASC) AS INT) AS rank
+    FROM adist) t
+WHERE rank <= {similarity.TOP_K} ORDER BY query_id, rank""",
+        "ann_pq_recall": f"""
+WITH {_PQ_CTES},
+enc AS (SELECT vec_id, subspace, code FROM best WHERE rn = 1),
+dtab AS (
+    SELECT s.vec_id AS query_id, s.subspace, c.code,
+           {_pq_qdist_sql('s.sub', 'c.csub')} AS dpart
+    FROM subs s JOIN cb c USING (subspace)
+    WHERE s.vec_id < {similarity.N_QUERIES}),
+adist AS (
+    SELECT d.query_id, e.vec_id,
+           CAST(SUM(d.dpart) AS BIGINT) AS adist
+    FROM enc e JOIN dtab d ON d.subspace = e.subspace AND d.code = e.code
+    WHERE e.vec_id <> d.query_id
+    GROUP BY d.query_id, e.vec_id),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adist ASC, vec_id ASC) AS rank
+        FROM adist) t
+    WHERE rank <= {similarity.TOP_K}),
+truth AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   {_pq_qdist_sql('q.embedding', 'e.embedding', 'len(q.embedding)')} ASC,
+                   e.vec_id ASC) AS rank
+        FROM embeddings q CROSS JOIN embeddings e
+        WHERE q.vec_id < {similarity.N_QUERIES} AND e.vec_id <> q.vec_id) t
+    WHERE rank <= {similarity.TOP_K})
+SELECT 'pq' AS family, t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COUNT(*) FILTER (WHERE a.neighbor_id IS NOT NULL) AS BIGINT) AS n_hit,
+       (CAST(COUNT(*) FILTER (WHERE a.neighbor_id IS NOT NULL) AS BIGINT) * 10000)
+           // CAST(COUNT(*) AS BIGINT) AS recall_bp
+FROM truth t LEFT JOIN approx a
+     ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id ORDER BY t.query_id""",
         "embedding_cosine_dups": f"""
 WITH {_VEC_CORPUS},
 {_VEC_NORMS},

@@ -828,3 +828,210 @@ def ann_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "neg_label", "score")
     )
     return ordered(out, "query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the embedding-COMPRESSION scale path
+# ---------------------------------------------------------------------------
+
+# Jégou, Douze & Schmid 2011 ("Product Quantization for Nearest Neighbor
+# Search"): split the D-dim space into PQ_M subspaces, quantize each
+# subvector against a per-subspace codebook of PQ_K centroids, and search
+# with asymmetric distance computation (ADC) — the query stays exact, each
+# corpus vector costs PQ_M small-int codes (here 4 codes for a 64-dim
+# vector: 32x compression), and distances are PQ_M table lookups.  At
+# 100 TB this is what makes billion-vector indexes fit in executor memory
+# (FAISS's IVFADC is IVF lists over exactly these codes).  Codebooks are
+# k-means-trained in production (``kmeans_step`` is the primitive); here
+# they are the deterministic seed subset (vec_id < PQ_K), same convention
+# as the IVF coarse quantizer, so a SQL oracle reproduces every code.
+PQ_M = 16  # subspaces
+PQ_SUB = 4  # dims per subspace (embeddings are 64-dim across the sf ladder)
+PQ_K = 16  # codes per subspace codebook (4-bit codes: 64 floats -> 8 bytes)
+
+
+def _qdist_fold(a, b):
+    """Exact integer squared L2 of two quantized float arrays as a native
+    Catalyst fold (the distance twin of ``_qdot`` — used on PQ_SUB-length
+    subvectors where a pandas UDF round-trip would cost more than the
+    16-element fold)."""
+    diff = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.round(x.cast("double") * 1000).cast("long")
+        - F.round(y.cast("double") * 1000).cast("long"),
+    )
+    return F.aggregate(
+        diff, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+
+
+def _subspaces(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
+    """(id, subspace, sub) rows: one PQ_SUB-length slice per subspace (one
+    posexplode over an M-element array of slices — single narrow pass)."""
+    slices = F.array(
+        *[F.slice("embedding", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+    )
+    return df.select(
+        F.col(id_col).alias(out_id), F.posexplode(slices).alias("subspace", "sub")
+    )
+
+
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    """(subspace, code, csub) — the deterministic seed codebook
+    (subvector m of seed vector c quantizes subspace m's code c)."""
+    return _subspaces(
+        emb.filter(F.col("vec_id") < PQ_K), "vec_id", "code"
+    ).select("subspace", "code", F.col("sub").alias("csub"))
+
+
+def _pq_encoded(emb: DataFrame) -> DataFrame:
+    """Per-(vector, subspace) nearest-code assignment: exact quantized
+    integer squared L2, tie -> smaller code.  The argmin is a keyed
+    aggregation (min over a (d, code) struct — map-side combinable, the
+    ``line_dedup`` keeper shape), never a window over the corpus."""
+    cands = _subspaces(emb, "vec_id", "vec_id").join(
+        F.broadcast(_pq_codebook(emb)), "subspace"
+    )
+    best = (
+        cands.select(
+            "vec_id",
+            "subspace",
+            F.struct(
+                _qdist_fold(F.col("sub"), F.col("csub")).alias("d"),
+                F.col("code").alias("code"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "subspace")
+        .agg(F.min("dc").alias("dc"))
+    )
+    return best.select(
+        "vec_id",
+        "subspace",
+        F.col("dc.code").alias("code"),
+        F.col("dc.d").alias("d"),
+    )
+
+
+def pq_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ encoding of the embedding corpus: for every vector and subspace,
+    the assigned code and its exact quantized squared-L2 residual distance.
+    PQ_M rows per vector — the compressed representation an IVFADC index
+    stores instead of the raw floats."""
+    emb = load(spark, sf, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return ordered(_pq_encoded(emb), "vec_id", "subspace")
+
+
+def _pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ADC top-k: per (query, subspace, code) partial distances form a
+    broadcast lookup table (N_QUERIES x PQ_M x PQ_K rows — query-sized,
+    never corpus-sized); each corpus vector's approximate distance is the
+    sum of its PQ_M table entries.  One broadcast equi-join on
+    (subspace, code) plus one keyed aggregation — the corpus is scanned
+    once as codes, its floats never touched (the whole point of PQ)."""
+    emb = load(spark, sf, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    codebook = _pq_codebook(emb)
+    qsubs = _subspaces(
+        emb.filter(F.col("vec_id") < N_QUERIES), "vec_id", "query_id"
+    )
+    dtab = qsubs.join(F.broadcast(codebook), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        _qdist_fold(F.col("sub"), F.col("csub")).alias("dpart"),
+    )
+    encoded = _pq_encoded(emb).select("vec_id", "subspace", "code")
+    adist = (
+        encoded.join(F.broadcast(dtab), ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dpart").alias("adist"), F.count("*").alias("n_sub"))
+        # a vector scores only when every subspace contributed (self-joins
+        # filtered above can never partially match; belt-and-braces guard)
+        .filter(F.col("n_sub") == PQ_M)
+        .drop("n_sub")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "adist")
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered presentation wrapper over ``_pq_topk`` (semantics and scale
+    notes there)."""
+    return ordered(_pq_topk(spark, sf), "query_id", "rank")
+
+
+def _brute_l2_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-k by quantized squared L2 over the broadcast query set —
+    the ground truth for the PQ/ADC audit (ADC approximates L2 distances,
+    so grading it against the dot-product truth of ``_brute_topk`` would
+    conflate metric mismatch with quantization loss)."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _pair_qdist(F.col("q"), F.col("embedding")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "dist")
+    )
+
+
+def ann_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of the PQ/ADC search against exact brute-force squared-L2
+    ground truth — the compression counterpart of ``ann_recall_audit``
+    (same audit shape, separate query so the already-driver-checked
+    ivf/lsh audit rows stay byte-identical): per query, how many true
+    top-k neighbors the code-compressed search recovered, as exact counts
+    and basis points."""
+    truth = (
+        _brute_l2_topk(spark, sf)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    base = truth.groupBy("query_id").agg(F.count("*").cast("long").alias("k"))
+    approx = _pq_topk(spark, sf).select("query_id", "neighbor_id")
+    hits = (
+        truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    out = (
+        base.join(hits, "query_id", "left")
+        .select(
+            F.lit("pq").alias("family"),
+            "query_id",
+            "k",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "family",
+            "query_id",
+            "k",
+            "n_hit",
+            F.expr("(n_hit * 10000) div k").alias("recall_bp"),
+        )
+    )
+    return ordered(out, "family", "query_id")

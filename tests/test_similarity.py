@@ -120,3 +120,101 @@ def test_ann_recall_audit_matches_public_topk(spark, sf_dir):
             assert row["k"] == len(ts)
             assert row["n_hit"] == n_hit, (family, qid)
             assert row["recall_bp"] == (n_hit * 10000) // len(ts)
+
+
+def test_pq_encode_codes_and_seed_identity(spark, sf_dir):
+    """Every vector yields PQ_M code rows with codes in [0, PQ_K); a seed
+    vector (vec_id < PQ_K) is its own codebook entry, so its assignment
+    distance is 0 in every subspace with code <= its own id (a smaller code
+    can only win on an exact tie)."""
+    import numpy as np
+
+    df = similarity.pq_encode(spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    assert len(df) == len(emb) * similarity.PQ_M
+    assert df.groupby("vec_id").size().eq(similarity.PQ_M).all()
+    assert df["subspace"].between(0, similarity.PQ_M - 1).all()
+    assert df["code"].between(0, similarity.PQ_K - 1).all()
+    assert (df["d"] >= 0).all()
+    seeds = df[df["vec_id"] < similarity.PQ_K]
+    assert (seeds["d"] == 0).all()
+    assert (seeds["code"] <= seeds["vec_id"]).all()
+    # numpy re-derivation of a sample of assignments
+    mat = {
+        r["vec_id"]: similarity._q1000(
+            np.asarray(r["embedding"], dtype=np.float64)
+        )
+        for _, r in emb.iterrows()
+    }
+    S = similarity.PQ_SUB
+    for _, r in df.sample(n=200, random_state=7).iterrows():
+        v = mat[r["vec_id"]][r["subspace"] * S : (r["subspace"] + 1) * S]
+        dists = [
+            int(((v - mat[c][r["subspace"] * S : (r["subspace"] + 1) * S]) ** 2).sum())
+            for c in range(similarity.PQ_K)
+        ]
+        best = min(range(similarity.PQ_K), key=lambda c: (dists[c], c))
+        assert r["code"] == best and r["d"] == dists[best]
+
+
+def test_pq_adc_distance_telescopes_from_codes(spark, sf_dir):
+    """Each ADC top-k distance equals the sum over subspaces of the exact
+    query-to-assigned-centroid distances recomputed in pandas from
+    pq_encode + the raw embeddings."""
+    import numpy as np
+
+    topk = similarity.ann_pq_topk(spark, sf_dir).toPandas()
+    enc = (
+        similarity.pq_encode(spark, sf_dir)
+        .toPandas()
+        .set_index(["vec_id", "subspace"])["code"]
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    mat = {
+        r["vec_id"]: similarity._q1000(
+            np.asarray(r["embedding"], dtype=np.float64)
+        )
+        for _, r in emb.iterrows()
+    }
+    S = similarity.PQ_SUB
+    for _, r in topk.iterrows():
+        q, n = mat[r["query_id"]], r["neighbor_id"]
+        want = sum(
+            int(
+                (
+                    (
+                        q[m * S : (m + 1) * S]
+                        - mat[enc.loc[(n, m)]][m * S : (m + 1) * S]
+                    )
+                    ** 2
+                ).sum()
+            )
+            for m in range(similarity.PQ_M)
+        )
+        assert r["adist"] == want
+    # ranks are 1..TOP_K per query, ascending distance
+    per = topk.groupby("query_id")
+    assert per["rank"].apply(lambda s: sorted(s) == list(range(1, similarity.TOP_K + 1))).all()
+    assert per.apply(lambda g: g.sort_values("rank")["adist"].is_monotonic_increasing).all()
+
+
+def test_pq_recall_consistent_and_all_broadcast(spark, sf_dir):
+    """The recall audit matches a pandas recomputation from the public
+    outputs, and the ADC plan contains no shuffle join and no cartesian
+    product (corpus scanned once as codes, everything else broadcast)."""
+    import re
+    from ocr_mini_service_spark.plans import formatted_plan
+
+    truth = similarity._brute_l2_topk(spark, sf_dir).toPandas()
+    approx = similarity.ann_pq_topk(spark, sf_dir).toPandas()
+    audit = similarity.ann_pq_recall(spark, sf_dir).toPandas().set_index("query_id")
+    assert (audit["family"] == "pq").all()
+    for qid, grp in truth.groupby("query_id"):
+        ts = set(grp["neighbor_id"])
+        aps = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
+        row = audit.loc[qid]
+        assert row["k"] == len(ts)
+        assert row["n_hit"] == len(ts & aps)
+        assert row["recall_bp"] == (len(ts & aps) * 10000) // len(ts)
+    plan = formatted_plan(similarity.ann_pq_topk(spark, sf_dir))
+    assert not re.search(r"CartesianProduct|SortMergeJoin", plan), plan
