@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": similarity.pq_encode,
         "ann_pq_topk": similarity.ann_pq_topk,
         "ann_pq_recall": similarity.ann_pq_recall,
+        "ivfadc_encode": similarity.ivfadc_encode,
+        "ann_ivfadc_topk": similarity.ann_ivfadc_topk,
+        "ann_ivfadc_recall": similarity.ann_ivfadc_recall,
         # --- deliberate window overflow (never-driver-checked + changed >
         # the 50-query window): the overflow entries are single-scan
         # pure-INTEGER/string projections whose pytest parity compare is
@@ -445,6 +448,85 @@ best AS (
            ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
                               ORDER BY d ASC, code ASC) AS rn
     FROM assign)"""
+
+def _iqdist_sql(a: str, b: str, n: str) -> str:
+    """Exact squared L2 between two ALREADY-INTEGER list columns as a SQL
+    fragment (mirrors similarity._iqdist_fold)."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {n}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+# IVFADC (mirrors operators/similarity.py: quantize, coarse-assign with the
+# (d, cid) tiebreak, integer residuals, the seed-band residual codebook, and
+# per-subspace nearest-code assignment with the (d, code) tiebreak)
+_IVFADC_CTES = f"""
+qv AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+    FROM embeddings),
+cent AS (SELECT vec_id AS cid, qv AS cqv FROM qv WHERE vec_id < {similarity.N_CENTROIDS}),
+cassign AS (
+    SELECT v.vec_id, v.qv, c.cid, c.cqv,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+               ORDER BY {_iqdist_sql('v.qv', 'c.cqv', 'len(v.qv)')} ASC,
+                        c.cid ASC) AS rn
+    FROM qv v CROSS JOIN cent c),
+res AS (
+    SELECT vec_id, cid,
+           list_transform(generate_series(1, len(qv)), i -> qv[i] - cqv[i]) AS r
+    FROM cassign WHERE rn = 1),
+rcb AS (
+    SELECT CAST(m AS INT) AS subspace,
+           vec_id - {similarity.IVFADC_CB_LO} AS code,
+           list_slice(r, m * {similarity.PQ_SUB} + 1,
+                      (m + 1) * {similarity.PQ_SUB}) AS csub
+    FROM res, unnest(generate_series(0, {similarity.PQ_M - 1})) AS t(m)
+    WHERE vec_id >= {similarity.IVFADC_CB_LO}
+      AND vec_id < {similarity.IVFADC_CB_LO + similarity.PQ_K}),
+rsubs AS (
+    SELECT vec_id, cid, CAST(m AS INT) AS subspace,
+           list_slice(r, m * {similarity.PQ_SUB} + 1,
+                      (m + 1) * {similarity.PQ_SUB}) AS sub
+    FROM res, unnest(generate_series(0, {similarity.PQ_M - 1})) AS t(m)),
+rassign AS (
+    SELECT s.vec_id, s.cid, s.subspace, c.code,
+           {_iqdist_sql('s.sub', 'c.csub', str(similarity.PQ_SUB))} AS d,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.subspace
+               ORDER BY {_iqdist_sql('s.sub', 'c.csub', str(similarity.PQ_SUB))} ASC,
+                        c.code ASC) AS rn
+    FROM rsubs s JOIN rcb c USING (subspace)),
+renc AS (SELECT vec_id, cid, subspace, code, d FROM rassign WHERE rn = 1)"""
+
+_IVFADC_ADIST = f"""
+probe AS (
+    SELECT query_id, cid,
+           list_transform(generate_series(1, len(qqv)), i -> qqv[i] - ccqv[i]) AS rq
+    FROM (
+        SELECT v.vec_id AS query_id, c.cid, v.qv AS qqv, c.cqv AS ccqv,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_iqdist_sql('v.qv', 'c.cqv', 'len(v.qv)')} ASC,
+                            c.cid ASC) AS rn
+        FROM qv v CROSS JOIN cent c
+        WHERE v.vec_id < {similarity.N_QUERIES}) t
+    WHERE rn <= {similarity.N_PROBE}),
+psubs AS (
+    SELECT query_id, cid, CAST(m AS INT) AS subspace,
+           list_slice(rq, m * {similarity.PQ_SUB} + 1,
+                      (m + 1) * {similarity.PQ_SUB}) AS sub
+    FROM probe, unnest(generate_series(0, {similarity.PQ_M - 1})) AS t(m)),
+dtab AS (
+    SELECT s.query_id, s.cid, s.subspace, c.code,
+           {_iqdist_sql('s.sub', 'c.csub', str(similarity.PQ_SUB))} AS dpart
+    FROM psubs s JOIN rcb c USING (subspace)),
+adist AS (
+    SELECT d.query_id, e.vec_id, CAST(SUM(d.dpart) AS BIGINT) AS adist
+    FROM renc e
+    JOIN dtab d ON d.cid = e.cid AND d.subspace = e.subspace AND d.code = e.code
+    WHERE e.vec_id <> d.query_id
+    GROUP BY d.query_id, e.vec_id)"""
 
 # embeddings ∪ deterministic near-dup mutants (must mirror
 # similarity._vecs_with_mutants exactly) and their quantized squared norms —
@@ -2705,6 +2787,46 @@ truth AS (
         WHERE q.vec_id < {similarity.N_QUERIES} AND e.vec_id <> q.vec_id) t
     WHERE rank <= {similarity.TOP_K})
 SELECT 'pq' AS family, t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COUNT(*) FILTER (WHERE a.neighbor_id IS NOT NULL) AS BIGINT) AS n_hit,
+       (CAST(COUNT(*) FILTER (WHERE a.neighbor_id IS NOT NULL) AS BIGINT) * 10000)
+           // CAST(COUNT(*) AS BIGINT) AS recall_bp
+FROM truth t LEFT JOIN approx a
+     ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id ORDER BY t.query_id""",
+        "ivfadc_encode": f"""
+WITH {_IVFADC_CTES}
+SELECT vec_id, cid, subspace, code, d FROM renc
+ORDER BY vec_id, subspace""",
+        "ann_ivfadc_topk": f"""
+WITH {_IVFADC_CTES},
+{_IVFADC_ADIST}
+SELECT query_id, rank, neighbor_id, adist FROM (
+    SELECT query_id, vec_id AS neighbor_id, adist,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, vec_id ASC) AS INT) AS rank
+    FROM adist) t
+WHERE rank <= {similarity.TOP_K} ORDER BY query_id, rank""",
+        "ann_ivfadc_recall": f"""
+WITH {_IVFADC_CTES},
+{_IVFADC_ADIST},
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adist ASC, vec_id ASC) AS rank
+        FROM adist) t
+    WHERE rank <= {similarity.TOP_K}),
+truth AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   {_pq_qdist_sql('q.embedding', 'e.embedding', 'len(q.embedding)')} ASC,
+                   e.vec_id ASC) AS rank
+        FROM embeddings q CROSS JOIN embeddings e
+        WHERE q.vec_id < {similarity.N_QUERIES} AND e.vec_id <> q.vec_id) t
+    WHERE rank <= {similarity.TOP_K})
+SELECT 'ivfadc' AS family, t.query_id,
        CAST(COUNT(*) AS BIGINT) AS k,
        CAST(COUNT(*) FILTER (WHERE a.neighbor_id IS NOT NULL) AS BIGINT) AS n_hit,
        (CAST(COUNT(*) FILTER (WHERE a.neighbor_id IS NOT NULL) AS BIGINT) * 10000)

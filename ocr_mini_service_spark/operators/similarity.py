@@ -1035,3 +1035,242 @@ def ann_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return ordered(out, "family", "query_id")
+
+
+# ---------------------------------------------------------------------------
+# IVFADC — coarse quantizer + residual PQ codes (the FAISS production shape)
+# ---------------------------------------------------------------------------
+
+# Jégou et al. 2011 §IV: the inverted-file system stores, per corpus vector,
+# its coarse list id plus the PQ codes of the RESIDUAL (vector minus coarse
+# centroid); a query probes its N_PROBE nearest lists and scores each list's
+# members with a per-list ADC table over the residual codebook.  This is the
+# composition of the two audited pieces above (``_ivf_topk``'s coarse
+# assignment, ``pq_encode``'s subspace quantization) and the index layout
+# billion-vector deployments actually ship.  All arithmetic happens in the
+# quantized-integer domain (round(x*1000)), so residuals are exact int64
+# vectors and every code and distance is engine-independent.
+#
+# Residual codebook seeds: vectors [N_CENTROIDS, N_CENTROIDS + PQ_K) — the
+# first PQ_K vectors that are NOT coarse centroids (a centroid's own
+# residual is the zero vector, which would collapse the codebook).
+IVFADC_CB_LO = N_CENTROIDS
+
+
+def _q_arr(col):
+    """Quantize a float array column to int64 components (the array twin of
+    the scalar rule in ``_q1000``/``_qdot``)."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1000).cast("long"))
+
+
+def _iqdist_fold(a, b):
+    """Exact squared L2 between two ALREADY-INTEGER array columns."""
+    diff = F.zip_with(a, b, lambda x, y: x - y)
+    return F.aggregate(diff, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+
+
+def _int_subspaces(df: DataFrame, arr_col: str, keep: list[str]) -> DataFrame:
+    """(keep..., subspace, sub) rows over an integer-array column."""
+    slices = F.array(
+        *[F.slice(arr_col, m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+    )
+    return df.select(*keep, F.posexplode(slices).alias("subspace", "sub"))
+
+
+def _coarse_assigned(emb: DataFrame) -> DataFrame:
+    """(vec_id, qv, cid, cqv): each vector with its quantized components and
+    nearest coarse centroid (exact integer squared L2, tie -> smaller cid).
+    Argmin is the map-side-combinable min-struct aggregation, carrying the
+    centroid components through the struct so the residual subtraction
+    needs no second join."""
+    q = emb.select("vec_id", _q_arr("embedding").alias("qv"))
+    cent = q.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cqv")
+    )
+    best = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "qv",
+            F.struct(
+                _iqdist_fold(F.col("qv"), F.col("cqv")).alias("d"),
+                F.col("cid").alias("cid"),
+                F.col("cqv").alias("cqv"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("dc"), F.first("qv").alias("qv"))
+    )
+    return best.select(
+        "vec_id", "qv", F.col("dc.cid").alias("cid"), F.col("dc.cqv").alias("cqv")
+    )
+
+
+def _residual_codebook(assigned: DataFrame) -> DataFrame:
+    """(subspace, code, csub): residual-space codebook from the seed band
+    [IVFADC_CB_LO, IVFADC_CB_LO + PQ_K); code = vec_id - IVFADC_CB_LO."""
+    seeds = assigned.filter(
+        (F.col("vec_id") >= IVFADC_CB_LO) & (F.col("vec_id") < IVFADC_CB_LO + PQ_K)
+    ).select(
+        (F.col("vec_id") - IVFADC_CB_LO).alias("code"),
+        F.zip_with("qv", "cqv", lambda x, y: x - y).alias("r"),
+    )
+    return _int_subspaces(seeds, "r", ["code"]).select(
+        "subspace", "code", F.col("sub").alias("csub")
+    )
+
+
+def ivfadc_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """The IVFADC index payload: per vector its coarse list id and, per
+    subspace, the residual PQ code (nearest residual-codebook entry by
+    exact integer squared L2, tie -> smaller code).  PQ_M rows per
+    vector; this plus the two small codebooks IS the index an executor
+    holds at scale — the raw floats are never needed again."""
+    emb = load(spark, sf, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assigned = _coarse_assigned(emb)
+    return ordered(_ivfadc_encoded(assigned), "vec_id", "subspace")
+
+
+def _ivfadc_encoded(assigned: DataFrame) -> DataFrame:
+    """Unordered residual-code assignment over a (possibly checkpointed)
+    coarse-assignment frame — shared by ``ivfadc_encode`` and
+    ``_ivfadc_topk`` so the search evaluates the assignment ONCE."""
+    cb = _residual_codebook(assigned)
+    res = assigned.select(
+        "vec_id", "cid", F.zip_with("qv", "cqv", lambda x, y: x - y).alias("r")
+    )
+    cands = _int_subspaces(res, "r", ["vec_id", "cid"]).join(
+        F.broadcast(cb), "subspace"
+    )
+    best = (
+        cands.select(
+            "vec_id",
+            "cid",
+            "subspace",
+            F.struct(
+                _iqdist_fold(F.col("sub"), F.col("csub")).alias("d"),
+                F.col("code").alias("code"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "subspace")
+        .agg(F.first("cid").alias("cid"), F.min("dc").alias("dc"))
+    )
+    return best.select(
+        "vec_id", "cid", "subspace", F.col("dc.code").alias("code"),
+        F.col("dc.d").alias("d"),
+    )
+
+
+def _ivfadc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC search: a query probes its N_PROBE nearest coarse lists; per
+    probed list it builds the residual ADC table (query-minus-that-centroid
+    vs the residual codebook: N_QUERIES x N_PROBE x PQ_M x PQ_K rows —
+    query-sized, broadcast); each list member's approximate distance is the
+    sum of its PQ_M table entries.  One broadcast equi-join on
+    (cid, subspace, code) + one keyed aggregation over the probed lists'
+    codes — never the whole corpus, never any floats.
+
+    The coarse-assignment frame feeds five consumers (codebook, queries,
+    centroids, the encode pass, the probe step); Spark shares no subtrees,
+    so it is localCheckpointed once — the same one-evaluation discipline as
+    ``lsh_jaccard_verify``."""
+    emb = load(spark, sf, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assigned = _coarse_assigned(emb).localCheckpoint(eager=True)
+    cb = _residual_codebook(assigned)
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    cent = assigned.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("ccqv")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "cid",
+            "ccqv",
+            "qqv",
+            _iqdist_fold(F.col("qqv"), F.col("ccqv")).alias("d"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("d").asc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= N_PROBE)
+        .select(
+            "query_id", "cid", F.zip_with("qqv", "ccqv", lambda x, y: x - y).alias("rq")
+        )
+    )
+    dtab = _int_subspaces(probed, "rq", ["query_id", "cid"]).join(
+        F.broadcast(cb), "subspace"
+    ).select(
+        "query_id",
+        "cid",
+        "subspace",
+        "code",
+        _iqdist_fold(F.col("sub"), F.col("csub")).alias("dpart"),
+    )
+    enc = _ivfadc_encoded(assigned).select("vec_id", "cid", "subspace", "code")
+    adist = (
+        enc.join(F.broadcast(dtab), ["cid", "subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dpart").alias("adist"), F.count("*").alias("n_sub"))
+        .filter(F.col("n_sub") == PQ_M)
+        .drop("n_sub")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "adist")
+    )
+
+
+def ann_ivfadc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered presentation wrapper over ``_ivfadc_topk`` (semantics and
+    scale notes there)."""
+    return ordered(_ivfadc_topk(spark, sf), "query_id", "rank")
+
+
+def ann_ivfadc_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of IVFADC against exact brute-force squared-L2 ground truth
+    (same audit shape as ``ann_pq_recall``; losses here compound list
+    pruning AND code quantization, so this row minus the PQ row isolates
+    what probing costs)."""
+    truth = (
+        _brute_l2_topk(spark, sf)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    base = truth.groupBy("query_id").agg(F.count("*").cast("long").alias("k"))
+    approx = _ivfadc_topk(spark, sf).select("query_id", "neighbor_id")
+    hits = (
+        truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    out = (
+        base.join(hits, "query_id", "left")
+        .select(
+            F.lit("ivfadc").alias("family"),
+            "query_id",
+            "k",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "family", "query_id", "k", "n_hit",
+            F.expr("(n_hit * 10000) div k").alias("recall_bp"),
+        )
+    )
+    return ordered(out, "family", "query_id")

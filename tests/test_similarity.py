@@ -218,3 +218,100 @@ def test_pq_recall_consistent_and_all_broadcast(spark, sf_dir):
         assert row["recall_bp"] == (len(ts & aps) * 10000) // len(ts)
     plan = formatted_plan(similarity.ann_pq_topk(spark, sf_dir))
     assert not re.search(r"CartesianProduct|SortMergeJoin", plan), plan
+
+
+def test_ivfadc_encode_structure_and_seed_identity(spark, sf_dir):
+    """PQ_M rows per vector; the coarse id matches an independent numpy
+    argmin; a residual-codebook seed vector (vec_id in [IVFADC_CB_LO,
+    IVFADC_CB_LO + PQ_K)) is its own codebook entry, so its assignment
+    distance is 0 everywhere with code <= its own band index."""
+    import numpy as np
+
+    df = similarity.ivfadc_encode(spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    assert len(df) == len(emb) * similarity.PQ_M
+    assert df["code"].between(0, similarity.PQ_K - 1).all()
+    assert (df["d"] >= 0).all()
+    mat = {
+        r["vec_id"]: similarity._q1000(
+            np.asarray(r["embedding"], dtype=np.float64)
+        )
+        for _, r in emb.iterrows()
+    }
+    cents = {c: mat[c] for c in range(similarity.N_CENTROIDS)}
+    coarse = df.groupby("vec_id")["cid"].first()
+    for vid, cid in coarse.items():
+        dists = {c: int(((mat[vid] - q) ** 2).sum()) for c, q in cents.items()}
+        want = min(dists, key=lambda c: (dists[c], c))
+        assert cid == want, vid
+    lo = similarity.IVFADC_CB_LO
+    seeds = df[(df["vec_id"] >= lo) & (df["vec_id"] < lo + similarity.PQ_K)]
+    assert (seeds["d"] == 0).all()
+    assert (seeds["code"] <= seeds["vec_id"] - lo).all()
+
+
+def test_ivfadc_adist_telescopes_and_stays_broadcast(spark, sf_dir):
+    """Each IVFADC top-k distance equals the numpy sum over subspaces of
+    query-residual-to-assigned-codebook-entry distances; neighbors come
+    only from the query's probed lists; and the plan has no shuffle join
+    and no cartesian product."""
+    import re
+
+    import numpy as np
+
+    from ocr_mini_service_spark.plans import formatted_plan
+
+    topk = similarity.ann_ivfadc_topk(spark, sf_dir).toPandas()
+    enc = similarity.ivfadc_encode(spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    mat = {
+        r["vec_id"]: similarity._q1000(
+            np.asarray(r["embedding"], dtype=np.float64)
+        )
+        for _, r in emb.iterrows()
+    }
+    cents = {c: mat[c] for c in range(similarity.N_CENTROIDS)}
+    lo, S = similarity.IVFADC_CB_LO, similarity.PQ_SUB
+    coarse = enc.groupby("vec_id")["cid"].first()
+    # residual codebook rebuilt independently
+    cb = {
+        (m, k): (mat[lo + k] - cents[coarse.loc[lo + k]])[m * S : (m + 1) * S]
+        for k in range(similarity.PQ_K)
+        for m in range(similarity.PQ_M)
+    }
+    codes = enc.set_index(["vec_id", "subspace"])["code"]
+    for qid, grp in topk.groupby("query_id"):
+        dists = {c: int(((mat[qid] - q) ** 2).sum()) for c, q in cents.items()}
+        probes = sorted(dists, key=lambda c: (dists[c], c))[: similarity.N_PROBE]
+        for _, r in grp.iterrows():
+            n = r["neighbor_id"]
+            assert coarse.loc[n] in probes, (qid, n)
+            rq = mat[qid] - cents[coarse.loc[n]]
+            want = sum(
+                int(
+                    (
+                        (rq[m * S : (m + 1) * S] - cb[(m, codes.loc[(n, m)])])
+                        ** 2
+                    ).sum()
+                )
+                for m in range(similarity.PQ_M)
+            )
+            assert r["adist"] == want, (qid, n)
+    plan = formatted_plan(similarity.ann_ivfadc_topk(spark, sf_dir))
+    assert not re.search(r"CartesianProduct|SortMergeJoin", plan), plan
+
+
+def test_ivfadc_recall_consistent_with_public_outputs(spark, sf_dir):
+    truth = similarity._brute_l2_topk(spark, sf_dir).toPandas()
+    approx = similarity.ann_ivfadc_topk(spark, sf_dir).toPandas()
+    audit = (
+        similarity.ann_ivfadc_recall(spark, sf_dir).toPandas().set_index("query_id")
+    )
+    assert (audit["family"] == "ivfadc").all()
+    for qid, grp in truth.groupby("query_id"):
+        ts = set(grp["neighbor_id"])
+        aps = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
+        row = audit.loc[qid]
+        assert row["k"] == len(ts)
+        assert row["n_hit"] == len(ts & aps)
+        assert row["recall_bp"] == (len(ts & aps) * 10000) // len(ts)
