@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfadc_encode": similarity.ivfadc_encode,
         "ann_ivfadc_topk": similarity.ann_ivfadc_topk,
         "ann_ivfadc_recall": similarity.ann_ivfadc_recall,
+        "quality_rung_agreement": corpus.quality_rung_agreement,
         # --- deliberate window overflow (never-driver-checked + changed >
         # the 50-query window): the overflow entries are single-scan
         # pure-INTEGER/string projections whose pytest parity compare is
@@ -3455,6 +3456,53 @@ WITH {_qual_sc_ctes()}
 SELECT doc_id, quality_score,
        CAST(quality_score >= {corpus.QUAL_ACCEPT} AS INT) AS accept
 FROM sc ORDER BY doc_id""",
+        # the rule/classifier verdicts share the sig/sc chain; the CCNet
+        # head flag re-derives the ppl tiers from the same ws words arrays
+        "quality_rung_agreement": f"""
+WITH {_qual_sc_ctes()},
+gf AS (
+    SELECT doc_id,
+           CAST(n_words BETWEEN {corpus.GOPHER_MIN_WORDS} AND {corpus.GOPHER_MAX_WORDS}
+                AND mean_wlen_x100 BETWEEN {corpus.GOPHER_MEANLEN_MIN_X100} AND {corpus.GOPHER_MEANLEN_MAX_X100}
+                AND distinct_bp >= {corpus.GOPHER_DISTINCT_MIN_BP}
+                AND n_stop >= {corpus.GOPHER_STOP_MIN} AS INT) AS in_gopher
+    FROM sig),
+pocc AS (
+    SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+    FROM ws, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    WHERE len(w) >= 2),
+pn12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM pocc GROUP BY w1, w2),
+pn1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM pn12 GROUP BY w1),
+pbits AS (
+    SELECT pn12.w1, pn12.w2, length(printf('%b', n1 // n12)) - 1 AS bits
+    FROM pn12 JOIN pn1 ON pn12.w1 = pn1.w1),
+ppd AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(bits) AS BIGINT) AS sum_bits
+    FROM pocc JOIN pbits USING (w1, w2) GROUP BY doc_id),
+pscored AS (
+    SELECT doc_id, (sum_bits * 100) // n_bigrams AS ppl_c FROM ppd),
+phist AS (SELECT ppl_c, COUNT(*) AS n_docs FROM pscored GROUP BY ppl_c),
+pcuts AS (
+    SELECT ppl_c,
+           CAST(COALESCE(SUM(n_docs) OVER (ORDER BY ppl_c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS below,
+           (SELECT COUNT(*) FROM pscored) AS n_total
+    FROM phist),
+pbk AS (
+    SELECT s.doc_id,
+           CAST(least((c.below * 3) // c.n_total, 2) = 0 AS INT) AS in_ppl_head
+    FROM pscored s JOIN pcuts c USING (ppl_c)),
+per AS (
+    SELECT g.doc_id, g.in_gopher,
+           CAST(sc.quality_score >= {corpus.QUAL_ACCEPT} AS INT) AS in_classifier,
+           COALESCE(b.in_ppl_head, 0) AS in_ppl_head
+    FROM gf g JOIN sc USING (doc_id) LEFT JOIN pbk b USING (doc_id))
+SELECT in_gopher, in_classifier, in_ppl_head,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM per GROUP BY in_gopher, in_classifier, in_ppl_head
+ORDER BY in_gopher, in_classifier, in_ppl_head""",
         # a bad (null/NaN) component must neither crash the norm cast nor
         # leak into the zero-norm count — bad vectors count only as bad
         "embedding_hygiene": """

@@ -1665,6 +1665,12 @@ PPL_STAGES = ("head", "middle", "tail")
 
 
 def perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered presentation wrapper over ``_ppl_buckets`` (semantics and
+    scale notes there)."""
+    return ordered(_ppl_buckets(spark, sf), "doc_id")
+
+
+def _ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style perplexity tiers: every document's mean per-bigram
     surprisal under the corpus bigram LM — ``floor(log2(n(w1) / n(w1,w2)))``
     bits per bigram position, computed exactly as
@@ -1732,7 +1738,44 @@ def perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
             F.array(*[F.lit(s) for s in PPL_STAGES]), F.col("stage") + 1
         ).alias("bucket"),
     )
-    return ordered(out, "doc_id")
+    return out
+
+
+def quality_rung_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-rung quality-gate agreement — the Venn decomposition of the
+    three quality verdicts (the hard Gopher rule conjunction, the graded
+    linear classifier at QUAL_ACCEPT, and CCNet head-tier membership), one
+    row per non-empty membership region.  The quality analog of
+    ``dedup_family_agreement``: before trusting ONE gate at 100 TB, a
+    pipeline owner reads how often the cheap rules and the ranked scores
+    disagree (docs the rules kill but the LM ranks predictable are the
+    false-kill budget; classifier-only keeps measure the graded term's
+    reach).  Documents too short to carry a bigram event are not in the
+    head tier by definition.
+
+    Scale shape: the rule and classifier verdicts ride ONE narrow
+    projection chain (both derive from the same ``gopher_flags`` frame —
+    no second scan, no self-join); the perplexity verdict is the audited
+    ``_ppl_buckets`` pipeline; the merge is one doc-keyed left join plus a
+    groupBy over the 3-bit region key with map-side combine."""
+    flags = gopher_flags(load(spark, sf, "documents"))
+    per = flags.select(
+        "doc_id",
+        F.col("pass_gopher").alias("in_gopher"),
+        (_quality_score() >= QUAL_ACCEPT).cast("int").alias("in_classifier"),
+    )
+    ppl = _ppl_buckets(spark, sf).select(
+        "doc_id", (F.col("bucket") == "head").cast("int").alias("in_ppl_head")
+    )
+    joined = per.join(ppl, "doc_id", "left").select(
+        "in_gopher",
+        "in_classifier",
+        F.coalesce("in_ppl_head", F.lit(0)).alias("in_ppl_head"),
+    )
+    venn = joined.groupBy("in_gopher", "in_classifier", "in_ppl_head").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return ordered(venn, "in_gopher", "in_classifier", "in_ppl_head")
 
 
 # per-key document cap (the Common Crawl domain-cap shape, keyed on source):

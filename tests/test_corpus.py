@@ -379,3 +379,39 @@ def test_source_cap_candidates_are_prefilter_bounded(spark, sf_dir):
     )
     cset = set((r["source"], r["doc_id"]) for r in cand.collect())
     assert sel <= cset
+
+
+def test_quality_rung_agreement_telescopes_from_components(spark, sf_dir):
+    """The Venn counts recompute exactly from the three public component
+    queries; a Gopher pass implies a classifier accept (the rule flags
+    alone carry QUAL_ACCEPT-many points plus the stopword-cap term); and
+    the rungs genuinely disagree somewhere."""
+    import pandas as pd
+
+    g = corpus.gopher_rules(spark, sf_dir).toPandas()[["doc_id", "pass_gopher"]]
+    c = corpus.quality_classifier(spark, sf_dir).toPandas()[["doc_id", "accept"]]
+    p = corpus.perplexity_buckets(spark, sf_dir).toPandas()[["doc_id", "bucket"]]
+    m = g.merge(c, on="doc_id").merge(p, on="doc_id", how="left")
+    m["in_ppl_head"] = (m["bucket"] == "head").fillna(False).astype(int)
+    want = (
+        m.groupby(
+            [m["pass_gopher"].rename("in_gopher"),
+             m["accept"].rename("in_classifier"),
+             "in_ppl_head"]
+        )
+        .size()
+        .rename("n_docs")
+        .reset_index()
+    )
+    got = corpus.quality_rung_agreement(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(list(got.columns)).reset_index(drop=True).astype("int64"),
+        want.sort_values(list(got.columns)).reset_index(drop=True).astype("int64"),
+        check_names=False,
+    )
+    # total telescopes to the corpus
+    assert got["n_docs"].sum() == len(g)
+    # gopher => classifier containment (no (1, 0, *) region)
+    assert got.loc[(got["in_gopher"] == 1) & (got["in_classifier"] == 0)].empty
+    # real disagreement: classifier-only keeps and head-tier splits exist
+    assert len(got) >= 4
