@@ -51,6 +51,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # code or oracle changed this round, then the least-recently-checked
     # stalwarts as window filler; everything green in the previous round's
     # window rotates to the back.
+    #
+    # R5 FRONTING LIST (the never-driver-checked set after the r4 window,
+    # all strict-parity green): token_surprisal, source_cap,
+    # curriculum_stages, url_canonicalize, domain_stats, text_normalize,
+    # extract_spans, shard_stats, packed_doc_spans, seqlen_buckets,
+    # conv_prefix_containment, conv_fork_points, turn_dedup_xconv,
+    # role_sequence_audit, context_budget, assistant_echo, reply_latency,
+    # tool_turn_stats, transcript_funnel, fork_preference_pairs,
+    # preference_pair_stats, sft_pack_conversations, plus the late-r4
+    # additions justext_blocks, justext_strip, pq_encode, ann_pq_topk,
+    # ann_pq_recall, ivfadc_encode, ann_ivfadc_topk, ann_ivfadc_recall,
+    # quality_rung_agreement (bloom_decontaminate stays rows-only by
+    # construction).  32 entries — they all fit the r5 window with room
+    # for r5's own additions.
     return {
         # --- new in r4 session 8: densitometric extraction rung +
         # two-rung agreement audit; conversation-level decontamination ---
