@@ -63,7 +63,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additions justext_blocks, justext_strip, pq_encode, ann_pq_topk,
     # ann_pq_recall, ivfadc_encode, ann_ivfadc_topk, ann_ivfadc_recall,
     # quality_rung_agreement (bloom_decontaminate stays rows-only by
-    # construction).  32 entries — they all fit the r5 window with room
+    # construction), and the session-9 additions ensemble_blocks,
+    # ensemble_strip.  34 entries — they all fit the r5 window with room
     # for r5's own additions.
     return {
         # --- new in r4 session 8: densitometric extraction rung +
@@ -290,6 +291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_lineitem": tpch.rollup_lineitem,
         "ordered_agg_lineitems": tpch.ordered_agg_lineitems,
         "window_hourly_events": tpch.window_hourly_events,
+        # --- new in r4 session 9 (r5-front these with the list above) ---
+        "ensemble_blocks": boilerplate.ensemble_blocks,
+        "ensemble_strip": boilerplate.ensemble_strip,
     }
 
 
@@ -323,14 +327,19 @@ from ocr_mini_service_spark.operators.boilerplate import (
     JT_STOP_HIGH_BP as _JSH,
 )
 
-_BOILER_CTES = f"""
+# the shared word-grid -> block CTEs (every boilerplate-family oracle
+# starts here; kept separate so the ensemble oracle can compose BOTH rung
+# chains after one copy of the block derivation)
+_WB_CTES = f"""
 ws AS (
     SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
 blocks AS (
     SELECT doc_id,
            CAST((s - 1) // {_BW} AS INT) AS block_idx,
            list_slice(w, s, s + {_BW - 1}) AS bw
-    FROM ws, unnest(generate_series(1, len(w), {_BW})) AS t(s)),
+    FROM ws, unnest(generate_series(1, len(w), {_BW})) AS t(s))"""
+
+_BOILER_TAIL = f"""
 feats AS (
     SELECT doc_id, block_idx,
            array_to_string(bw, ' ') AS block_text,
@@ -367,18 +376,13 @@ cls AS (
                 ELSE text_density_x100 > {_DCB} END AS INT) AS is_content_density
     FROM ctx)"""
 
+_BOILER_CTES = _WB_CTES + "," + _BOILER_TAIL
+
 # jusText rung (mirrors operators/boilerplate.py _justext_classified: the
 # context-free stopword/length/link ladder, then the symmetric
 # context-sensitive relabel via nearest context-free good/bad neighbours)
 _JT_SW_SQL = ", ".join(f"'{s}'" for s in _JTS)
-_JT_CTES = f"""
-ws AS (
-    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
-blocks AS (
-    SELECT doc_id,
-           CAST((s - 1) // {_BW} AS INT) AS block_idx,
-           list_slice(w, s, s + {_BW - 1}) AS bw
-    FROM ws, unnest(generate_series(1, len(w), {_BW})) AS t(s)),
+_JT_TAIL = f"""
 jf AS (
     SELECT doc_id, block_idx,
            array_to_string(bw, ' ') AS block_text,
@@ -430,6 +434,25 @@ jfinal AS (
         WHEN next_gb = 'bad' AND next_any = 'neargood' THEN 'good'
         ELSE 'bad' END AS final_class
     FROM jctx)"""
+
+_JT_CTES = _WB_CTES + "," + _JT_TAIL
+
+# majority-vote ensemble over the three rungs: one block derivation, both
+# rung chains, votes joined on the (doc_id, block_idx) grid
+_ENS_CTES = (
+    _WB_CTES
+    + ","
+    + _BOILER_TAIL
+    + ","
+    + _JT_TAIL
+    + f""",
+ens AS (
+    SELECT c.doc_id, c.block_idx, j.block_text, j.n_words, j.link_bp,
+           c.is_content AS vote_rules,
+           c.is_content_density AS vote_density,
+           CAST(j.final_class = 'good' AS INT) AS vote_justext
+    FROM cls c JOIN jfinal j USING (doc_id, block_idx))"""
+)
 
 def _pq_qdist_sql(a: str, b: str, n: str = str(similarity.PQ_SUB)) -> str:
     """Exact quantized-integer squared L2 between two list columns as a SQL
@@ -2416,6 +2439,29 @@ SELECT doc_id,
        COALESCE(string_agg(block_text, ' ' ORDER BY block_idx)
                 FILTER (WHERE final_class = 'good'), '') AS main_text
 FROM jfinal GROUP BY doc_id ORDER BY doc_id""",
+        "ensemble_blocks": f"""
+WITH {_ENS_CTES}
+SELECT doc_id, block_idx, n_words, link_bp, vote_rules, vote_density,
+       vote_justext,
+       CAST(vote_rules + vote_density + vote_justext AS INT) AS votes,
+       CAST(vote_rules + vote_density + vote_justext >= 2 AS INT) AS keep
+FROM ens ORDER BY doc_id, block_idx""",
+        "ensemble_strip": f"""
+WITH {_ENS_CTES}
+SELECT doc_id,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN vote_rules + vote_density + vote_justext >= 2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_blocks,
+       CAST(SUM(CASE WHEN vote_rules + vote_density + vote_justext >= 2
+                THEN n_words ELSE 0 END) AS BIGINT) AS n_kept_words,
+       CAST(SUM(CASE WHEN vote_rules + vote_density + vote_justext = 3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_unanimous,
+       CAST(SUM(CASE WHEN vote_rules + vote_density + vote_justext = 2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_majority_only,
+       COALESCE(string_agg(block_text, ' ' ORDER BY block_idx)
+                FILTER (WHERE vote_rules + vote_density + vote_justext >= 2),
+                '') AS main_text
+FROM ens GROUP BY doc_id ORDER BY doc_id""",
         "extractor_agreement": f"""
 WITH {_BOILER_CTES}
 SELECT doc_id, COUNT(*) AS n_blocks,

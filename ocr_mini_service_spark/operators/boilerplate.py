@@ -133,6 +133,40 @@ def _block_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _rules_verdict():
+    """The NumWordsRules decision as a boolean Column over the context
+    columns (n_words / prev_words / next_words / link_bp / prev_link_bp) —
+    shared by ``_classified`` and the ensemble rung."""
+    low_branch = (
+        (F.col("n_words") > CURR_WORDS_A)
+        | (F.col("next_words") > NEXT_WORDS_A)
+        | (F.col("prev_words") > PREV_WORDS_A)
+    )
+    high_branch = (F.col("n_words") > CURR_WORDS_B) | (
+        F.col("next_words") > NEXT_WORDS_B
+    )
+    return F.when(F.col("link_bp") > CURR_LINK_BP_MAX, F.lit(False)).otherwise(
+        F.when(F.col("prev_link_bp") <= PREV_LINK_BP_LOW, low_branch).otherwise(
+            high_branch
+        )
+    )
+
+
+def _density_verdict():
+    """The densitometric decision as a boolean Column over the density
+    context columns — shared by ``_classified`` and the ensemble rung."""
+    dens_low = (F.col("text_density_x100") > DENS_CURR_A) | (
+        (F.col("prev_density_x100") > DENS_CTX_A)
+        & (F.col("next_density_x100") > DENS_CTX_A)
+    )
+    dens_high = F.col("text_density_x100") > DENS_CURR_B
+    return F.when(F.col("link_bp") > CURR_LINK_BP_MAX, F.lit(False)).otherwise(
+        F.when(F.col("prev_link_bp") <= PREV_LINK_BP_LOW, dens_low).otherwise(
+            dens_high
+        )
+    )
+
+
 def _classified(spark: SparkSession, sf: str) -> DataFrame:
     """Block features + prev/next context + BOTH rung decisions (the
     NumWordsRules word-count tree and its densitometric twin) — one doc-key
@@ -152,36 +186,9 @@ def _classified(spark: SparkSession, sf: str) -> DataFrame:
             "next_density_x100"
         ),
     )
-    low_branch = (
-        (F.col("n_words") > CURR_WORDS_A)
-        | (F.col("next_words") > NEXT_WORDS_A)
-        | (F.col("prev_words") > PREV_WORDS_A)
-    )
-    high_branch = (F.col("n_words") > CURR_WORDS_B) | (
-        F.col("next_words") > NEXT_WORDS_B
-    )
-    is_content = F.when(
-        F.col("link_bp") > CURR_LINK_BP_MAX, F.lit(False)
-    ).otherwise(
-        F.when(F.col("prev_link_bp") <= PREV_LINK_BP_LOW, low_branch).otherwise(
-            high_branch
-        )
-    )
-    dens_low = (F.col("text_density_x100") > DENS_CURR_A) | (
-        (F.col("prev_density_x100") > DENS_CTX_A)
-        & (F.col("next_density_x100") > DENS_CTX_A)
-    )
-    dens_high = F.col("text_density_x100") > DENS_CURR_B
-    is_content_density = F.when(
-        F.col("link_bp") > CURR_LINK_BP_MAX, F.lit(False)
-    ).otherwise(
-        F.when(F.col("prev_link_bp") <= PREV_LINK_BP_LOW, dens_low).otherwise(
-            dens_high
-        )
-    )
-    return ctx.withColumn("is_content", is_content.cast("int")).withColumn(
-        "is_content_density", is_content_density.cast("int")
-    )
+    return ctx.withColumn(
+        "is_content", _rules_verdict().cast("int")
+    ).withColumn("is_content_density", _density_verdict().cast("int"))
 
 
 def boilerplate_blocks(spark: SparkSession, sf: str) -> DataFrame:
@@ -417,6 +424,101 @@ def justext_strip(spark: SparkSession, sf: str) -> DataFrame:
                     F.collect_list(
                         F.when(
                             F.col("final_class") == "good",
+                            F.struct("block_idx", "block_text"),
+                        )
+                    )
+                ),
+                lambda s: s["block_text"],
+            ),
+            " ",
+        ).alias("main_text"),
+    )
+    return ordered(out, "doc_id")
+
+
+def _ensemble_classified(spark: SparkSession, sf: str) -> DataFrame:
+    """All THREE rung verdicts (NumWordsRules, densitometric, jusText) on
+    one block frame — the majority-vote ensemble extractor (the standard
+    CleanEval-era remedy for single-classifier precision/recall trade-offs:
+    each rung errs on different blocks, so 2-of-3 voting beats any member).
+
+    Built ON TOP of the jusText frame instead of joining classifier
+    outputs: the rules/density context columns are five more lag/lead
+    expressions over the SAME (doc_id, block_idx) window the jusText
+    context pass already sorts for, so all three verdicts ride one scan,
+    one Exchange, one Sort — no self-join of rung outputs (the plan test
+    pins Join-free)."""
+    jt = _justext_classified(spark, sf)
+    w = Window.partitionBy("doc_id").orderBy("block_idx")
+    dens = F.expr(
+        f"(n_words * 100) div greatest("
+        f"(length(block_text) + {WRAP_COLS - 1}) div {WRAP_COLS}, 1)"
+    )
+    ctx = jt.withColumn("text_density_x100", dens).select(
+        "*",
+        F.coalesce(F.lag("n_words").over(w), F.lit(0)).alias("prev_words"),
+        F.coalesce(F.lead("n_words").over(w), F.lit(0)).alias("next_words"),
+        F.coalesce(F.lag("link_bp").over(w), F.lit(0)).alias("prev_link_bp"),
+        F.coalesce(F.lag("text_density_x100").over(w), F.lit(0)).alias(
+            "prev_density_x100"
+        ),
+        F.coalesce(F.lead("text_density_x100").over(w), F.lit(0)).alias(
+            "next_density_x100"
+        ),
+    )
+    return (
+        ctx.withColumn("vote_rules", _rules_verdict().cast("int"))
+        .withColumn("vote_density", _density_verdict().cast("int"))
+        .withColumn(
+            "vote_justext", (F.col("final_class") == "good").cast("int")
+        )
+        .withColumn(
+            "votes",
+            F.col("vote_rules") + F.col("vote_density") + F.col("vote_justext"),
+        )
+        .withColumn("keep", (F.col("votes") >= 2).cast("int"))
+    )
+
+
+def ensemble_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-block majority-vote ensemble classification: each rung's vote,
+    the vote total, and the 2-of-3 keep decision."""
+    out = _ensemble_classified(spark, sf).select(
+        "doc_id",
+        "block_idx",
+        "n_words",
+        "link_bp",
+        "vote_rules",
+        "vote_density",
+        "vote_justext",
+        "votes",
+        "keep",
+    )
+    return ordered(out, "doc_id", "block_idx")
+
+
+def ensemble_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate stripping under the majority-vote ensemble: each
+    document reduced to its 2-of-3 kept blocks in block order, with the
+    unanimity audit (how many keeps all three rungs agreed on vs. majority
+    rescues) a pipeline owner watches to see whether the ensemble is
+    actually arbitrating or one rung dominates.  One keyed groupBy over the
+    classified blocks; all-boilerplate docs survive with empty main_text."""
+    cls = _ensemble_classified(spark, sf)
+    out = cls.groupBy("doc_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("keep").cast("long").alias("n_kept_blocks"),
+        F.sum(F.col("keep") * F.col("n_words"))
+        .cast("long")
+        .alias("n_kept_words"),
+        F.sum((F.col("votes") == 3).cast("long")).alias("n_unanimous"),
+        F.sum((F.col("votes") == 2).cast("long")).alias("n_majority_only"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep") == 1,
                             F.struct("block_idx", "block_text"),
                         )
                     )

@@ -237,6 +237,82 @@ def test_justext_is_one_window_pass_no_join(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
 
 
+def test_ensemble_votes_replicate_from_member_rungs(spark, sf_dir):
+    """The 2-of-3 ensemble verdict recomposed from the three member rungs'
+    own outputs must match vote-for-vote; every vote total 0..3 occurs and
+    each of rules/density arbitrates some block alone (the ensemble is a
+    real tie-breaker, not a constant)."""
+    ens = bp.ensemble_blocks(spark, sf_dir).toPandas()
+    rules = bp.boilerplate_blocks(spark, sf_dir).toPandas()
+    dens = bp.density_blocks(spark, sf_dir).toPandas()
+    jt = bp.justext_blocks(spark, sf_dir).toPandas()
+    m = (
+        ens.merge(
+            rules[["doc_id", "block_idx", "is_content"]],
+            on=["doc_id", "block_idx"],
+        )
+        .merge(
+            dens[["doc_id", "block_idx", "is_content_density"]],
+            on=["doc_id", "block_idx"],
+        )
+        .merge(
+            jt[["doc_id", "block_idx", "final_class"]],
+            on=["doc_id", "block_idx"],
+        )
+    )
+    assert len(m) == len(ens)
+    assert (m["vote_rules"] == m["is_content"]).all()
+    assert (m["vote_density"] == m["is_content_density"]).all()
+    assert (m["vote_justext"] == (m["final_class"] == "good").astype(int)).all()
+    want_votes = m["is_content"] + m["is_content_density"] + (
+        m["final_class"] == "good"
+    ).astype(int)
+    assert (m["votes"] == want_votes).all()
+    assert (m["keep"] == (want_votes >= 2).astype(int)).all()
+    assert set(m["votes"]) == {0, 1, 2, 3}
+    # majority voting actually overrules single rungs in both directions
+    assert ((m["votes"] == 2) & (m["keep"] == 1)).any()
+    assert ((m["votes"] == 1) & (m["keep"] == 0)).any()
+
+
+def test_ensemble_strip_telescopes(spark, sf_dir):
+    blocks = bp.ensemble_blocks(spark, sf_dir).toPandas()
+    strip = bp.ensemble_strip(spark, sf_dir).toPandas().set_index("doc_id")
+    per = blocks.groupby("doc_id").agg(
+        n_blocks=("block_idx", "size"),
+        n_kept_blocks=("keep", "sum"),
+        n_unanimous=("votes", lambda s: (s == 3).sum()),
+        n_majority_only=("votes", lambda s: (s == 2).sum()),
+    )
+    kept_words = (
+        blocks.loc[blocks["keep"] == 1].groupby("doc_id")["n_words"].sum()
+    )
+    m = strip.join(per, rsuffix="_chk")
+    for c in ("n_blocks", "n_kept_blocks", "n_unanimous", "n_majority_only"):
+        assert (m[c] == m[f"{c}_chk"]).all()
+    assert (
+        m["n_kept_words"] == kept_words.reindex(m.index).fillna(0).astype(int)
+    ).all()
+    got_words = m["main_text"].str.split().str.len().fillna(0).astype(int)
+    assert (got_words == m["n_kept_words"]).all()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    assert set(m.index) == set(docs["doc_id"])
+
+
+def test_ensemble_is_join_free_one_sort(spark, sf_dir):
+    """All three verdicts ride the jusText frame's doc-keyed sort: the
+    ensemble plan never joins rung outputs and adds no Window pass beyond
+    the (fused) context lookups."""
+    import re
+    from ocr_mini_service_spark.plans import formatted_plan
+
+    plan = formatted_plan(bp.ensemble_blocks(spark, sf_dir))
+    assert not re.search(r"Join", plan), plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) <= 2, plan
+    # one doc-keyed window sort + the presentation sort, same as justext
+    assert len(re.findall(r"\(\d+\) Sort", plan)) <= 2, plan
+
+
 def test_extractor_agreement_is_one_pass_no_join(spark, sf_dir):
     """Both verdicts come from the same window pass: the audit plan has no
     join at all and exactly one doc_id-keyed Window."""
