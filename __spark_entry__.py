@@ -64,8 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_pq_recall, ivfadc_encode, ann_ivfadc_topk, ann_ivfadc_recall,
     # quality_rung_agreement (bloom_decontaminate stays rows-only by
     # construction), and the session-9 additions ensemble_blocks,
-    # ensemble_strip.  34 entries — they all fit the r5 window with room
-    # for r5's own additions.
+    # ensemble_strip, ensemble_strip_spans.  35 entries — they all fit the
+    # r5 window with room for r5's own additions.
     return {
         # --- new in r4 session 8: densitometric extraction rung +
         # two-rung agreement audit; conversation-level decontamination ---
@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 session 9 (r5-front these with the list above) ---
         "ensemble_blocks": boilerplate.ensemble_blocks,
         "ensemble_strip": boilerplate.ensemble_strip,
+        "ensemble_strip_spans": boilerplate.ensemble_strip_spans,
     }
 
 
@@ -2462,6 +2463,27 @@ SELECT doc_id,
                 FILTER (WHERE vote_rules + vote_density + vote_justext >= 2),
                 '') AS main_text
 FROM ens GROUP BY doc_id ORDER BY doc_id""",
+        "ensemble_strip_spans": f"""
+WITH {_ENS_CTES},
+off AS (
+    SELECT doc_id, block_idx, block_text,
+           (vote_rules + vote_density + vote_justext >= 2) AS keep,
+           CAST(COALESCE(SUM(length(block_text) + 1) OVER
+               (PARTITION BY doc_id ORDER BY block_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS span_start
+    FROM ens),
+canon AS (
+    SELECT doc_id,
+           array_to_string(string_split_regex(trim(text), '\\s+'), ' ') AS ct
+    FROM documents)
+SELECT o.doc_id, o.block_idx, o.span_start,
+       CAST(o.span_start + length(o.block_text) AS BIGINT) AS span_end,
+       substring(c.ct, CAST(o.span_start + 1 AS INT),
+                 length(o.block_text)) AS block_text
+FROM off o JOIN canon c USING (doc_id)
+WHERE o.keep
+ORDER BY doc_id, block_idx""",
         "extractor_agreement": f"""
 WITH {_BOILER_CTES}
 SELECT doc_id, COUNT(*) AS n_blocks,

@@ -531,6 +531,50 @@ def ensemble_strip(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(out, "doc_id")
 
 
+def ensemble_strip_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-span offsets of the ensemble-kept blocks — the span half
+    of the strip's (text, spans) output contract (same contract as the
+    kernel path's ``extract_spans``): kept block i occupies
+    [span_start, span_end) of the document's canonical single-space text.
+
+    Offsets are a running sum of (block length + 1 joining space) over ALL
+    blocks — kept and dropped — so they address the original document, not
+    the stripped result; the keep filter applies after the cumsum.  The
+    oracle re-derives the offsets independently and substring-addresses the
+    reconstructed canonical text at them, so a drifted offset surfaces as a
+    mismatched block_text, not just a mismatched integer.
+
+    Scale shape: one more frame on the same doc-keyed window sort the
+    verdicts already ride — no join, nothing quadratic."""
+    cls = _ensemble_classified(spark, sf)
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("block_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sp = cls.select(
+        "doc_id",
+        "block_idx",
+        "block_text",
+        "keep",
+        F.coalesce(
+            F.sum(F.length("block_text") + F.lit(1)).over(wcum), F.lit(0)
+        )
+        .cast("long")
+        .alias("span_start"),
+    )
+    out = sp.filter(F.col("keep") == 1).select(
+        "doc_id",
+        "block_idx",
+        "span_start",
+        (F.col("span_start") + F.length("block_text"))
+        .cast("long")
+        .alias("span_end"),
+        "block_text",
+    )
+    return ordered(out, "doc_id", "block_idx")
+
+
 def curation_funnel_v2(spark: SparkSession, sf: str) -> DataFrame:
     """The web-extraction curation pipeline as one declarative DAG, audited
     as a funnel: raw -> boilerplate strip (>= 1 content block survives) ->

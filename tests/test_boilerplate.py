@@ -299,6 +299,24 @@ def test_ensemble_strip_telescopes(spark, sf_dir):
     assert set(m.index) == set(docs["doc_id"])
 
 
+def test_ensemble_strip_spans_address_the_canonical_text(spark, sf_dir):
+    """Every emitted span, substring-addressed into the canonical
+    single-space document text, yields exactly its block_text; spans are
+    disjoint, ordered, and there is one per kept block."""
+    sp = bp.ensemble_strip_spans(spark, sf_dir).toPandas()
+    blocks = bp.ensemble_blocks(spark, sf_dir).toPandas()
+    kept = blocks.loc[blocks["keep"] == 1, ["doc_id", "block_idx"]]
+    assert len(sp) == len(kept)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    canon = {
+        r.doc_id: " ".join(r.text.strip().split()) for r in docs.itertuples()
+    }
+    for r in sp.itertuples():
+        assert canon[r.doc_id][r.span_start : r.span_end] == r.block_text
+    prev_end = sp.groupby("doc_id")["span_end"].shift(1)
+    assert ((sp["span_start"] >= prev_end) | prev_end.isna()).all()
+
+
 def test_ensemble_is_join_free_one_sort(spark, sf_dir):
     """All three verdicts ride the jusText frame's doc-keyed sort: the
     ensemble plan never joins rung outputs and adds no Window pass beyond
