@@ -181,6 +181,15 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "presentation repartition.",
             formatted_plan(q["boilerplate_strip"](spark, sf_dir)),
         ),
+        "ensemble_strip": (
+            "2-of-3 majority-vote ensemble of the NumWordsRules / "
+            "densitometric / jusText rungs: all three verdicts are "
+            "computed on the jusText frame's single doc-keyed window sort "
+            "(the rules/density context is five more lag/lead frames on "
+            "the same key) — NO join of rung outputs anywhere — then one "
+            "keyed groupBy reassembles the kept blocks.",
+            formatted_plan(q["ensemble_strip"](spark, sf_dir)),
+        ),
         "curation_funnel_v2": (
             "strip -> Gopher gate on stripped text -> exact dedup of "
             "stripped text in ONE DAG: the gate is a narrow projection "
