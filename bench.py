@@ -522,9 +522,15 @@ slots; at 8 waves the tail amortizes.  Consequences applied: (a)
 (was 2x), (b) the thread-pair row above is measured wave-matched (8 waves
 per slot count on both sides; the ABBA executor criterion keeps the fixed
 64-bucket job — its 2- and 8-slot sides run 32 and 8 waves, both already
-fine-grained).  Residual 8->32 inefficiency (~0.7 vs the 0.80 busy-loop
-ceiling) tracks the hypervisor's own >16-thread cycle cap, not a pipeline
-property.
+fine-grained).  Residual 8->32 inefficiency after the wave fix tracked the
+hypervisor's own >16-thread cycle cap (~0.7 vs the 0.80 busy-loop ceiling
+in the profiling session); this run's thread row measured {eff_8_32:.2f}
+vs a {busy_eff_8_32:.2f} ceiling.  Unlike the ABBA executor criterion the
+thread row is SINGLE-SHOT (one local[8] session vs one local[32] session
+minutes apart, no drift cancellation), so it inherits this host's ±3x
+minutes-scale hypervisor swings verbatim — runs 13/14 measured identical
+code at 0.27 and 0.33 while the drift-cancelled criterion held 0.88/0.82.
+It is transparency, not the criterion.
 
 Two machine calibrations contextualize these numbers on this shared VM:
 
