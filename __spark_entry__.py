@@ -64,8 +64,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_pq_recall, ivfadc_encode, ann_ivfadc_topk, ann_ivfadc_recall,
     # quality_rung_agreement (bloom_decontaminate stays rows-only by
     # construction), and the session-9 additions ensemble_blocks,
-    # ensemble_strip, ensemble_strip_spans.  35 entries — they all fit the
-    # r5 window with room for r5's own additions.
+    # ensemble_strip, ensemble_strip_spans.  34 entries (22 + 9 late-r4 +
+    # 3 session-9) — they all fit the r5 window with room for r5's own
+    # additions.
     return {
         # --- new in r4 session 8: densitometric extraction rung +
         # two-rung agreement audit; conversation-level decontamination ---

@@ -57,6 +57,7 @@ CURR_WORDS_B, NEXT_WORDS_B = 40, 17
 # steps; full blocks run 33–52 chars), same convention as the densitometric
 # rung above.
 JT_STOPWORDS = ("a", "the")  # the corpus vocabulary's function words
+_JT_SW_ARR = ", ".join(f"'{s}'" for s in JT_STOPWORDS)  # SQL literal array body
 JT_MAX_LINK_BP = 2000  # link_density > 0.2 => bad (paper default)
 JT_LEN_LOW = 25  # chars; below => short (or bad if any link)
 JT_LEN_HIGH = 38  # chars; stopword-dense blocks above => good
@@ -77,6 +78,18 @@ DENS_CURR_B = 750  # high-prev-link branch: content iff curr > 7.50 only
 
 def _words(col: str = "text"):
     return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def _text_density():
+    """Densitometric text density (Kohlschütter et al. §3.2): words per
+    WRAP_COLS-wrapped line as an exact ×100 integer, over the n_words /
+    block_text columns — THE single source of the formula (shared by
+    ``_block_features`` and the ensemble frame so the two can never
+    drift)."""
+    return F.expr(
+        f"(n_words * 100) div greatest("
+        f"(length(block_text) + {WRAP_COLS - 1}) div {WRAP_COLS}, 1)"
+    )
 
 
 def _block_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -119,17 +132,7 @@ def _block_features(spark: SparkSession, sf: str) -> DataFrame:
             n_links.alias("n_links"),
         )
         .withColumn("link_bp", F.expr("(n_links * 10000) div n_words"))
-        # densitometric text density (Kohlschütter et al. §3.2): words per
-        # WRAP_COLS-wrapped line, as an exact ×100 integer
-        .withColumn(
-            "n_lines",
-            F.greatest(
-                F.expr(f"(length(block_text) + {WRAP_COLS - 1}) div {WRAP_COLS}"),
-                F.lit(1),
-            ),
-        )
-        .withColumn("text_density_x100", F.expr("(n_words * 100) div n_lines"))
-        .drop("n_lines")
+        .withColumn("text_density_x100", _text_density())
     )
 
 
@@ -305,7 +308,6 @@ def _justext_classified(spark: SparkSession, sf: str) -> DataFrame:
     plus one window on the doc key (four lag/lead-style frames share the
     one Sort+Window pass) — no join, nothing quadratic, no UDF."""
     feats = _block_features(spark, sf)
-    stop_list = F.array(*[F.lit(s) for s in JT_STOPWORDS])
     jt = feats.select(
         "doc_id",
         "block_idx",
@@ -313,16 +315,13 @@ def _justext_classified(spark: SparkSession, sf: str) -> DataFrame:
         "n_words",
         "link_bp",
         F.length("block_text").cast("int").alias("n_chars"),
-        (
-            F.size(
-                F.filter(
-                    F.split("block_text", " "),
-                    lambda x: F.array_contains(stop_list, x),
-                )
-            ).cast("long")
-            * 10000
-            / F.col("n_words")
-        ).cast("long").alias("stop_bp"),
+        F.expr(
+            # repo convention: exact integer `div`, never a float ratio
+            # (truncated doubles can straddle rounding ties vs DuckDB `//`)
+            f"(size(filter(split(block_text, ' '),"
+            f" x -> array_contains(array({_JT_SW_ARR}), x))) * 10000L)"
+            " div n_words"
+        ).alias("stop_bp"),
     )
     cf = (
         F.when(F.col("link_bp") > JT_MAX_LINK_BP, F.lit("bad"))
@@ -450,11 +449,7 @@ def _ensemble_classified(spark: SparkSession, sf: str) -> DataFrame:
     pins Join-free)."""
     jt = _justext_classified(spark, sf)
     w = Window.partitionBy("doc_id").orderBy("block_idx")
-    dens = F.expr(
-        f"(n_words * 100) div greatest("
-        f"(length(block_text) + {WRAP_COLS - 1}) div {WRAP_COLS}, 1)"
-    )
-    ctx = jt.withColumn("text_density_x100", dens).select(
+    ctx = jt.withColumn("text_density_x100", _text_density()).select(
         "*",
         F.coalesce(F.lag("n_words").over(w), F.lit(0)).alias("prev_words"),
         F.coalesce(F.lead("n_words").over(w), F.lit(0)).alias("next_words"),

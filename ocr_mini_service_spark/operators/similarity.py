@@ -838,8 +838,9 @@ def ann_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
 # Search"): split the D-dim space into PQ_M subspaces, quantize each
 # subvector against a per-subspace codebook of PQ_K centroids, and search
 # with asymmetric distance computation (ADC) — the query stays exact, each
-# corpus vector costs PQ_M small-int codes (here 4 codes for a 64-dim
-# vector: 32x compression), and distances are PQ_M table lookups.  At
+# corpus vector costs PQ_M small-int codes (here 16 four-bit codes — 8
+# bytes — for a 64-dim vector: 32x compression), and distances are PQ_M
+# table lookups.  At
 # 100 TB this is what makes billion-vector indexes fit in executor memory
 # (FAISS's IVFADC is IVF lists over exactly these codes).  Codebooks are
 # k-means-trained in production (``kmeans_step`` is the primitive); here
@@ -854,7 +855,7 @@ def _qdist_fold(a, b):
     """Exact integer squared L2 of two quantized float arrays as a native
     Catalyst fold (the distance twin of ``_qdot`` — used on PQ_SUB-length
     subvectors where a pandas UDF round-trip would cost more than the
-    16-element fold)."""
+    PQ_SUB=4-element fold)."""
     diff = F.zip_with(
         a,
         b,
@@ -999,29 +1000,31 @@ def _brute_l2_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def ann_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
-    """Recall@k of the PQ/ADC search against exact brute-force squared-L2
-    ground truth — the compression counterpart of ``ann_recall_audit``
-    (same audit shape, separate query so the already-driver-checked
-    ivf/lsh audit rows stay byte-identical): per query, how many true
-    top-k neighbors the code-compressed search recovered, as exact counts
-    and basis points."""
+def _recall_audit(spark: SparkSession, sf: str, approx: DataFrame, family: str) -> DataFrame:
+    """Recall@k of an approximate top-k frame against exact brute-force
+    squared-L2 ground truth: per query, how many true top-k neighbors the
+    approximate search recovered, as exact counts and basis points.  The
+    truth frame feeds two consumers (the k base and the hit semi-join), so
+    it is localCheckpointed once."""
     truth = (
         _brute_l2_topk(spark, sf)
         .select("query_id", "neighbor_id")
         .localCheckpoint()
     )
     base = truth.groupBy("query_id").agg(F.count("*").cast("long").alias("k"))
-    approx = _pq_topk(spark, sf).select("query_id", "neighbor_id")
     hits = (
-        truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        truth.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
         .groupBy("query_id")
         .agg(F.count("*").cast("long").alias("n_hit"))
     )
     out = (
         base.join(hits, "query_id", "left")
         .select(
-            F.lit("pq").alias("family"),
+            F.lit(family).alias("family"),
             "query_id",
             "k",
             F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
@@ -1035,6 +1038,13 @@ def ann_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return ordered(out, "family", "query_id")
+
+
+def ann_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of the PQ/ADC search — the compression counterpart of
+    ``ann_recall_audit`` (same audit shape, separate query so the
+    already-driver-checked ivf/lsh audit rows stay byte-identical)."""
+    return _recall_audit(spark, sf, _pq_topk(spark, sf), "pq")
 
 
 # ---------------------------------------------------------------------------
@@ -1129,7 +1139,11 @@ def ivfadc_encode(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    assigned = _coarse_assigned(emb)
+    # the assignment feeds both the residual codebook and the residual
+    # projection inside _ivfadc_encoded; Spark shares no subtrees, so
+    # evaluate the corpus x N_CENTROIDS argmin once (same discipline as
+    # _ivfadc_topk)
+    assigned = _coarse_assigned(emb).localCheckpoint(eager=True)
     return ordered(_ivfadc_encoded(assigned), "vec_id", "subspace")
 
 
@@ -1244,33 +1258,7 @@ def ann_ivfadc_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def ann_ivfadc_recall(spark: SparkSession, sf: str) -> DataFrame:
-    """Recall@k of IVFADC against exact brute-force squared-L2 ground truth
-    (same audit shape as ``ann_pq_recall``; losses here compound list
-    pruning AND code quantization, so this row minus the PQ row isolates
-    what probing costs)."""
-    truth = (
-        _brute_l2_topk(spark, sf)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint()
-    )
-    base = truth.groupBy("query_id").agg(F.count("*").cast("long").alias("k"))
-    approx = _ivfadc_topk(spark, sf).select("query_id", "neighbor_id")
-    hits = (
-        truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count("*").cast("long").alias("n_hit"))
-    )
-    out = (
-        base.join(hits, "query_id", "left")
-        .select(
-            F.lit("ivfadc").alias("family"),
-            "query_id",
-            "k",
-            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
-        )
-        .select(
-            "family", "query_id", "k", "n_hit",
-            F.expr("(n_hit * 10000) div k").alias("recall_bp"),
-        )
-    )
-    return ordered(out, "family", "query_id")
+    """Recall@k of IVFADC (same audit shape as ``ann_pq_recall``; losses
+    here compound list pruning AND code quantization, so this row minus
+    the PQ row isolates what probing costs)."""
+    return _recall_audit(spark, sf, _ivfadc_topk(spark, sf), "ivfadc")
