@@ -12,8 +12,9 @@ honestly do:
 
 - **rasters the container can honestly decode are REALLY decoded** in
   pure Python/stdlib/numpy: binary PPM (netpbm ``P6``), 24-bit BI_RGB
-  BMP, non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA, all
-  five filter types; ``_decode_png``), and baseline-sequential JPEG
+  BMP, PNG in the full Jimp matrix (depths 1/2/4/8/16, all five color
+  types incl. palette, all five filter types, sequential and Adam7
+  interlace; ``_decode_png``), and baseline-sequential JPEG
   (``_decode_jpeg``: full marker parse, entropy tables read from the
   file's own DHT/DQT segments, canonical Huffman decode with byte
   unstuffing and restart-marker support, dequantize + dezigzag +
@@ -182,9 +183,26 @@ def _decode_bmp(payload: bytes) -> dict:
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-# color type -> samples per pixel (8-bit depth only; palette needs PLTE
-# indirection and is rejected explicitly rather than half-supported)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# color type -> legal bit depths (PNG spec §11.2.2, table 11.1)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass (spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 # declared-dimension sanity cap, enforced BEFORE inflating any pixel data:
 # bounds both worker memory (the inflate buffer) and the per-byte Python
 # unfilter loop for hostile average/paeth-filtered rows.  2048x2048 is far
@@ -260,26 +278,58 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _png_pass_bytes(w_p: int, h_p: int, depth: int, ch: int) -> int:
+    """Filtered byte count of one (sub)image: h rows of 1 filter byte +
+    ceil(w*ch*depth/8) packed sample bytes; an empty pass has no rows."""
+    if w_p <= 0 or h_p <= 0:
+        return 0
+    stride = (w_p * ch * depth + 7) // 8
+    return h_p * (stride + 1)
+
+
+def _png_unpack(raw: np.ndarray, w_p: int, h_p: int, depth: int, ch: int) -> np.ndarray:
+    """Unfilter + unpack one (sub)image to raw sample values (h, w, ch)
+    uint8.  16-bit samples reduce to their high byte (the standard 16->8
+    conversion); sub-byte samples come out UNSCALED (gray scaling and
+    palette indexing differ downstream).  Filters operate on bytes with
+    bpp = the byte width of one pixel rounded up to 1 (spec §7.2)."""
+    stride = (w_p * ch * depth + 7) // 8
+    bpp = max(1, (ch * depth) // 8)
+    b = _png_unfilter(raw, h_p, stride, bpp)
+    if depth == 8:
+        return b.reshape(h_p, w_p, ch)
+    if depth == 16:
+        return b.reshape(h_p, stride)[:, 0::2].reshape(h_p, w_p, ch)
+    # depth 1/2/4 — single-channel by spec (gray or palette indices)
+    bits = np.unpackbits(b, axis=1)[:, : w_p * depth]
+    vals = bits.reshape(h_p, w_p, depth) @ (1 << np.arange(depth - 1, -1, -1))
+    return vals.astype(np.uint8).reshape(h_p, w_p, 1)
+
+
 def _decode_png_pixels(payload: bytes) -> np.ndarray:
-    """Real decode of a non-interlaced 8-bit PNG via stdlib zlib: IHDR
-    parse, concatenated-IDAT inflate, per-row unfilter, channel expansion
-    to (h, w, 3) RGB.  Gray expands to three equal channels; alpha is
-    dropped (straight, not premultiplied — luma is computed over the color
-    samples as stored, the same numbers Jimp's bitmap exposes).  Palette,
-    16-bit, and interlaced files raise — unsupported is an error, never a
-    silent stub downgrade (the reference decodes these via Jimp,
-    src/ocr/code-reader.service.ts:22-30)."""
+    """Real decode of a PNG via stdlib zlib — the full format matrix the
+    reference's Jimp reader accepts (src/ocr/code-reader.service.ts:22-30):
+    bit depths 1/2/4/8/16, color types gray / RGB / palette / gray+alpha /
+    RGBA, non-interlaced and Adam7-interlaced.  IHDR parse,
+    concatenated-IDAT inflate, per-(sub)image unfilter, channel expansion
+    to (h, w, 3) RGB.  Gray scales to 8-bit (exact 255/(2^d-1) for d<8,
+    high byte for 16-bit); palette indices look up PLTE (out-of-range
+    indices raise); alpha is dropped (straight, not premultiplied — luma
+    is computed over the color samples as stored, the same numbers Jimp's
+    bitmap exposes).  Corrupt structure raises — an error, never a silent
+    stub downgrade.
+
+    IHDR is validated BEFORE any IDAT byte is inflated: the declared
+    dimensions bound the inflate output, so a decompression-bomb payload
+    (tiny deflate stream, enormous expansion) is rejected as a size
+    mismatch instead of allocating gigabytes in the Python worker — the
+    kernel's per-row error isolation catches exceptions, not OOMs."""
     import struct
     import zlib
 
-    # IHDR is validated BEFORE any IDAT byte is inflated: the declared
-    # dimensions bound the inflate output, so a decompression-bomb payload
-    # (tiny deflate stream, enormous expansion) is rejected as a size
-    # mismatch instead of allocating gigabytes in the Python worker — the
-    # kernel's per-row error isolation catches exceptions, not OOMs
     ihdr = None
     idat = bytearray()
-    ch = stride = 0
+    plte = None
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
             if len(data) < 13:
@@ -294,17 +344,20 @@ def _decode_png_pixels(payload: bytes) -> np.ndarray:
                 raise ValueError(
                     f"PNG too large ({w}x{h} > {_PNG_MAX_PX} px cap)"
                 )
-            if depth != 8 or color not in _PNG_CHANNELS:
+            if color not in _PNG_DEPTHS or depth not in _PNG_DEPTHS[color]:
                 raise ValueError(
                     f"unsupported PNG (depth={depth}, color_type={color})"
                 )
-            if comp != 0 or filt != 0 or interlace != 0:
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ValueError(
                     f"unsupported PNG (compression={comp}, filter={filt},"
                     f" interlace={interlace})"
                 )
             ch = _PNG_CHANNELS[color]
-            stride = w * ch
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not 3 <= len(data) <= 768:
+                raise ValueError("invalid PNG PLTE length")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             if ihdr is None:
                 raise ValueError("PNG IDAT before IHDR")
@@ -313,7 +366,17 @@ def _decode_png_pixels(payload: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     if not idat:
         raise ValueError("PNG missing IDAT")
-    expected = h * (stride + 1)
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    if interlace == 0:
+        passes = ((0, 0, 1, 1),)
+    else:
+        passes = _ADAM7
+    geo = [
+        (x0, y0, dx, dy, (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+        for x0, y0, dx, dy in passes
+    ]
+    expected = sum(_png_pass_bytes(w_p, h_p, depth, ch) for *_, w_p, h_p in geo)
     d = zlib.decompressobj()
     raw_b = d.decompress(bytes(idat), expected + 1)
     if len(raw_b) != expected or not d.eof or d.unconsumed_tail:
@@ -322,11 +385,25 @@ def _decode_png_pixels(payload: bytes) -> np.ndarray:
             f" != expected {expected}"
         )
     raw = np.frombuffer(raw_b, dtype=np.uint8)
-    px = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
-    if color == 0:  # gray
-        return np.repeat(px, 3, axis=2)
-    if color == 4:  # gray + alpha
-        return np.repeat(px[:, :, :1], 3, axis=2)
+    px = np.zeros((h, w, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, w_p, h_p in geo:
+        nb = _png_pass_bytes(w_p, h_p, depth, ch)
+        if nb == 0:
+            continue
+        px[y0::dy, x0::dx] = _png_unpack(
+            raw[off : off + nb], w_p, h_p, depth, ch
+        )
+        off += nb
+    if color == 3:  # palette lookup -> RGB
+        return plte[px[:, :, 0]]
+    if color in (0, 4):  # gray / gray+alpha
+        g = px[:, :, :1]
+        if depth < 8:
+            g = (g.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
+                np.uint8
+            )
+        return np.repeat(g, 3, axis=2)
     return px[:, :, :3]  # RGB / RGBA (alpha dropped)
 
 

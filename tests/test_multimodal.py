@@ -194,8 +194,8 @@ def test_degenerate_raster_headers_error_not_nan(spark):
     assert out[3]["error"] and "truncated BMP" in out[3]["error"]
 
 # ---------------------------------------------------------------------------
-# PNG: real stdlib-zlib decode (non-interlaced 8-bit gray/GA/RGB/RGBA,
-# filters 0-4)
+# PNG: real stdlib-zlib decode (full Jimp matrix: depths 1/2/4/8/16, all
+# five color types incl. palette, filters 0-4, Adam7 interlace)
 # ---------------------------------------------------------------------------
 
 
@@ -255,6 +255,84 @@ def _png(w, h, rows_px, color_type=2, filters=None):
     )
 
 
+def _png_filter_rows(rows_b, bpp, ftype):
+    """Forward-filter packed rows (spec §9): one filter type for every
+    row; byte-level with the decoder's bpp."""
+    raw = bytearray()
+    prev = bytes(len(rows_b[0]))
+    for cur in rows_b:
+        raw.append(ftype)
+        for x in range(len(cur)):
+            left = cur[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            raw.append((cur[x] - pred) % 256)
+        prev = cur
+    return raw
+
+
+def _png_full(w, h, px_rows, color_type, depth, interlace=0, plte=None, ftype=0):
+    """General PNG encoder for fixtures: any legal depth/color-type pair,
+    optional Adam7 interlace and palette, one forward filter type for all
+    rows.  ``px_rows`` — h rows of w tuples of RAW sample values (palette
+    images: 1-tuples of indices; 16-bit: full 16-bit sample values)."""
+    import zlib
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = max(1, ch * depth // 8)
+
+    def pack_row(row):
+        flat = [v for px in row for v in px]
+        if depth == 8:
+            return bytes(flat)
+        if depth == 16:
+            return b"".join(struct.pack(">H", v) for v in flat)
+        out = bytearray()
+        acc = nb = 0
+        for v in flat:
+            acc = (acc << depth) | v
+            nb += depth
+            if nb == 8:
+                out.append(acc)
+                acc = nb = 0
+        if nb:
+            out.append(acc << (8 - nb))
+        return bytes(out)
+
+    def sub_raw(pxs):
+        return _png_filter_rows([pack_row(r) for r in pxs], bpp, ftype)
+
+    if interlace == 0:
+        raw = sub_raw(px_rows)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in multimodal._ADAM7:
+            sub = [row[x0::dx] for row in px_rows[y0::dy]]
+            if sub and sub[0]:
+                raw += sub_raw(sub)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", bytes(v for rgb in plte for v in rgb))
+    return (
+        out
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def test_png_decode_all_color_types_exact():
     """Exact dims + Rec.601 luma for gray, gray+alpha, RGB, RGBA — alpha
     dropped, gray expanded; all values bit-checked against hand math."""
@@ -299,21 +377,21 @@ def test_png_all_five_filters_roundtrip():
 
 
 def test_png_unsupported_and_corrupt_error_not_stub(spark):
-    """Palette/16-bit/interlaced/truncated PNGs surface as decode errors
-    through the kernel — a file claiming PNG magic never silently takes
-    the stub."""
+    """Illegal depth/color combinations, structurally incomplete files,
+    and truncated payloads surface as decode errors through the kernel —
+    a file claiming PNG magic never silently takes the stub."""
     good = _png(2, 2, _PX, 2)
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
-    png16 = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr16) + _png_chunk(b"IEND", b"")
-    ihdr_pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
-    png_pal = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_pal) + _png_chunk(b"IEND", b"")
-    ihdr_il = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
-    png_il = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_il) + _png_chunk(b"IEND", b"")
+    ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)  # RGB depth 4
+    png_bad = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_bad) + _png_chunk(b"IEND", b"")
+    ihdr_il2 = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)  # interlace 2
+    png_il2 = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_il2) + _png_chunk(b"IEND", b"")
+    # palette image with IDAT but no PLTE
+    no_plte = _png_full(2, 1, [[(0,), (1,)]], 3, 8)
     rows = [
         (1, good, "image", 9, 9),
-        (2, png16, "image", 9, 9),
-        (3, png_pal, "image", 9, 9),
-        (4, png_il, "image", 9, 9),
+        (2, png_bad, "image", 9, 9),
+        (3, png_il2, "image", 9, 9),
+        (4, no_plte, "image", 9, 9),
         (5, good[:-20], "image", 9, 9),  # IEND (and IDAT crc) clipped
     ]
     out = {
@@ -324,10 +402,81 @@ def test_png_unsupported_and_corrupt_error_not_stub(spark):
     }
     assert out[1]["error"] is None and (out[1]["width"], out[1]["height"]) == (2, 2)
     assert abs(out[1]["mean_luma"] - _WANT_LUMA) < 1e-12
-    assert out[2]["error"] and "depth=16" in out[2]["error"]
-    assert out[3]["error"] and "color_type=3" in out[3]["error"]
-    assert out[4]["error"] and "interlace=1" in out[4]["error"]
+    assert out[2]["error"] and "depth=4, color_type=2" in out[2]["error"]
+    assert out[3]["error"] and "interlace=2" in out[3]["error"]
+    assert out[4]["error"] and "PLTE" in out[4]["error"]
     assert out[5]["error"]
+
+
+def test_png_palette_decode_exact():
+    """Palette lookups at depths 8 and 2 reproduce the PLTE colors
+    bit-exactly; an out-of-range index errors, never wraps."""
+    import numpy as np
+
+    plte = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    px = [[(0,), (1,), (2,)], [(3,), (0,), (2,)]]
+    want = np.array([[plte[i[0]] for i in row] for row in px], dtype=np.uint8)
+    for depth in (8, 2):
+        got = multimodal._decode_png_pixels(
+            _png_full(3, 2, px, 3, depth, plte=plte)
+        )
+        assert np.array_equal(got, want), f"palette depth {depth}"
+    try:
+        multimodal._decode_png_pixels(
+            _png_full(3, 2, px, 3, 8, plte=plte[:3])  # index 3 out of range
+        )
+        raise AssertionError("out-of-range palette index did not error")
+    except IndexError:
+        pass
+
+
+def test_png_gray_bit_depths_exact():
+    """Gray at depths 1/2/4 scales by the exact 255/(2^d-1) factor; 16-bit
+    reduces to the high byte."""
+    import numpy as np
+
+    for depth, vals, want in [
+        (1, [0, 1], [0, 255]),
+        (2, [0, 1, 2, 3], [0, 85, 170, 255]),
+        (4, [0, 5, 15], [0, 85, 255]),
+        (16, [0, 0x1234, 0xFFFF], [0, 0x12, 255]),
+    ]:
+        px = [[(v,) for v in vals]]
+        got = multimodal._decode_png_pixels(_png_full(len(vals), 1, px, 0, depth))
+        assert np.array_equal(
+            got, np.repeat(np.array([want], np.uint8)[:, :, None], 3, axis=2)
+        ), f"gray depth {depth}"
+    # RGB 16-bit: per-channel high byte
+    got = multimodal._decode_png_pixels(
+        _png_full(1, 1, [[(0x0102, 0x8001, 0xFFFE)]], 2, 16)
+    )
+    assert got.tolist() == [[[0x01, 0x80, 0xFF]]]
+
+
+def test_png_adam7_matches_sequential():
+    """The same image encoded Adam7-interlaced and sequential decodes to
+    identical pixels across sizes that exercise empty and partial passes,
+    color types, depths, and a non-trivial filter."""
+    import numpy as np
+
+    for w, h in [(1, 1), (3, 5), (8, 8), (9, 10), (2, 2)]:
+        rgb = [
+            [((x * 37 + y * 11) % 256, (x * 5 + y * 83) % 256, (x * x + y) % 256)
+             for x in range(w)]
+            for y in range(h)
+        ]
+        for ftype in (0, 4):
+            a = multimodal._decode_png_pixels(
+                _png_full(w, h, rgb, 2, 8, interlace=1, ftype=ftype)
+            )
+            b = multimodal._decode_png_pixels(
+                _png_full(w, h, rgb, 2, 8, interlace=0, ftype=ftype)
+            )
+            assert np.array_equal(a, b), f"rgb {w}x{h} filter {ftype}"
+        g2 = [[((x + y) % 4,) for x in range(w)] for y in range(h)]
+        a = multimodal._decode_png_pixels(_png_full(w, h, g2, 0, 2, interlace=1))
+        b = multimodal._decode_png_pixels(_png_full(w, h, g2, 0, 2, interlace=0))
+        assert np.array_equal(a, b), f"gray2 {w}x{h}"
 
 
 def test_png_resize_nearest_neighbor():
