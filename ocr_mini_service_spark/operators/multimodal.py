@@ -740,6 +740,203 @@ def _decode_jpeg(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# GIF decode (pure Python/numpy — GIF87a/GIF89a).  The third Jimp format
+# (src/ocr/code-reader.service.ts:22-30): logical-screen + color-table
+# parse, per-frame LZW decompression (variable-width codes, CLEAR/EOI,
+# 12-bit dictionary cap), 4-pass GIF interlace, multi-frame walk.  Stats
+# follow the established conventions: the raster is frame 1 composited on
+# the logical screen's background color (what a static reader like Jimp
+# shows), transparency is dropped (the PNG alpha convention — luma over
+# the color samples as stored), and n_frames is the REAL image-descriptor
+# count with every frame's LZW stream fully validated (the Y4M convention).
+# ---------------------------------------------------------------------------
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, expected: int) -> np.ndarray:
+    """Decompress one GIF image's LZW stream to exactly ``expected`` color
+    indices (uint8).  Variable code width from min_code+1 up to 12 bits,
+    CLEAR resets the dictionary, EOI ends the stream; the deferred-clear
+    case (full dictionary, no CLEAR) holds at 12 bits per spec."""
+    if not 2 <= min_code <= 8:
+        raise ValueError(f"invalid GIF LZW minimum code size {min_code}")
+    clear = 1 << min_code
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    i = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if i >= n:
+                raise ValueError("truncated GIF LZW stream (no EOI)")
+            acc |= data[i] << nbits  # GIF packs codes LSB-first
+            nbits += 8
+            i += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("invalid GIF LZW first code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("invalid GIF LZW code")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        if len(out) > expected:
+            raise ValueError(
+                f"GIF LZW yields {len(out)}+ indices, frame holds {expected}"
+            )
+    if len(out) != expected:
+        raise ValueError(
+            f"GIF LZW yields {len(out)} indices, frame holds {expected}"
+        )
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def _gif_subblocks(payload: bytes, i: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain starting at ``i``; returns (data,
+    index past the 0 terminator)."""
+    out = bytearray()
+    n = len(payload)
+    while True:
+        if i >= n:
+            raise ValueError("truncated GIF sub-block chain")
+        size = payload[i]
+        i += 1
+        if size == 0:
+            return bytes(out), i
+        if i + size > n:
+            raise ValueError("truncated GIF sub-block")
+        out += payload[i : i + size]
+        i += size
+
+
+def _gif_walk(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Full-stream GIF walk -> (width, height, n_frames, first-frame
+    canvas).  Frame 1 is composited on the background color (the raster a
+    static reader like Jimp shows); EVERY frame's LZW stream is
+    decompressed and validated.  Corrupt structure raises — an error,
+    never a silent stub downgrade."""
+    import struct
+
+    if payload[:6] not in _GIF_MAGICS or len(payload) < 13:
+        raise ValueError("not a GIF (bad header)")
+    w, h, flags, bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid GIF dimensions {w}x{h}")
+    if w * h > _PNG_MAX_PX:
+        raise ValueError(f"GIF too large ({w}x{h} > {_PNG_MAX_PX} px cap)")
+    i = 13
+    gct = None
+    if flags & 0x80:
+        ncol = 2 << (flags & 0x07)
+        if i + 3 * ncol > len(payload):
+            raise ValueError("truncated GIF global color table")
+        gct = np.frombuffer(payload[i : i + 3 * ncol], np.uint8).reshape(-1, 3)
+        i += 3 * ncol
+    n_frames = 0
+    canvas = None
+    while True:
+        if i >= len(payload):
+            raise ValueError("truncated GIF (no trailer)")
+        block = payload[i]
+        i += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks (skipped; GIF89a
+            i += 1  # transparency is alpha, which this tier drops)
+            _, i = _gif_subblocks(payload, i)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if i + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        fx, fy, fw, fh, fflags = struct.unpack_from("<HHHHB", payload, i)
+        i += 9
+        if fw <= 0 or fh <= 0 or fx + fw > w or fy + fh > h:
+            raise ValueError(
+                f"GIF frame rect {fw}x{fh}@{fx},{fy} outside {w}x{h} screen"
+            )
+        pal = gct
+        if fflags & 0x80:  # local color table
+            ncol = 2 << (fflags & 0x07)
+            if i + 3 * ncol > len(payload):
+                raise ValueError("truncated GIF local color table")
+            pal = np.frombuffer(payload[i : i + 3 * ncol], np.uint8).reshape(
+                -1, 3
+            )
+            i += 3 * ncol
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        if i >= len(payload):
+            raise ValueError("truncated GIF image data")
+        min_code = payload[i]
+        lzw, i = _gif_subblocks(payload, i + 1)
+        idx = _gif_lzw_decode(lzw, min_code, fw * fh).reshape(fh, fw)
+        if fflags & 0x40:  # GIF 4-pass interlace
+            de = np.zeros_like(idx)
+            rows = np.concatenate(
+                [np.arange(0, fh, 8), np.arange(4, fh, 8),
+                 np.arange(2, fh, 4), np.arange(1, fh, 2)]
+            )
+            de[rows] = idx
+            idx = de
+        if int(idx.max()) >= len(pal):
+            raise ValueError("GIF index outside color table")
+        n_frames += 1
+        if canvas is None:  # frame 1 composited on the background color
+            if fw == w and fh == h:
+                canvas = pal[idx]
+            else:
+                if gct is None or bg >= len(gct):
+                    raise ValueError("GIF partial first frame without "
+                                     "a background color")
+                canvas = np.tile(gct[bg], (h, w, 1))
+                canvas[fy : fy + fh, fx : fx + fw] = pal[idx]
+    if n_frames == 0 or canvas is None:
+        raise ValueError("GIF has no image frames")
+    return w, h, n_frames, canvas
+
+
+def _decode_gif_pixels(payload: bytes) -> np.ndarray:
+    """First-frame composited (h, w, 3) RGB raster (the resize-tier view;
+    the full multi-frame validation still runs)."""
+    return _gif_walk(payload)[3]
+
+
+def _decode_gif(payload: bytes) -> dict:
+    w, h, n_frames, canvas = _gif_walk(payload)
+    return {
+        "width": w,
+        "height": h,
+        "mean_luma": float((canvas.astype(np.float64) @ _LUMA).mean() / 255.0),
+        "n_frames": n_frames,
+    }
+
+
 _DIB_HEADER_SIZES = (40, 52, 56, 108, 124)  # known BITMAPINFO header widths
 
 
@@ -773,6 +970,8 @@ def _decode(payload: bytes, media_type: str, w: int, h: int) -> dict:
         return _decode_png(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return _decode_jpeg(payload)
+    if payload[:6] in _GIF_MAGICS:
+        return _decode_gif(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # real PCM WAV: no raster semantics, but the frame count (and so
         # frame_sample's byte addressing) is the file's true sample frames
@@ -866,7 +1065,7 @@ RESIZED = StructType(
 def _resize_grid(payload: bytes, media_type: str, w: int, h: int) -> list[int]:
     """THUMB x THUMB integer luma grid, row-major.
 
-    Real rasters (PPM/BMP/PNG/JPEG) are genuinely resized: nearest-neighbor index
+    Real rasters (PPM/BMP/PNG/JPEG/GIF) are genuinely resized: nearest-neighbor index
     mapping src = (dst * src_dim) // THUMB, per-pixel integer luma
     (299R + 587G + 114B) // 1000 — all floor arithmetic, so the grid is
     bit-stable across platforms.  Stubbed formats derive the grid from the
@@ -880,6 +1079,8 @@ def _resize_grid(payload: bytes, media_type: str, w: int, h: int) -> list[int]:
         raster = _decode_png_pixels(payload)
     elif payload[:3] == b"\xff\xd8\xff":
         raster = _decode_jpeg_pixels(payload)
+    elif payload[:6] in _GIF_MAGICS:
+        raster = _decode_gif_pixels(payload)
     elif payload[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
         # real Y4M video thumbnail: the first frame's Y plane is already
         # luma — skip the RGB weighting and sample it directly

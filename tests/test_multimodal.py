@@ -479,6 +479,214 @@ def test_png_adam7_matches_sequential():
         assert np.array_equal(a, b), f"gray2 {w}x{h}"
 
 
+# ---------------------------------------------------------------------------
+# GIF: real LZW decode (variable-width codes, interlace, multi-frame)
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(indices, min_code):
+    """Real LZW compressor with the GIF decoder's width timing: the
+    decoder's table lags the encoder's dictionary by one code, so the
+    width bump fires when next_code - 1 (the decoder's table size)
+    reaches 1 << width."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    codes = []
+    width = min_code + 1
+    d = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    codes.append((clear, width))
+    cur = b""
+    for s in bytes(bytearray(indices)):
+        nxt = cur + bytes([s])
+        if nxt in d:
+            cur = nxt
+            continue
+        codes.append((d[cur], width))
+        if next_code < 4096:
+            d[nxt] = next_code
+            next_code += 1
+            if next_code - 1 >= (1 << width) and width < 12:
+                width += 1
+        else:
+            codes.append((clear, width))
+            d = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        cur = bytes([s])
+    if cur:
+        codes.append((d[cur], width))
+    codes.append((eoi, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, wd in codes:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_subblocks_enc(data):
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _gif_frame(fx, fy, rows, min_code, interlace=False, lct=None):
+    """One image-descriptor block.  ``rows`` — fh rows of fw indices."""
+    fh, fw = len(rows), len(rows[0])
+    fflags = (0x80 | (len(lct).bit_length() - 2) if lct else 0) | (
+        0x40 if interlace else 0
+    )
+    if interlace:
+        order = (
+            list(range(0, fh, 8))
+            + list(range(4, fh, 8))
+            + list(range(2, fh, 4))
+            + list(range(1, fh, 2))
+        )
+        rows = [rows[y] for y in order]
+    flat = [v for r in rows for v in r]
+    out = struct.pack("<BHHHHB", 0x2C, fx, fy, fw, fh, fflags)
+    if lct:
+        out += bytes(v for rgb in lct for v in rgb)
+    return (
+        out
+        + bytes([min_code])
+        + _gif_subblocks_enc(_gif_lzw_encode(flat, min_code))
+    )
+
+
+def _gif(w, h, frame_blocks, gct=None, bg=0, magic=b"GIF89a", exts=b""):
+    flags = 0x80 | (len(gct).bit_length() - 2) if gct else 0
+    out = magic + struct.pack("<HHBBB", w, h, flags, bg, 0)
+    if gct:
+        out += bytes(v for rgb in gct for v in rgb)
+    return out + exts + b"".join(frame_blocks) + b"\x3b"
+
+
+_GIF_PAL4 = [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 255, 0)]
+
+
+def test_gif_single_frame_exact_luma():
+    """A 2x2 GIF with the standard quadrant colors must yield the same
+    exact mean luma as the PNG/BMP/PPM tiers."""
+    rows = [[0, 1], [2, 3]]
+    gif = _gif(2, 2, [_gif_frame(0, 0, rows, 2)], gct=_GIF_PAL4)
+    got = multimodal._decode_gif(gif)
+    assert (got["width"], got["height"], got["n_frames"]) == (2, 2, 1)
+    assert abs(got["mean_luma"] - _WANT_LUMA) < 1e-12
+
+
+def test_gif_lzw_dictionary_growth_exact():
+    """A 64x48 frame with a repetitive-then-varying index pattern forces
+    real dictionary growth and width bumps; the decoded raster's exact
+    integer luma sum must match numpy's direct computation."""
+    import numpy as np
+
+    w, h = 64, 48
+    rows = [[(x * y + x // 3 + (y % 7)) % 4 for x in range(w)] for y in range(h)]
+    gif = _gif(w, h, [_gif_frame(0, 0, rows, 2)], gct=_GIF_PAL4)
+    got = multimodal._decode_gif(gif)
+    pal = np.array(_GIF_PAL4, dtype=np.float64)
+    want = (pal[np.array(rows)] @ np.array([0.299, 0.587, 0.114])).mean() / 255.0
+    assert abs(got["mean_luma"] - want) < 1e-12
+    assert got["n_frames"] == 1
+
+
+def test_gif_interlaced_matches_sequential():
+    import numpy as np
+
+    w, h = 9, 13
+    rows = [[(x * 3 + y * 5) % 4 for x in range(w)] for y in range(h)]
+    seq = multimodal._decode_gif_pixels(
+        _gif(w, h, [_gif_frame(0, 0, rows, 2)], gct=_GIF_PAL4)
+    )
+    il = multimodal._decode_gif_pixels(
+        _gif(w, h, [_gif_frame(0, 0, rows, 2, interlace=True)], gct=_GIF_PAL4)
+    )
+    assert np.array_equal(seq, il)
+
+
+def test_gif_multiframe_and_partial_first_frame():
+    """n_frames counts every image descriptor (all LZW-validated); a
+    partial first frame composites on the background color; a local color
+    table overrides the global one."""
+    import numpy as np
+
+    # frame 1 covers the right 1x2 column of a 2x2 screen; bg = white
+    f1 = _gif_frame(1, 0, [[2], [3]], 2)
+    # frame 2 full-screen with a LOCAL table (still validated)
+    f2 = _gif_frame(0, 0, [[0, 1], [1, 0]], 2, lct=_GIF_PAL4)
+    # GIF89a graphic-control extension before each frame (skipped cleanly)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    gif = _gif(2, 2, [gce + f1, gce + f2], gct=_GIF_PAL4, bg=1)
+    got = multimodal._decode_gif(gif)
+    assert got["n_frames"] == 2
+    px = multimodal._decode_gif_pixels(gif)
+    want = np.array(
+        [[(255, 255, 255), (255, 0, 0)], [(255, 255, 255), (0, 255, 0)]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(px, want)
+
+
+def test_gif_errors_not_stub(spark):
+    """Truncated streams, out-of-table codes, and missing color tables
+    surface as decode errors through the kernel, never the stub; a good
+    animated GIF reports its true n_frames."""
+    rows = [[0, 1], [2, 3]]
+    good = _gif(2, 2, [_gif_frame(0, 0, rows, 2)] * 3, gct=_GIF_PAL4)
+    no_ct = _gif(2, 2, [_gif_frame(0, 0, rows, 2)], gct=None)
+    trunc = good[:-8]
+    # valid container, LZW stream cut inside the codes
+    bad_lzw = _gif(
+        2, 2,
+        [struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0) + b"\x02"
+         + _gif_subblocks_enc(b"\x04")],
+        gct=_GIF_PAL4,
+    )
+    out = {
+        r["media_id"]: r
+        for r in spark.createDataFrame(
+            [
+                (1, good, "image", 9, 9),
+                (2, no_ct, "image", 9, 9),
+                (3, trunc, "image", 9, 9),
+                (4, bad_lzw, "image", 9, 9),
+            ],
+            schema=multimodal.MEDIA,
+        )
+        .mapInPandas(multimodal._extract_batches, schema=multimodal.FEATURES)
+        .collect()
+    }
+    assert out[1]["error"] is None and out[1]["n_frames"] == 3
+    assert abs(out[1]["mean_luma"] - _WANT_LUMA) < 1e-12
+    assert out[2]["error"] and "color table" in out[2]["error"]
+    assert out[3]["error"]
+    assert out[4]["error"] and "LZW" in out[4]["error"]
+
+
+def test_gif_resize_nearest_neighbor():
+    """media_resize's grid path consumes the GIF decode exactly like the
+    other raster tiers."""
+    rows = [[0, 1], [2, 3]]
+    gif = _gif(2, 2, [_gif_frame(0, 0, rows, 2)], gct=_GIF_PAL4)
+    grid = multimodal._resize_grid(gif, "image", 99, 99)
+    q = [[0, 255], [76, 149]]
+    want = [q[(ty * 2) // 8][(tx * 2) // 8] for ty in range(8) for tx in range(8)]
+    assert grid == want
+
+
 def test_png_resize_nearest_neighbor():
     """media_resize's grid path consumes the PNG decode: quadrant lumas
     tile the 8x8 grid exactly as the PPM/BMP tier does."""
