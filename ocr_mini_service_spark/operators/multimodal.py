@@ -18,9 +18,11 @@ honestly do:
   (``_decode_jpeg``: full marker parse, entropy tables read from the
   file's own DHT/DQT segments, canonical Huffman decode with byte
   unstuffing and restart-marker support, dequantize + dezigzag +
-  separable float IDCT, chroma upsampling, JFIF YCbCr→RGB) — the two
-  formats the reference actually accepts via Jimp
-  (src/ocr/code-reader.service.ts:22-30) are both real now.
+  separable float IDCT, chroma upsampling, JFIF YCbCr→RGB), GIF
+  (``_decode_gif``: LZW, interlace, multi-frame), and baseline TIFF
+  (``_decode_tiff``: both byte orders, none/PackBits/LZW strips,
+  gray/RGB/palette) — the full raster set the reference accepts via
+  Jimp (src/ocr/code-reader.service.ts:22-30) is real now.
 - **PCM WAV audio** (``_decode_wav``: RIFF chunk walk, 8/16-bit integer
   PCM, exact integer sample stats) and **Y4M video** (``_decode_y4m``:
   YUV4MPEG2 header parse + FRAME walk over raw planar YCbCr, exact
@@ -937,6 +939,238 @@ def _decode_gif(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# TIFF decode (pure Python/numpy — TIFF 6.0 baseline subset).  The fourth
+# and last Jimp raster format (src/ocr/code-reader.service.ts:22-30):
+# both byte orders, IFD walk, strip assembly, Compression 1 (none) /
+# 32773 (PackBits) / 5 (LZW — the TIFF variant: MSB-first code packing
+# and early width change, unlike GIF's LSB-first late change), photometric
+# gray (both zero conventions), RGB, and 16-bit ColorMap palette, 8-bit
+# samples, chunky planar config.  n_frames counts the IFD chain (TIFF
+# stores multi-page documents the way GIF stores animation frames).
+# Everything else raises explicitly — an error, never a silent stub.
+# ---------------------------------------------------------------------------
+
+_TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> np.ndarray:
+    """TIFF-variant LZW (spec §13): 8-bit symbols, CLEAR=256, EOI=257,
+    codes packed MSB-first, EARLY width change (the bump fires one code
+    sooner than GIF's — when the next free slot is (1<<width) - 1)."""
+    clear, eoi = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    i = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if i >= n:
+                raise ValueError("truncated TIFF LZW stream (no EOI)")
+            acc = (acc << 8) | data[i]
+            nbits += 8
+            i += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == clear:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("invalid TIFF LZW first code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("invalid TIFF LZW code")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        if len(out) > expected:
+            raise ValueError(
+                f"TIFF LZW yields {len(out)}+ bytes, strip holds {expected}"
+            )
+    if len(out) != expected:
+        raise ValueError(
+            f"TIFF LZW yields {len(out)} bytes, strip holds {expected}"
+        )
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def _tiff_packbits_decode(data: bytes, expected: int) -> np.ndarray:
+    """PackBits RLE (spec §9): n in 0..127 copies n+1 literals, n in
+    -127..-1 repeats the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run
+            if i + c + 1 > n:
+                raise ValueError("truncated TIFF PackBits literal run")
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat run of 257 - c
+            if i >= n:
+                raise ValueError("truncated TIFF PackBits repeat run")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    if len(out) != expected:
+        raise ValueError(
+            f"TIFF PackBits yields {len(out)} bytes, strip holds {expected}"
+        )
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def _decode_tiff_pixels(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode the FIRST IFD's raster to (h, w, 3) RGB and count the IFD
+    chain (multi-page documents)."""
+    import struct
+
+    if payload[:4] not in _TIFF_MAGICS:
+        raise ValueError("not a TIFF (bad header)")
+    end = "<" if payload[:2] == b"II" else ">"
+
+    def u16(off):
+        return struct.unpack_from(end + "H", payload, off)[0]
+
+    def u32(off):
+        return struct.unpack_from(end + "I", payload, off)[0]
+
+    _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+    def entry_values(off):
+        tag, typ, count = u16(off), u16(off + 2), u32(off + 4)
+        if typ not in _TYPE_SIZE:
+            return tag, None  # rational/ascii/etc — not a tag we consume
+        size = _TYPE_SIZE[typ] * count
+        voff = off + 8 if size <= 4 else u32(off + 8)
+        if voff + size > len(payload):
+            raise ValueError("TIFF tag value outside file")
+        rd = u32 if typ == 4 else (u16 if typ == 3 else
+                                   lambda o: payload[o])
+        step = _TYPE_SIZE[typ]
+        return tag, [rd(voff + k * step) for k in range(count)]
+
+    ifd = u32(4)
+    if ifd == 0 or ifd + 2 > len(payload):
+        raise ValueError("TIFF missing first IFD")
+    # count the IFD chain (bounded walk — a cycle would loop forever)
+    n_frames = 0
+    seen = set()
+    nxt = ifd
+    while nxt:
+        if nxt in seen or len(seen) > 4096:
+            raise ValueError("TIFF IFD chain cycle")
+        seen.add(nxt)
+        if nxt + 2 > len(payload):
+            raise ValueError("truncated TIFF IFD")
+        cnt = u16(nxt)
+        if nxt + 2 + 12 * cnt + 4 > len(payload):
+            raise ValueError("truncated TIFF IFD")
+        n_frames += 1
+        nxt = u32(nxt + 2 + 12 * cnt)
+    tags = {}
+    cnt = u16(ifd)
+    for k in range(cnt):
+        tag, vals = entry_values(ifd + 2 + 12 * k)
+        if vals is not None:
+            tags[tag] = vals
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid TIFF dimensions {w}x{h}")
+    if w * h > _PNG_MAX_PX:
+        raise ValueError(f"TIFF too large ({w}x{h} > {_PNG_MAX_PX} px cap)")
+    photo = tags.get(262, [1])[0]
+    comp = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [1])
+    rps = tags.get(278, [2**32 - 1])[0]
+    planar = tags.get(284, [1])[0]
+    if any(b != 8 for b in bits) or len(bits) != spp:
+        raise ValueError(f"unsupported TIFF (bits_per_sample={bits})")
+    if planar != 1:
+        raise ValueError(f"unsupported TIFF (planar_config={planar})")
+    if photo in (0, 1, 3):
+        need_spp = 1
+    elif photo == 2:
+        need_spp = 3
+    else:
+        raise ValueError(f"unsupported TIFF (photometric={photo})")
+    if spp != need_spp:
+        raise ValueError(
+            f"unsupported TIFF (photometric={photo}, samples={spp})"
+        )
+    if comp not in (1, 5, 32773):
+        raise ValueError(f"unsupported TIFF (compression={comp})")
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/counts mismatch")
+    parts = []
+    for s, (o, c) in enumerate(zip(offsets, counts)):
+        rows = min(rps, h - s * rps)
+        if rows <= 0:
+            raise ValueError("TIFF has more strips than rows")
+        if o + c > len(payload):
+            raise ValueError("TIFF strip outside file")
+        raw = payload[o : o + c]
+        exp = rows * w * spp
+        if comp == 1:
+            if len(raw) != exp:
+                raise ValueError(
+                    f"TIFF strip holds {len(raw)} bytes, expected {exp}"
+                )
+            parts.append(np.frombuffer(raw, dtype=np.uint8))
+        elif comp == 5:
+            parts.append(_tiff_lzw_decode(raw, exp))
+        else:
+            parts.append(_tiff_packbits_decode(raw, exp))
+    px = np.concatenate(parts).reshape(h, w, spp)
+    if photo == 2:
+        return px, n_frames
+    if photo == 3:  # palette: ColorMap is 3 * 2^bits 16-bit values, RRGGBB
+        cmap = tags.get(320)
+        if cmap is None or len(cmap) != 3 * 256:
+            raise ValueError("TIFF palette missing or short ColorMap")
+        cm = (np.array(cmap, dtype=np.int64).reshape(3, 256).T >> 8).astype(
+            np.uint8
+        )
+        return cm[px[:, :, 0]], n_frames
+    g = px if photo == 1 else 255 - px  # photometric 0: white is zero
+    return np.repeat(g, 3, axis=2), n_frames
+
+
+def _decode_tiff(payload: bytes) -> dict:
+    px, n_frames = _decode_tiff_pixels(payload)
+    return {
+        "width": px.shape[1],
+        "height": px.shape[0],
+        "mean_luma": float((px.astype(np.float64) @ _LUMA).mean() / 255.0),
+        "n_frames": n_frames,
+    }
+
+
 _DIB_HEADER_SIZES = (40, 52, 56, 108, 124)  # known BITMAPINFO header widths
 
 
@@ -972,6 +1206,8 @@ def _decode(payload: bytes, media_type: str, w: int, h: int) -> dict:
         return _decode_jpeg(payload)
     if payload[:6] in _GIF_MAGICS:
         return _decode_gif(payload)
+    if payload[:4] in _TIFF_MAGICS:
+        return _decode_tiff(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         # real PCM WAV: no raster semantics, but the frame count (and so
         # frame_sample's byte addressing) is the file's true sample frames
@@ -1065,7 +1301,7 @@ RESIZED = StructType(
 def _resize_grid(payload: bytes, media_type: str, w: int, h: int) -> list[int]:
     """THUMB x THUMB integer luma grid, row-major.
 
-    Real rasters (PPM/BMP/PNG/JPEG/GIF) are genuinely resized: nearest-neighbor index
+    Real rasters (PPM/BMP/PNG/JPEG/GIF/TIFF) are genuinely resized: nearest-neighbor index
     mapping src = (dst * src_dim) // THUMB, per-pixel integer luma
     (299R + 587G + 114B) // 1000 — all floor arithmetic, so the grid is
     bit-stable across platforms.  Stubbed formats derive the grid from the
@@ -1081,6 +1317,8 @@ def _resize_grid(payload: bytes, media_type: str, w: int, h: int) -> list[int]:
         raster = _decode_jpeg_pixels(payload)
     elif payload[:6] in _GIF_MAGICS:
         raster = _decode_gif_pixels(payload)
+    elif payload[:4] in _TIFF_MAGICS:
+        raster = _decode_tiff_pixels(payload)[0]
     elif payload[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
         # real Y4M video thumbnail: the first frame's Y plane is already
         # luma — skip the RGB weighting and sample it directly

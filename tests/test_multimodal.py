@@ -687,6 +687,273 @@ def test_gif_resize_nearest_neighbor():
     assert grid == want
 
 
+# ---------------------------------------------------------------------------
+# TIFF: IFD walk, strip assembly, none/PackBits/LZW, gray/RGB/palette
+# ---------------------------------------------------------------------------
+
+
+def _tiff_packbits_encode(data):
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and run < 127 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < len(data)
+                and j - i < 127
+                and not (j + 1 < len(data) and data[j] == data[j + 1])
+            ):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data):
+    """TIFF-variant LZW: MSB-first packing, EARLY width change (bump when
+    the decoder's table size next_code-1 reaches (1<<width) - 1)."""
+    clear, eoi = 256, 257
+    codes = []
+    width = 9
+    d = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    codes.append((clear, width))
+    cur = b""
+    for s in data:
+        nxt = cur + bytes([s])
+        if nxt in d:
+            cur = nxt
+            continue
+        codes.append((d[cur], width))
+        if next_code < 4094:
+            d[nxt] = next_code
+            next_code += 1
+            if next_code - 1 >= (1 << width) - 1 and width < 12:
+                width += 1
+        else:
+            codes.append((clear, width))
+            d = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([s])
+    if cur:
+        codes.append((d[cur], width))
+    codes.append((eoi, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, wd in codes:
+        acc = (acc << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff(w, h, strips, extra_tags=(), le=True, photometric=2, spp=3,
+          rows_per_strip=None, compression=1, n_pages=1):
+    """Minimal TIFF writer: header + one IFD (+ optional empty chained
+    page IFDs for the multi-page count) + strip data.  ``strips`` — list
+    of already-compressed per-strip byte strings."""
+    end = "<" if le else ">"
+
+    def pk(fmt, *v):
+        return struct.pack(end + fmt, *v)
+
+    tags = {
+        256: (3, [w]),
+        257: (3, [h]),
+        258: (3, [8] * spp),
+        259: (3, [compression]),
+        262: (3, [photometric]),
+        277: (3, [spp]),
+        278: (3, [rows_per_strip if rows_per_strip else h]),
+    }
+    for t, tv in extra_tags:
+        tags[t] = tv
+    # layout: header(8) IFD... then out-of-line values, then strips
+    n_entries = len(tags) + 2  # + StripOffsets + StripByteCounts
+    ifd0 = 8
+    ifd0_end = ifd0 + 2 + 12 * n_entries + 4
+    # chained empty IFDs for page counting
+    extra_ifds = b""
+    extra_off = ifd0_end
+    next_ptrs = []
+    for p in range(n_pages - 1):
+        next_ptrs.append(extra_off)
+        extra_ifds += pk("H", 1) + pk("HHI", 256, 3, 1) + pk("I", w) + b"\x00" * 4
+        extra_off += 2 + 12 + 4
+    # fix chain pointers
+    blobs = b""
+    blob_off = extra_off
+
+    def val_bytes(typ, vals):
+        nonlocal blobs, blob_off
+        fmt = {3: "H", 4: "I", 1: "B"}[typ]
+        raw = b"".join(pk(fmt, v) for v in vals)
+        if len(raw) <= 4:
+            return raw + b"\x00" * (4 - len(raw)), len(vals)
+        off = blob_off
+        blobs += raw
+        blob_off += len(raw)
+        return pk("I", off), len(vals)
+
+    # strip locations come after the value blobs — compute after first pass
+    entries = []
+    for tag in sorted(tags):
+        typ, vals = tags[tag]
+        vb, cnt = val_bytes(typ, vals)
+        entries.append(pk("HHI", tag, typ, cnt) + vb)
+    strip_offs = []
+    offs_inline = len(strips) == 1
+    if not offs_inline:
+        arr_off_273 = blob_off
+        blob_off += 4 * len(strips)
+        arr_off_279 = blob_off
+        blob_off += 4 * len(strips)
+    data_off = blob_off
+    cur = data_off
+    for s in strips:
+        strip_offs.append(cur)
+        cur += len(s)
+    if offs_inline:
+        e273 = pk("HHI", 273, 4, 1) + pk("I", strip_offs[0])
+        e279 = pk("HHI", 279, 4, 1) + pk("I", len(strips[0]))
+    else:
+        e273 = pk("HHI", 273, 4, len(strips)) + pk("I", arr_off_273)
+        e279 = pk("HHI", 279, 4, len(strips)) + pk("I", arr_off_279)
+        blobs += b"".join(pk("I", o) for o in strip_offs)
+        blobs += b"".join(pk("I", len(s)) for s in strips)
+    entries.append(e273)
+    entries.append(e279)
+    entries.sort(key=lambda e: struct.unpack(end + "H", e[:2])[0])
+    nxt_ifd = next_ptrs[0] if next_ptrs else 0
+    ifd = pk("H", len(entries)) + b"".join(entries) + pk("I", nxt_ifd)
+    # fix extra IFD chain: each points to the following, last to 0
+    chain = b""
+    for p in range(n_pages - 1):
+        nxt = next_ptrs[p + 1] if p + 1 < len(next_ptrs) else 0
+        chain += pk("H", 1) + pk("HHI", 256, 3, 1) + pk("I", w) + pk("I", nxt)
+    header = (b"II*\x00" if le else b"MM\x00*") + pk("I", ifd0)
+    return header + ifd + chain + blobs + b"".join(strips)
+
+
+def test_tiff_rgb_uncompressed_exact_both_endians():
+    raw = bytes([0, 0, 0, 255, 255, 255, 255, 0, 0, 0, 255, 0])
+    for le in (True, False):
+        t = _tiff(2, 2, [raw], le=le)
+        got = multimodal._decode_tiff(t)
+        assert (got["width"], got["height"], got["n_frames"]) == (2, 2, 1)
+        assert abs(got["mean_luma"] - _WANT_LUMA) < 1e-12, f"le={le}"
+
+
+def test_tiff_gray_both_zero_conventions_and_strips():
+    """Photometric 1 is identity, photometric 0 inverts; multi-strip
+    assembly concatenates in row order."""
+    rows = bytes([10, 20]) , bytes([30, 40])
+    t1 = _tiff(2, 2, list(rows), photometric=1, spp=1, rows_per_strip=1)
+    got1 = multimodal._decode_tiff(t1)
+    assert abs(got1["mean_luma"] - (10 + 20 + 30 + 40) / 4 / 255.0) < 1e-12
+    t0 = _tiff(2, 2, list(rows), photometric=0, spp=1, rows_per_strip=1)
+    got0 = multimodal._decode_tiff(t0)
+    want = (255 - 10 + 255 - 20 + 255 - 30 + 255 - 40) / 4 / 255.0
+    assert abs(got0["mean_luma"] - want) < 1e-12
+
+
+def test_tiff_packbits_and_lzw_match_uncompressed():
+    import numpy as np
+
+    w, h = 31, 17
+    raw = bytes(
+        (x * y + 7 * (x // 5) + (y % 3)) % 251 for y in range(h) for x in range(w)
+    )
+    plain = multimodal._decode_tiff_pixels(
+        _tiff(w, h, [raw], photometric=1, spp=1)
+    )[0]
+    pb = multimodal._decode_tiff_pixels(
+        _tiff(w, h, [_tiff_packbits_encode(raw)], photometric=1, spp=1,
+              compression=32773)
+    )[0]
+    lzw = multimodal._decode_tiff_pixels(
+        _tiff(w, h, [_tiff_lzw_encode(raw)], photometric=1, spp=1,
+              compression=5)
+    )[0]
+    assert np.array_equal(plain, pb)
+    assert np.array_equal(plain, lzw)
+    # a long constant run exercises PackBits repeats and LZW growth
+    flat = bytes([7] * 300 + list(range(200)) + [9] * 100)
+    w2, h2 = 60, 10
+    a = multimodal._decode_tiff_pixels(
+        _tiff(w2, h2, [flat], photometric=1, spp=1)
+    )[0]
+    b = multimodal._decode_tiff_pixels(
+        _tiff(w2, h2, [_tiff_lzw_encode(flat)], photometric=1, spp=1,
+              compression=5)
+    )[0]
+    assert np.array_equal(a, b)
+
+
+def test_tiff_palette_and_multipage():
+    import numpy as np
+
+    # ColorMap: 16-bit, all R then all G then all B; entry k = k*257 ramp
+    cmap = [0] * 768
+    cmap[0], cmap[256], cmap[512] = 0xFF00, 0x1200, 0x3400  # idx 0 -> (255,18,52)
+    cmap[1], cmap[257], cmap[513] = 0, 0xFF00, 0  # idx 1 -> (0,255,0)
+    t = _tiff(
+        2, 1, [bytes([0, 1])], photometric=3, spp=1,
+        extra_tags=[(320, (3, cmap))], n_pages=3,
+    )
+    px, n_frames = multimodal._decode_tiff_pixels(t)
+    assert n_frames == 3
+    assert np.array_equal(
+        px, np.array([[(255, 18, 52), (0, 255, 0)]], dtype=np.uint8)
+    )
+
+
+def test_tiff_errors_not_stub(spark):
+    raw = bytes([0, 0, 0, 255, 255, 255, 255, 0, 0, 0, 255, 0])
+    good = _tiff(2, 2, [raw])
+    trunc = good[:-4]
+    badcomp = _tiff(2, 2, [raw], compression=7)  # JPEG-in-TIFF: codec-bound
+    short_strip = _tiff(2, 2, [raw[:-3]])
+    out = {
+        r["media_id"]: r
+        for r in spark.createDataFrame(
+            [
+                (1, good, "image", 9, 9),
+                (2, trunc, "image", 9, 9),
+                (3, badcomp, "image", 9, 9),
+                (4, short_strip, "image", 9, 9),
+            ],
+            schema=multimodal.MEDIA,
+        )
+        .mapInPandas(multimodal._extract_batches, schema=multimodal.FEATURES)
+        .collect()
+    }
+    assert out[1]["error"] is None and (out[1]["width"], out[1]["height"]) == (2, 2)
+    assert out[2]["error"]
+    assert out[3]["error"] and "compression=7" in out[3]["error"]
+    assert out[4]["error"]
+
+
+def test_tiff_resize_nearest_neighbor():
+    raw = bytes([0, 0, 0, 255, 255, 255, 255, 0, 0, 0, 255, 0])
+    grid = multimodal._resize_grid(_tiff(2, 2, [raw]), "image", 99, 99)
+    q = [[0, 255], [76, 149]]
+    want = [q[(ty * 2) // 8][(tx * 2) // 8] for ty in range(8) for tx in range(8)]
+    assert grid == want
+
+
 def test_png_resize_nearest_neighbor():
     """media_resize's grid path consumes the PNG decode: quadrant lumas
     tile the 8x8 grid exactly as the PPM/BMP tier does."""
