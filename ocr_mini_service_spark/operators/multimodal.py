@@ -14,11 +14,13 @@ honestly do:
   pure Python/stdlib/numpy: binary PPM (netpbm ``P6``), 24-bit BI_RGB
   BMP, PNG in the full Jimp matrix (depths 1/2/4/8/16, all five color
   types incl. palette, all five filter types, sequential and Adam7
-  interlace; ``_decode_png``), and baseline-sequential JPEG
-  (``_decode_jpeg``: full marker parse, entropy tables read from the
-  file's own DHT/DQT segments, canonical Huffman decode with byte
-  unstuffing and restart-marker support, dequantize + dezigzag +
-  separable float IDCT, chroma upsampling, JFIF YCbCr→RGB), GIF
+  interlace; ``_decode_png``), and Huffman JPEG — baseline, extended
+  sequential, AND progressive (``_decode_jpeg``: full marker parse,
+  entropy tables read from the file's own DHT/DQT segments, canonical
+  Huffman decode with byte unstuffing and restart-marker support,
+  progressive spectral-selection/successive-approximation scans with EOB
+  runs and AC refinement, dequantize + dezigzag + separable float IDCT,
+  chroma upsampling, JFIF YCbCr→RGB), GIF
   (``_decode_gif``: LZW, interlace, multi-frame), and baseline TIFF
   (``_decode_tiff``: both byte orders, none/PackBits/LZW strips,
   gray/RGB/palette) — the full raster set the reference accepts via
@@ -420,14 +422,16 @@ def _decode_png(payload: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG decode (pure Python/numpy — ITU-T T.81 baseline sequential).
+# JPEG decode (pure Python/numpy — ITU-T T.81 Huffman modes).
 # The reference decodes JPEG via Jimp (src/ocr/code-reader.service.ts:22-30);
 # this is the honest stdlib equivalent: entropy/quant tables come from the
 # file's own DHT/DQT segments, so correctness does not depend on any built-in
-# table constants.  Supported: SOF0/SOF1 (baseline + extended sequential,
-# 8-bit), 1 or 3 components, any sampling factors 1..4, restart intervals.
-# Rejected with an explicit error (never stubbed): progressive (SOF2),
-# arithmetic coding (SOF9+/DAC), 12-bit precision, hierarchical.
+# table constants.  Supported: SOF0/SOF1 (baseline + extended sequential)
+# AND SOF2 progressive (spectral selection + successive approximation, EOB
+# runs, AC refinement per T.81 Annex G), 8-bit, 1 or 3 components, any
+# sampling factors 1..4, restart intervals.  Rejected with an explicit
+# error (never stubbed): arithmetic coding (DAC/SOF9+), 12-bit precision,
+# lossless, hierarchical.
 # ---------------------------------------------------------------------------
 
 _JPEG_MAX_PX = 1 << 22  # same pre-decode bomb guard discipline as PNG
@@ -542,6 +546,190 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+class _JpegScanState:
+    """Mutable per-scan entropy state for progressive decoding: DC
+    predictors (per scan component) and the shared AC end-of-band run."""
+
+    def __init__(self, n: int):
+        self.pred = [0] * n
+        self.eobrun = 0
+
+
+def _jpeg_ac_first(br, tbl, blk, ss, se, al, st) -> None:
+    """AC first scan for one block's band (T.81 G.1.1.2.2): EOB runs span
+    blocks, ZRL skips 16, values arrive at the Al point transform."""
+    if st.eobrun > 0:
+        st.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = _jpeg_huff_decode(br, tbl)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            # EOBRUN includes the CURRENT block (libjpeg convention)
+            st.eobrun = 1 << r
+            if r:
+                st.eobrun += br.read(r)
+            st.eobrun -= 1
+            return
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run overflows band")
+        blk[k] = _jpeg_extend(br.read(s), s) << al
+        k += 1
+
+
+def _jpeg_ac_refine(br, tbl, blk, ss, se, al, st) -> None:
+    """AC refinement scan for one block's band (T.81 G.1.2.3): newly
+    significant coefficients arrive as ±1<<Al; every already-nonzero
+    coefficient passed over absorbs one correction bit; EOB runs carry the
+    remaining corrections of each covered block."""
+    p1 = 1 << al
+    k = ss
+
+    def correct(pos: int) -> None:
+        if br.read(1) and (blk[pos] & p1) == 0:
+            blk[pos] += p1 if blk[pos] >= 0 else -p1
+
+    if st.eobrun == 0:
+        while k <= se:
+            sym = _jpeg_huff_decode(br, tbl)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # EOBRUN includes the CURRENT block, whose remaining
+                    # corrections are read in the tail below
+                    st.eobrun = 1 << r
+                    if r:
+                        st.eobrun += br.read(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            elif s == 1:
+                val = p1 if br.read(1) else -p1
+            else:
+                raise ValueError("invalid JPEG AC refinement symbol")
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                elif r == 0:
+                    if s:
+                        blk[k] = val
+                    k += 1
+                    break
+                else:
+                    r -= 1
+                k += 1
+    if st.eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        st.eobrun -= 1
+
+
+def _jpeg_expect_restart(br, payload: bytes) -> None:
+    br.align()
+    j = br.pos
+    if (
+        j + 1 >= len(payload)
+        or payload[j] != 0xFF
+        or not (0xD0 <= payload[j + 1] <= 0xD7)
+    ):
+        raise ValueError("JPEG missing expected restart marker")
+    br.pos = j + 2
+
+
+def _jpeg_scan_progressive(
+    payload, pos, seg, comps, by_id, coef, huff, ri, geom
+) -> int:
+    """Decode one progressive SOS segment's entropy data into the
+    per-component coefficient arrays; returns the position just past the
+    scan (at the next marker)."""
+    mcus_x, mcus_y, hmax, vmax, w, h = geom
+    ns = seg[0]
+    if len(seg) < 4 + 2 * ns:
+        raise ValueError("truncated JPEG SOS header")
+    sc = []
+    for s in range(ns):
+        cs, tdta = seg[1 + 2 * s], seg[2 + 2 * s]
+        if cs not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        sc.append((by_id[cs], tdta >> 4, tdta & 0x0F))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+    if not (0 <= ss <= se <= 63):
+        raise ValueError(f"invalid JPEG spectral band {ss}..{se}")
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG progressive scan mixes DC and AC")
+    if ss > 0 and ns != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    if ah != 0 and ah != al + 1:
+        raise ValueError(f"invalid JPEG successive approximation {ah}->{al}")
+    br = _JpegBits(payload, pos)
+    st = _JpegScanState(ns)
+    try:
+        if ss == 0 and ns > 1:  # interleaved DC scan: MCU walk
+            total = mcus_x * mcus_y
+            for mcu in range(total):
+                if ri and mcu and mcu % ri == 0:
+                    _jpeg_expect_restart(br, payload)
+                    st = _JpegScanState(ns)
+                my, mx = divmod(mcu, mcus_x)
+                for ci, (c, td, _ta) in enumerate(sc):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = coef[c["ci"]][my * c["v"] + by, mx * c["h"] + bx]
+                            if ah == 0:
+                                tbl = huff.get((0, td))
+                                if tbl is None:
+                                    raise ValueError(
+                                        "JPEG scan uses an undefined Huffman table"
+                                    )
+                                t = _jpeg_huff_decode(br, tbl)
+                                st.pred[ci] += (
+                                    _jpeg_extend(br.read(t), t) if t else 0
+                                )
+                                blk[0] = st.pred[ci] << al
+                            else:
+                                blk[0] |= br.read(1) << al
+        else:  # non-interleaved: the component's own block raster
+            c, td, ta = sc[0]
+            cw = -(-(w * c["h"]) // hmax)
+            chh = -(-(h * c["v"]) // vmax)
+            cbw, cbh = -(-cw // 8), -(-chh // 8)
+            tbl = huff.get((0 if ss == 0 else 1, td if ss == 0 else ta))
+            if ss == 0 and ah == 0 and tbl is None:
+                raise ValueError("JPEG scan uses an undefined Huffman table")
+            if ss > 0 and tbl is None:
+                raise ValueError("JPEG scan uses an undefined Huffman table")
+            for unit in range(cbw * cbh):
+                if ri and unit and unit % ri == 0:
+                    _jpeg_expect_restart(br, payload)
+                    st = _JpegScanState(ns)
+                uy, ux = divmod(unit, cbw)
+                blk = coef[c["ci"]][uy, ux]
+                if ss == 0:
+                    if ah == 0:
+                        t = _jpeg_huff_decode(br, tbl)
+                        st.pred[0] += _jpeg_extend(br.read(t), t) if t else 0
+                        blk[0] = st.pred[0] << al
+                    else:
+                        blk[0] |= br.read(1) << al
+                elif ah == 0:
+                    _jpeg_ac_first(br, tbl, blk, ss, se, al, st)
+                else:
+                    _jpeg_ac_refine(br, tbl, blk, ss, se, al, st)
+    except _JpegMarker as m:
+        raise ValueError(
+            f"JPEG progressive scan ended early (marker 0x{m.marker:02x})"
+        )
+    return br.pos
+
+
 def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     """Decode a baseline JPEG to an (h, w, 3) uint8 RGB array."""
     import struct
@@ -553,10 +741,15 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     frame = None  # (w, h, components)
     restart_interval = 0
     adobe_transform = None  # APP14: 0 = components stored as RGB, 1 = YCbCr
+    progressive = False
+    coef = None  # progressive: per-component (bh, bw, 64) zigzag buffers
+    geom = None
+    by_id: dict[int, dict] = {}
+    n_scans = 0
     i = 2
     n = len(payload)
     while True:
-        if i + 4 > n:
+        if i + 2 > n:
             raise ValueError("truncated JPEG (no SOS)")
         if payload[i] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {i}")
@@ -567,6 +760,12 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / stray RST
             i += 2
             continue
+        if marker == 0xD9:  # EOI — legal only after progressive scans
+            if progressive and n_scans:
+                break
+            raise ValueError("JPEG EOI before image data")
+        if i + 4 > n:
+            raise ValueError("truncated JPEG (no SOS)")
         (seglen,) = struct.unpack_from(">H", payload, i + 2)
         seg = payload[i + 4 : i + 2 + seglen]
         if len(seg) != seglen - 2:
@@ -589,7 +788,10 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 nv = sum(bits)
                 huff[(tc, th)] = _jpeg_huff_table(bits, seg[j + 17 : j + 17 + nv])
                 j += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
+            if frame is not None:
+                raise ValueError("unsupported JPEG (multiple frames)")
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -607,9 +809,9 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                     raise ValueError(f"invalid JPEG sampling {ch}x{cv}")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "unsupported JPEG (progressive/arithmetic/hierarchical "
+                "unsupported JPEG (lossless/arithmetic/hierarchical "
                 f"SOF 0x{marker:02x})"
             )
         elif marker == 0xCC:  # DAC
@@ -619,9 +821,61 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14 color transform
             adobe_transform = seg[11] if len(seg) >= 12 else None
         elif marker == 0xDA:  # SOS — entropy data follows
-            break
+            if not progressive:
+                break
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            if coef is None:  # first scan: size the coefficient buffers
+                w, h, comps = frame
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                for c in comps:
+                    if hmax % c["h"] or vmax % c["v"]:
+                        raise ValueError(
+                            f"unsupported JPEG sampling ratio ({c['h']}x"
+                            f"{c['v']} vs {hmax}x{vmax} max)"
+                        )
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                coef = []
+                for ci, c in enumerate(comps):
+                    c["ci"] = ci
+                    c["bw"] = mcus_x * c["h"]
+                    c["bh"] = mcus_y * c["v"]
+                    coef.append(
+                        np.zeros((c["bh"], c["bw"], 64), dtype=np.int64)
+                    )
+                by_id = {c["id"]: c for c in comps}
+                geom = (mcus_x, mcus_y, hmax, vmax, w, h)
+            i = _jpeg_scan_progressive(
+                payload, i + 2 + seglen, seg, comps, by_id, coef, huff,
+                restart_interval, geom,
+            )
+            n_scans += 1
+            continue
         # other APPn / COM / anything else length-framed: skip
         i += 2 + seglen
+
+    if progressive:
+        # EOI reached: dequantize + IDCT the accumulated coefficients
+        mcus_x, mcus_y, hmax, vmax, w, h = geom
+        planes = []
+        for c in comps:
+            q = qt.get(c["tq"])
+            if q is None:
+                raise ValueError("JPEG component uses an undefined quant table")
+            plane = np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.float64)
+            arr = coef[c["ci"]]
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_ZIGZAG] = arr[by, bx]
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        _IDCT_C.T @ (block.reshape(8, 8) * q) @ _IDCT_C
+                    )
+            planes.append(plane)
+        return _jpeg_finish(planes, comps, hmax, vmax, w, h, adobe_transform)
+
     if frame is None:
         raise ValueError("JPEG SOS before SOF")
     w, h, comps = frame
@@ -707,6 +961,12 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             )
         mcu += 1
 
+    return _jpeg_finish(planes, comps, hmax, vmax, w, h, adobe_transform)
+
+
+def _jpeg_finish(planes, comps, hmax, vmax, w, h, adobe_transform) -> np.ndarray:
+    """Shared reconstruction tail (baseline and progressive): level shift,
+    chroma upsample, padding crop, color interpretation."""
     out = []
     for ci, c in enumerate(comps):
         plane = np.clip(np.round(planes[ci] + 128.0), 0, 255)

@@ -21,7 +21,7 @@ from ocr_mini_service_spark.operators.multimodal import (
     _ZIGZAG,
     THUMB,
 )
-from tests.jpeg_codec import ZIGZAG, encode_baseline
+from tests.jpeg_codec import ZIGZAG, encode_baseline, encode_progressive
 
 
 def _gradient(h, w, channels=3, seed=7):
@@ -83,10 +83,41 @@ def test_roundtrip_with_restart_markers():
     assert np.array_equal(_decode_jpeg_pixels(data), expected)
 
 
-def test_progressive_rejected_not_stubbed():
+def test_progressive_roundtrip_gray_and_rgb():
+    """Progressive (SOF2) with spectral selection + successive
+    approximation decodes bit-exactly: the scan script restores the full
+    quantized coefficients, so the result equals the independent baseline
+    reconstruction of the same blocks."""
+    for shape in [(16, 16), (24, 31), (8, 8)]:
+        img = _gradient(*shape, channels=1, seed=sum(shape))
+        data, expected = encode_progressive(img)
+        assert b"\xff\xc2" in data
+        assert data.count(b"\xff\xda") >= 4  # genuinely multi-scan
+        assert np.array_equal(_decode_jpeg_pixels(data), expected), shape
+    data, expected = encode_progressive(_gradient(21, 18, seed=5))
+    assert data.count(b"\xff\xda") >= 8
+    assert np.array_equal(_decode_jpeg_pixels(data), expected)
+
+
+def test_progressive_roundtrip_noisy_and_subsampled():
+    """Noise maximizes AC refinement traffic (ZRL spans, newly-significant
+    coefficients, EOB-run corrections); 4:2:0 exercises the interleaved DC
+    scan and the non-interleaved component grids that are SMALLER than the
+    MCU-padded grid."""
+    rng = np.random.RandomState(7)
+    noisy = rng.randint(0, 256, size=(40, 56, 3)).astype(np.uint8)
+    data, expected = encode_progressive(noisy, subsample=True)
+    assert np.array_equal(_decode_jpeg_pixels(data), expected)
+    data, expected = encode_progressive(noisy[:, :, 0])
+    assert np.array_equal(_decode_jpeg_pixels(data), expected)
+
+
+def test_progressive_malformed_scan_rejected():
+    """A baseline-shaped full scan under an SOF2 header (DC and AC mixed
+    in one scan) is structurally invalid and must error, not guess."""
     data, _ = encode_baseline(_gradient(16, 16))
     patched = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         _decode_jpeg_pixels(patched)
 
 
