@@ -64,9 +64,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_pq_recall, ivfadc_encode, ann_ivfadc_topk, ann_ivfadc_recall,
     # quality_rung_agreement (bloom_decontaminate stays rows-only by
     # construction), and the session-9 additions ensemble_blocks,
-    # ensemble_strip, ensemble_strip_spans.  34 entries (22 + 9 late-r4 +
-    # 3 session-9) — they all fit the r5 window with room for r5's own
-    # additions.
+    # ensemble_strip, ensemble_strip_spans, codec_grid_parity.  35 entries
+    # (22 + 9 late-r4 + 4 session-9) — they all fit the r5 window with
+    # room for r5's own additions.
     return {
         # --- new in r4 session 8: densitometric extraction rung +
         # two-rung agreement audit; conversation-level decontamination ---
@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_blocks": boilerplate.ensemble_blocks,
         "ensemble_strip": boilerplate.ensemble_strip,
         "ensemble_strip_spans": boilerplate.ensemble_strip_spans,
+        "codec_grid_parity": multimodal.codec_grid_parity,
     }
 
 
@@ -2485,6 +2486,38 @@ SELECT o.doc_id, o.block_idx, o.span_start,
 FROM off o JOIN canon c USING (doc_id)
 WHERE o.keep
 ORDER BY doc_id, block_idx""",
+        # the oracle never parses a payload: it derives the same 8x8
+        # nearest-neighbor integer luma grid straight from the pixel rules
+        # the Spark side encoded into real PPM/BMP/TIFF/GIF containers
+        "codec_grid_parity": """
+WITH t AS (
+    SELECT doc_id, ty, tx,
+           ((ty * 4) // 8) * 4 + ((tx * 4) // 8) AS p
+    FROM documents,
+         unnest(generate_series(0, 7)) AS a(ty),
+         unnest(generate_series(0, 7)) AS b(tx)),
+px AS (
+    SELECT doc_id, ty, tx,
+           CASE WHEN doc_id % 4 = 3 THEN
+               (299 * ((3 * ((doc_id * 7 + p * 3) % 128)) % 256)
+              + 587 * ((5 * ((doc_id * 7 + p * 3) % 128) + 1) % 256)
+              + 114 * ((11 * ((doc_id * 7 + p * 3) % 128) + 2) % 256)) // 1000
+           ELSE
+               (299 * ((doc_id * 31 + p * 7) % 256)
+              + 587 * ((doc_id * 17 + p * 11) % 256)
+              + 114 * ((doc_id * 13 + p * 5) % 256)) // 1000
+           END AS luma
+    FROM t),
+g AS (
+    SELECT doc_id,
+           CAST(SUM(luma) AS BIGINT) AS luma_sum,
+           string_agg(CAST(luma AS VARCHAR), ',' ORDER BY ty * 8 + tx) AS luma_csv
+    FROM px GROUP BY doc_id)
+SELECT doc_id AS media_id,
+       ['ppm', 'bmp', 'tiff', 'gif'][CAST(doc_id % 4 AS INT) + 1] AS fmt,
+       CAST(8 AS INT) AS grid_w, CAST(8 AS INT) AS grid_h,
+       luma_sum, luma_csv, CAST(NULL AS VARCHAR) AS error
+FROM g ORDER BY media_id""",
         "extractor_agreement": f"""
 WITH {_BOILER_CTES}
 SELECT doc_id, COUNT(*) AS n_blocks,

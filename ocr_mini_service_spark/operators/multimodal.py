@@ -1669,6 +1669,125 @@ def media_resize(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(out, "media_id")
 
 
+def _codec_const_hex() -> dict[str, tuple[str, str]]:
+    """(prefix_hex, suffix_hex) of the four 4x4 synthetic container
+    layouts used by ``codec_grid_parity``.  Headers are pure layout
+    constants (dimensions, strip offsets, the GIF global color table from
+    its integer rule); only the pixel/index bytes vary per row.  Built
+    with struct so the layout math is readable and unit-checkable."""
+    import struct as _s
+
+    ppm = (b"P6 4 4 255\n".hex().upper(), "")
+    bmp_hdr = b"BM" + _s.pack("<IHHI", 102, 0, 0, 54) + _s.pack(
+        "<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, 48, 0, 0, 0, 0
+    )
+    bmp = (bmp_hdr.hex().upper(), "")
+    entries = [
+        (256, 3, 1, 4),  # ImageWidth
+        (257, 3, 1, 4),  # ImageLength
+        (258, 3, 3, 122),  # BitsPerSample -> blob right after the IFD
+        (259, 3, 1, 1),  # Compression: none
+        (262, 3, 1, 2),  # Photometric: RGB
+        (273, 4, 1, 128),  # StripOffsets -> pixels after the blob
+        (277, 3, 1, 3),  # SamplesPerPixel
+        (278, 3, 1, 4),  # RowsPerStrip
+        (279, 4, 1, 48),  # StripByteCounts
+    ]
+    ifd = _s.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += _s.pack("<HHII", tag, typ, cnt, val)
+    ifd += _s.pack("<I", 0)
+    tif = (
+        (b"II*\x00" + _s.pack("<I", 8) + ifd + _s.pack("<HHH", 8, 8, 8))
+        .hex()
+        .upper(),
+        "",
+    )
+    gct = bytes(
+        v
+        for k in range(128)
+        for v in ((3 * k) % 256, (5 * k + 1) % 256, (11 * k + 2) % 256)
+    )
+    gif_hdr = (
+        b"GIF89a"
+        + _s.pack("<HHBBB", 4, 4, 0x86, 0, 0)
+        + gct
+        + _s.pack("<BHHHHB", 0x2C, 0, 0, 4, 4, 0)
+        + bytes([7, 33])  # LZW min code 7, one 33-byte sub-block
+    )
+    gif = (gif_hdr.hex().upper(), "003B")  # block terminator + trailer
+    return {"ppm": ppm, "bmp": bmp, "tiff": tif, "gif": gif}
+
+
+def codec_grid_parity(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-hashable end-to-end check of the REAL codecs: four container
+    formats (PPM, BMP, TIFF, GIF) are built byte-by-byte in native Spark
+    SQL from closed-form integer pixel rules — headers are layout
+    constants, the encodings chosen are the stored/uncompressed ones so
+    the byte stream stays arithmetic (GIF uses the clear-code-per-symbol
+    LZW degenerate, whose 8-bit codes are plain bytes) — then decoded by
+    the real decoders inside the one-pass Arrow resize kernel.  The
+    oracle never parses a payload: it derives the same 8x8
+    nearest-neighbor integer luma grid directly from the pixel rules
+    (dedup's mutant-overlay trick: structure synthesized, CODEC real).
+    A decode failure surfaces as a non-null error column, never a
+    silently plausible grid.
+
+    Scale shape: narrow projection (payload built JVM-side, no UDF) ->
+    one mapInPandas decode pass -> presentation sort; no shuffle."""
+    from . import ordered
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    hx = _codec_const_hex()
+    rgb_hex = (
+        "array_join(transform(sequence(0, 15), p -> concat("
+        "lpad(hex((doc_id * 31 + p * 7) % 256), 2, '0'),"
+        "lpad(hex((doc_id * 17 + p * 11) % 256), 2, '0'),"
+        "lpad(hex((doc_id * 13 + p * 5) % 256), 2, '0'))), '')"
+    )
+    # BMP stores bottom-up BGR: stored index q maps to image pixel
+    # p = (3 - q div 4) * 4 + q % 4, channels reversed
+    bmp_px = "((3 - q div 4) * 4 + q % 4)"
+    bmp_hex = (
+        "array_join(transform(sequence(0, 15), q -> concat("
+        f"lpad(hex((doc_id * 13 + {bmp_px} * 5) % 256), 2, '0'),"
+        f"lpad(hex((doc_id * 17 + {bmp_px} * 11) % 256), 2, '0'),"
+        f"lpad(hex((doc_id * 31 + {bmp_px} * 7) % 256), 2, '0'))), '')"
+    )
+    gif_hex = (
+        "concat(array_join(transform(sequence(0, 15), p -> concat('80',"
+        "lpad(hex((doc_id * 7 + p * 3) % 128), 2, '0'))), ''), '81')"
+    )
+    payload_hex = F.expr(
+        f"""CASE doc_id % 4
+          WHEN 0 THEN concat('{hx["ppm"][0]}', {rgb_hex})
+          WHEN 1 THEN concat('{hx["bmp"][0]}', {bmp_hex})
+          WHEN 2 THEN concat('{hx["tiff"][0]}', {rgb_hex})
+          ELSE concat('{hx["gif"][0]}', {gif_hex}, '{hx["gif"][1]}')
+        END"""
+    )
+    m = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(payload_hex).alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.lit(4).cast("int").alias("declared_w"),
+        F.lit(4).cast("int").alias("declared_h"),
+    )
+    out = m.mapInPandas(_resize_batches, schema=RESIZED).select(
+        "media_id",
+        F.element_at(
+            F.array(F.lit("ppm"), F.lit("bmp"), F.lit("tiff"), F.lit("gif")),
+            (F.col("media_id") % 4 + 1).cast("int"),
+        ).alias("fmt"),
+        "grid_w",
+        "grid_h",
+        "luma_sum",
+        "luma_csv",
+        "error",
+    )
+    return ordered(out, "media_id")
+
+
 def frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Frame sampling over audio/video payloads: the decode UDF reports
     n_frames; K_FRAMES uniform sample points explode JVM-side as

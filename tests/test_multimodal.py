@@ -954,6 +954,50 @@ def test_tiff_resize_nearest_neighbor():
     assert grid == want
 
 
+def test_codec_grid_parity_builds_real_containers(spark, sf_dir):
+    """Every codec_grid_parity payload is a genuinely decodable container
+    for its claimed format: re-build one payload per format from the same
+    rules and push it through the REAL per-format decoder directly, then
+    check the query's grid for that media_id matches the decoder's own
+    resize output (i.e., the rows went through the real codec path, not
+    the stub)."""
+    import numpy as np
+
+    df = (
+        multimodal.codec_grid_parity(spark, sf_dir)
+        .toPandas()
+        .set_index("media_id")
+    )
+    assert df["error"].isna().all()
+    assert set(df["fmt"]) == {"ppm", "bmp", "tiff", "gif"}
+    hx = multimodal._codec_const_hex()
+
+    def rgb_bytes(d):
+        out = bytearray()
+        for p in range(16):
+            out += bytes(
+                [(d * 31 + p * 7) % 256, (d * 17 + p * 11) % 256, (d * 13 + p * 5) % 256]
+            )
+        return bytes(out)
+
+    for d, fmt in [(0, "ppm"), (2, "tiff"), (3, "gif")]:
+        if fmt == "gif":
+            body = bytearray()
+            for p in range(16):
+                body += bytes([0x80, (d * 7 + p * 3) % 128])
+            body.append(0x81)
+            payload = bytes.fromhex(hx["gif"][0]) + bytes(body) + bytes.fromhex(hx["gif"][1])
+        else:
+            payload = bytes.fromhex(hx[fmt][0]) + rgb_bytes(d)
+        grid = multimodal._resize_grid(payload, "image", 4, 4)
+        assert ",".join(str(v) for v in grid) == df.loc[d, "luma_csv"], fmt
+        # the digest stub of the same payload would give a different grid
+        import hashlib
+
+        stub = [hashlib.sha256(payload).digest()[i % 32] for i in range(64)]
+        assert grid != stub, f"{fmt} fell through to the stub"
+
+
 def test_png_resize_nearest_neighbor():
     """media_resize's grid path consumes the PNG decode: quadrant lumas
     tile the 8x8 grid exactly as the PPM/BMP tier does."""
