@@ -2498,7 +2498,7 @@ WITH t AS (
          unnest(generate_series(0, 7)) AS b(tx)),
 px AS (
     SELECT doc_id, ty, tx,
-           CASE WHEN doc_id % 4 = 3 THEN
+           CASE WHEN doc_id % 5 = 3 THEN
                (299 * ((3 * ((doc_id * 7 + p * 3) % 128)) % 256)
               + 587 * ((5 * ((doc_id * 7 + p * 3) % 128) + 1) % 256)
               + 114 * ((11 * ((doc_id * 7 + p * 3) % 128) + 2) % 256)) // 1000
@@ -2514,7 +2514,7 @@ g AS (
            string_agg(CAST(luma AS VARCHAR), ',' ORDER BY ty * 8 + tx) AS luma_csv
     FROM px GROUP BY doc_id)
 SELECT doc_id AS media_id,
-       ['ppm', 'bmp', 'tiff', 'gif'][CAST(doc_id % 4 AS INT) + 1] AS fmt,
+       ['ppm', 'bmp', 'tiff', 'gif', 'png'][CAST(doc_id % 5 AS INT) + 1] AS fmt,
        CAST(8 AS INT) AS grid_w, CAST(8 AS INT) AS grid_h,
        luma_sum, luma_csv, CAST(NULL AS VARCHAR) AS error
 FROM g ORDER BY media_id""",

@@ -1716,17 +1716,38 @@ def _codec_const_hex() -> dict[str, tuple[str, str]]:
         + bytes([7, 33])  # LZW min code 7, one 33-byte sub-block
     )
     gif = (gif_hdr.hex().upper(), "003B")  # block terminator + trailer
-    return {"ppm": ppm, "bmp": bmp, "tiff": tif, "gif": gif}
+    # PNG: stored-deflate (BTYPE=00) keeps the zlib stream arithmetic;
+    # chunk CRCs are zeros (the chunk walk never checks them) but the
+    # Adler-32 trailer IS validated by zlib, so the query computes it in
+    # SQL.  Raw stream = 4 rows x (filter 0 + 12 RGB bytes) = 52 bytes;
+    # IDAT payload = 2 (zlib hdr) + 5 (stored block hdr) + 52 + 4 = 63.
+    png_hdr = (
+        _PNG_MAGIC
+        + _s.pack(">I", 13) + b"IHDR"
+        + _s.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+        + b"\x00\x00\x00\x00"  # IHDR crc (unchecked)
+        + _s.pack(">I", 63) + b"IDAT"
+        + b"\x78\x01"  # zlib header
+        + b"\x01" + _s.pack("<H", 52) + _s.pack("<H", 0xFFFF - 52)
+    )
+    png = (
+        png_hdr.hex().upper(),
+        # IDAT crc + IEND chunk (len 0, type, crc) — all crcs zeros
+        ("00000000" + _s.pack(">I", 0).hex() + b"IEND".hex() + "00000000").upper(),
+    )
+    return {"ppm": ppm, "bmp": bmp, "tiff": tif, "gif": gif, "png": png}
 
 
 def codec_grid_parity(spark: SparkSession, sf: str) -> DataFrame:
-    """Driver-hashable end-to-end check of the REAL codecs: four container
-    formats (PPM, BMP, TIFF, GIF) are built byte-by-byte in native Spark
-    SQL from closed-form integer pixel rules — headers are layout
+    """Driver-hashable end-to-end check of the REAL codecs: five container
+    formats (PPM, BMP, TIFF, GIF, PNG) are built byte-by-byte in native
+    Spark SQL from closed-form integer pixel rules — headers are layout
     constants, the encodings chosen are the stored/uncompressed ones so
     the byte stream stays arithmetic (GIF uses the clear-code-per-symbol
-    LZW degenerate, whose 8-bit codes are plain bytes) — then decoded by
-    the real decoders inside the one-pass Arrow resize kernel.  The
+    LZW degenerate, whose 8-bit codes are plain bytes; PNG uses a
+    stored-deflate block with the Adler-32 trailer computed by a SQL
+    aggregate) — then decoded by the real decoders inside the one-pass
+    Arrow resize kernel.  The
     oracle never parses a payload: it derives the same 8x8
     nearest-neighbor integer luma grid directly from the pixel rules
     (dedup's mutant-overlay trick: structure synthesized, CODEC real).
@@ -1758,12 +1779,37 @@ def codec_grid_parity(spark: SparkSession, sf: str) -> DataFrame:
         "concat(array_join(transform(sequence(0, 15), p -> concat('80',"
         "lpad(hex((doc_id * 7 + p * 3) % 128), 2, '0'))), ''), '81')"
     )
+    # PNG stored-deflate raw stream: byte i (0..51) is a filter 0 at
+    # i % 13 == 0, else a channel of pixel (i div 13) * 4 + (i % 13 - 1)
+    # div 3 — and the Adler-32 trailer computed over those same bytes
+    png_byte = (
+        "(CASE WHEN {i} % 13 = 0 THEN 0L ELSE"
+        " element_at(array("
+        "(doc_id * 31 + (({i} div 13) * 4 + ({i} % 13 - 1) div 3) * 7) % 256,"
+        "(doc_id * 17 + (({i} div 13) * 4 + ({i} % 13 - 1) div 3) * 11) % 256,"
+        "(doc_id * 13 + (({i} div 13) * 4 + ({i} % 13 - 1) div 3) * 5) % 256"
+        "), CAST(({i} % 13 - 1) % 3 + 1 AS INT)) END)"
+    )
+    png_raw_hex = (
+        "array_join(transform(sequence(0, 3), r -> concat('00',"
+        " array_join(transform(sequence(0, 3), x -> concat("
+        "lpad(hex((doc_id * 31 + (r * 4 + x) * 7) % 256), 2, '0'),"
+        "lpad(hex((doc_id * 17 + (r * 4 + x) * 11) % 256), 2, '0'),"
+        "lpad(hex((doc_id * 13 + (r * 4 + x) * 5) % 256), 2, '0'))), ''))), '')"
+    )
+    adler_hex = (
+        "lpad(hex(((52 + aggregate(sequence(0, 51), 0L, (acc, i) -> acc"
+        f" + (52 - i) * {png_byte.format(i='i')})) % 65521) * 65536"
+        " + (1 + aggregate(sequence(0, 51), 0L, (acc, i) -> acc"
+        f" + {png_byte.format(i='i')})) % 65521), 8, '0')"
+    )
     payload_hex = F.expr(
-        f"""CASE doc_id % 4
+        f"""CASE doc_id % 5
           WHEN 0 THEN concat('{hx["ppm"][0]}', {rgb_hex})
           WHEN 1 THEN concat('{hx["bmp"][0]}', {bmp_hex})
           WHEN 2 THEN concat('{hx["tiff"][0]}', {rgb_hex})
-          ELSE concat('{hx["gif"][0]}', {gif_hex}, '{hx["gif"][1]}')
+          WHEN 3 THEN concat('{hx["gif"][0]}', {gif_hex}, '{hx["gif"][1]}')
+          ELSE concat('{hx["png"][0]}', {png_raw_hex}, {adler_hex}, '{hx["png"][1]}')
         END"""
     )
     m = docs.select(
@@ -1776,8 +1822,9 @@ def codec_grid_parity(spark: SparkSession, sf: str) -> DataFrame:
     out = m.mapInPandas(_resize_batches, schema=RESIZED).select(
         "media_id",
         F.element_at(
-            F.array(F.lit("ppm"), F.lit("bmp"), F.lit("tiff"), F.lit("gif")),
-            (F.col("media_id") % 4 + 1).cast("int"),
+            F.array(F.lit("ppm"), F.lit("bmp"), F.lit("tiff"), F.lit("gif"),
+                    F.lit("png")),
+            (F.col("media_id") % 5 + 1).cast("int"),
         ).alias("fmt"),
         "grid_w",
         "grid_h",

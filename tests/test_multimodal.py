@@ -969,7 +969,7 @@ def test_codec_grid_parity_builds_real_containers(spark, sf_dir):
         .set_index("media_id")
     )
     assert df["error"].isna().all()
-    assert set(df["fmt"]) == {"ppm", "bmp", "tiff", "gif"}
+    assert set(df["fmt"]) == {"ppm", "bmp", "tiff", "gif", "png"}
     hx = multimodal._codec_const_hex()
 
     def rgb_bytes(d):
@@ -980,13 +980,20 @@ def test_codec_grid_parity_builds_real_containers(spark, sf_dir):
             )
         return bytes(out)
 
-    for d, fmt in [(0, "ppm"), (2, "tiff"), (3, "gif")]:
+    for d, fmt in [(0, "ppm"), (2, "tiff"), (3, "gif"), (4, "png")]:
         if fmt == "gif":
             body = bytearray()
             for p in range(16):
                 body += bytes([0x80, (d * 7 + p * 3) % 128])
             body.append(0x81)
             payload = bytes.fromhex(hx["gif"][0]) + bytes(body) + bytes.fromhex(hx["gif"][1])
+        elif fmt == "png":
+            import zlib
+
+            px = rgb_bytes(d)
+            raw = b"".join(b"\x00" + px[r * 12 : r * 12 + 12] for r in range(4))
+            adler = struct.pack(">I", zlib.adler32(raw))
+            payload = bytes.fromhex(hx["png"][0]) + raw + adler + bytes.fromhex(hx["png"][1])
         else:
             payload = bytes.fromhex(hx[fmt][0]) + rgb_bytes(d)
         grid = multimodal._resize_grid(payload, "image", 4, 4)
