@@ -644,7 +644,7 @@ def _jpeg_expect_restart(br, payload: bytes) -> None:
 
 
 def _jpeg_scan_progressive(
-    payload, pos, seg, comps, by_id, coef, huff, ri, geom
+    payload, pos, seg, by_id, coef, huff, ri, geom
 ) -> int:
     """Decode one progressive SOS segment's entropy data into the
     per-component coefficient arrays; returns the position just past the
@@ -673,23 +673,24 @@ def _jpeg_scan_progressive(
     st = _JpegScanState(ns)
     try:
         if ss == 0 and ns > 1:  # interleaved DC scan: MCU walk
+            tbls = []
+            for c, td, _ta in sc:
+                tbl = huff.get((0, td)) if ah == 0 else None
+                if ah == 0 and tbl is None:
+                    raise ValueError("JPEG scan uses an undefined Huffman table")
+                tbls.append(tbl)
             total = mcus_x * mcus_y
             for mcu in range(total):
                 if ri and mcu and mcu % ri == 0:
                     _jpeg_expect_restart(br, payload)
                     st = _JpegScanState(ns)
                 my, mx = divmod(mcu, mcus_x)
-                for ci, (c, td, _ta) in enumerate(sc):
+                for ci, (c, _td, _ta) in enumerate(sc):
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
                             blk = coef[c["ci"]][my * c["v"] + by, mx * c["h"] + bx]
                             if ah == 0:
-                                tbl = huff.get((0, td))
-                                if tbl is None:
-                                    raise ValueError(
-                                        "JPEG scan uses an undefined Huffman table"
-                                    )
-                                t = _jpeg_huff_decode(br, tbl)
+                                t = _jpeg_huff_decode(br, tbls[ci])
                                 st.pred[ci] += (
                                     _jpeg_extend(br.read(t), t) if t else 0
                                 )
@@ -848,7 +849,7 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 by_id = {c["id"]: c for c in comps}
                 geom = (mcus_x, mcus_y, hmax, vmax, w, h)
             i = _jpeg_scan_progressive(
-                payload, i + 2 + seglen, seg, comps, by_id, coef, huff,
+                payload, i + 2 + seglen, seg, by_id, coef, huff,
                 restart_interval, geom,
             )
             n_scans += 1
@@ -911,11 +912,7 @@ def _decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     total_mcus = mcus_x * mcus_y
     while mcu < total_mcus:
         if restart_interval and mcu and mcu % restart_interval == 0:
-            br.align()
-            j = br.pos
-            if j + 1 >= n or payload[j] != 0xFF or not (0xD0 <= payload[j + 1] <= 0xD7):
-                raise ValueError("JPEG missing expected restart marker")
-            br.pos = j + 2
+            _jpeg_expect_restart(br, payload)
             pred = [0] * len(comps)
         my, mx = divmod(mcu, mcus_x)
         try:

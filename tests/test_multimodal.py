@@ -980,8 +980,18 @@ def test_codec_grid_parity_builds_real_containers(spark, sf_dir):
             )
         return bytes(out)
 
-    for d, fmt in [(0, "ppm"), (2, "tiff"), (3, "gif"), (4, "png")]:
-        if fmt == "gif":
+    for d, fmt in [(0, "ppm"), (1, "bmp"), (2, "tiff"), (3, "gif"), (4, "png")]:
+        if fmt == "bmp":
+            # bottom-up rows, BGR channel order
+            px = rgb_bytes(d)
+            rows = [px[r * 12 : r * 12 + 12] for r in range(4)]
+            flipped = bytearray()
+            for row in reversed(rows):
+                for x in range(4):
+                    r_, g_, b_ = row[x * 3 : x * 3 + 3]
+                    flipped += bytes([b_, g_, r_])
+            payload = bytes.fromhex(hx["bmp"][0]) + bytes(flipped)
+        elif fmt == "gif":
             body = bytearray()
             for p in range(16):
                 body += bytes([0x80, (d * 7 + p * 3) % 128])
