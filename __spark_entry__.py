@@ -64,9 +64,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_pq_recall, ivfadc_encode, ann_ivfadc_topk, ann_ivfadc_recall,
     # quality_rung_agreement (bloom_decontaminate stays rows-only by
     # construction), and the session-9 additions ensemble_blocks,
-    # ensemble_strip, ensemble_strip_spans, codec_grid_parity.  35 entries
-    # (22 + 9 late-r4 + 4 session-9) — they all fit the r5 window with
-    # room for r5's own additions.
+    # ensemble_strip, ensemble_strip_spans, codec_grid_parity,
+    # conv_topic_segments.  36 entries (22 + 9 late-r4 + 5 session-9) —
+    # they all fit the r5 window with room for r5's own additions.
     return {
         # --- new in r4 session 8: densitometric extraction rung +
         # two-rung agreement audit; conversation-level decontamination ---
@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_strip": boilerplate.ensemble_strip,
         "ensemble_strip_spans": boilerplate.ensemble_strip_spans,
         "codec_grid_parity": multimodal.codec_grid_parity,
+        "conv_topic_segments": convo.conv_topic_segments,
     }
 
 
@@ -1420,6 +1421,27 @@ SELECT doc_id, 'paragraph' AS kind,
 FROM st
 ORDER BY doc_id, kind""",
         # ---------------- multi-turn transcript curation (convo.py) --------
+        "conv_topic_segments": f"""
+WITH {_CONVO},
+tk AS (
+    SELECT conv_id, turn_idx,
+           list_distinct(string_split(turn_text, ' ')) AS tk
+    FROM ctb),
+sims AS (
+    SELECT a.conv_id, a.turn_idx AS gap_idx,
+           CAST(len(list_intersect(a.tk, b.tk)) AS INT) AS sim
+    FROM tk a JOIN tk b
+      ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1),
+sctx AS (
+    SELECT conv_id, gap_idx, sim,
+           LAG(sim) OVER sw AS prev_sim,
+           LEAD(sim) OVER sw AS next_sim
+    FROM sims
+    WINDOW sw AS (PARTITION BY conv_id ORDER BY gap_idx))
+SELECT conv_id, gap_idx, sim, prev_sim, next_sim,
+       CAST(sim < COALESCE(prev_sim, 99) AND sim < COALESCE(next_sim, 99)
+            AND sim <= {convo.SEG_SIM_MAX} AS INT) AS is_boundary
+FROM sctx ORDER BY conv_id, gap_idx""",
         "role_sequence_audit": f"""
 WITH {_CONVO},
 r AS (

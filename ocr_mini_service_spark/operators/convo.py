@@ -623,6 +623,54 @@ def tool_turn_stats(spark: SparkSession, sf: str) -> DataFrame:
     return ordered(out, "conv_id")
 
 
+SEG_SIM_MAX = 2  # a cohesion valley must also be this weak to cut a segment
+
+
+def conv_topic_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """TextTiling-style topic segmentation over conversation turns (Hearst
+    1997's lexical-cohesion valleys, adapted from the sentence grid to the
+    turn grid): cohesion of each adjacent-turn gap = |distinct-token
+    intersection| (exact integer), and a segment boundary falls at every
+    STRICT cohesion valley (lower than both neighboring gaps; edge gaps
+    compare against +inf) that is also globally weak (sim <= SEG_SIM_MAX).
+    Gap-level output so the driver hashes every cohesion score and both
+    context values, not just the cut count.
+
+    Scale shape: the lead-token intersection and the valley context ride
+    consecutive windows on the SAME conv_id key and turn order (one
+    Exchange, shared sort); nothing shuffles on anything but conv_id and
+    nothing is quadratic in conversation length."""
+    t = _turns(spark, sf)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    toks = t.select(
+        "conv_id",
+        "turn_idx",
+        F.array_distinct(F.split("turn_text", " ")).alias("tk"),
+    )
+    gaps = toks.select(
+        "conv_id",
+        "turn_idx",
+        F.size(F.array_intersect("tk", F.lead("tk").over(w))).alias("sim"),
+    ).filter(F.col("sim").isNotNull())
+    w2 = Window.partitionBy("conv_id").orderBy("gap_idx")
+    ctx = gaps.select(
+        "conv_id", F.col("turn_idx").alias("gap_idx"), "sim"
+    ).select(
+        "*",
+        F.lag("sim").over(w2).alias("prev_sim"),
+        F.lead("sim").over(w2).alias("next_sim"),
+    )
+    out = ctx.withColumn(
+        "is_boundary",
+        (
+            (F.col("sim") < F.coalesce("prev_sim", F.lit(99)))
+            & (F.col("sim") < F.coalesce("next_sim", F.lit(99)))
+            & (F.col("sim") <= SEG_SIM_MAX)
+        ).cast("int"),
+    )
+    return ordered(out, "conv_id", "gap_idx")
+
+
 def transcript_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """The multi-turn flagship COMPOSITION: the convo signals chained into
     one conversation-level curation funnel with cumulative survivor counts —

@@ -371,3 +371,45 @@ def test_conv_decontaminate_membership_is_broadcast(spark):
     plan = formatted_plan(convo.conv_decontaminate(spark, SF))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_topic_segments_valley_rule_replicates(spark, turns):
+    """The TextTiling valley rule re-derived independently in pandas from
+    the turn texts: every cohesion score is the distinct-token
+    intersection size of the adjacent pair, and boundaries are exactly
+    the weak strict local minima.  Both classes occur."""
+    df = (
+        convo.conv_topic_segments(spark, SF)
+        .toPandas()
+        .sort_values(["conv_id", "gap_idx"])
+        .reset_index(drop=True)
+    )
+    toks = {
+        (r.conv_id, r.turn_idx): set(r.turn_text.split(" "))
+        for r in turns.itertuples()
+    }
+    for r in df.itertuples():
+        want = len(toks[(r.conv_id, r.gap_idx)] & toks[(r.conv_id, r.gap_idx + 1)])
+        assert r.sim == want, (r.conv_id, r.gap_idx)
+    for conv, g in df.groupby("conv_id"):
+        sims = g["sim"].tolist()
+        for j, row in enumerate(g.itertuples()):
+            prev = sims[j - 1] if j > 0 else 99
+            nxt = sims[j + 1] if j + 1 < len(sims) else 99
+            want_b = int(
+                sims[j] < prev and sims[j] < nxt and sims[j] <= convo.SEG_SIM_MAX
+            )
+            assert row.is_boundary == want_b, (conv, row.gap_idx)
+    assert df["is_boundary"].nunique() == 2, "rule is vacuous on the corpus"
+
+
+def test_topic_segments_single_sort_no_extra_join(spark):
+    """Both window passes (lead-token intersection, valley context) share
+    the conv_id sort (2 Window nodes, one data sort + the presentation
+    sort); the only join is _turns' own broadcast document resolution —
+    the segmentation itself never joins and nothing is cartesian."""
+    plan = formatted_plan(convo.conv_topic_segments(spark, SF))
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
+    assert joins == ["BroadcastHashJoin"], plan
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) <= 2, plan
