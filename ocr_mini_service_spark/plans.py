@@ -190,6 +190,22 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "keyed groupBy reassembles the kept blocks.",
             formatted_plan(q["ensemble_strip"](spark, sf_dir)),
         ),
+        "codec_grid_parity": (
+            "real-codec end-to-end check: five container formats built "
+            "byte-by-byte as native Spark SQL expressions (hex-concat -> "
+            "unhex, Adler-32 as a SQL aggregate — no UDF anywhere in the "
+            "payload construction), one mapInPandas decode+resize pass, "
+            "presentation sort.  No shuffle at all before the final "
+            "repartition: the whole check is a narrow map.",
+            formatted_plan(q["codec_grid_parity"](spark, sf_dir)),
+        ),
+        "conv_topic_segments": (
+            "TextTiling valley segmentation: the lead-token intersection "
+            "and the valley context are consecutive windows on the SAME "
+            "conv_id key and turn order — one data sort, 2 Window nodes, "
+            "the only join is the turn resolution's BroadcastHashJoin.",
+            formatted_plan(q["conv_topic_segments"](spark, sf_dir)),
+        ),
         "curation_funnel_v2": (
             "strip -> Gopher gate on stripped text -> exact dedup of "
             "stripped text in ONE DAG: the gate is a narrow projection "
