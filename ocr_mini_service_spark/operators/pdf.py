@@ -108,20 +108,21 @@ def _show_ops(line_idx: int, x: int, y: int, text: str) -> bytes:
     form = line_idx % 5
     if form == 0:
         body = _esc_literal(text, octal_first=True)
-        return b"BT /F1 12 Tf %d %d Td (%s) Tj ET" % (x, y, body)
+        return b"BT /F1 %d Tf %d %d Td (%s) Tj ET" % (BODY_SIZE, x, y, body)
     if form == 1:
         mid = max(1, len(text) // 2)
         a, b = _esc_literal(text[:mid]), _esc_literal(text[mid:])
-        return b"BT /F1 12 Tf %d %d Td [(%s) -250 (%s)] TJ ET" % (x, y, a, b)
+        return b"BT /F1 %d Tf %d %d Td [(%s) -250 (%s)] TJ ET" % (
+            BODY_SIZE, x, y, a, b)
     if form == 2:
-        return b"BT /F1 12 Tf 1 0 0 1 %d %d Tm (%s) Tj ET" % (
-            x, y, _esc_literal(text))
+        return b"BT /F1 %d Tf 1 0 0 1 %d %d Tm (%s) Tj ET" % (
+            BODY_SIZE, x, y, _esc_literal(text))
     if form == 3:
         # ' = T* then show: position one leading ABOVE, T* drops to y
-        return b"BT /F1 12 Tf 14 TL %d %d Td (%s) ' ET" % (
-            x, y + LEADING, _esc_literal(text))
-    return b"BT /F1 12 Tf %d %d Td <%s> Tj ET" % (
-        x, y, text.encode("utf-8").hex().encode("ascii"))
+        return b"BT /F1 %d Tf %d TL %d %d Td (%s) ' ET" % (
+            BODY_SIZE, LEADING, x, y + LEADING, _esc_literal(text))
+    return b"BT /F1 %d Tf %d %d Td <%s> Tj ET" % (
+        BODY_SIZE, x, y, text.encode("utf-8").hex().encode("ascii"))
 
 
 def _page_ops(doc_id: int, page_idx: int, n_pages: int,
@@ -131,16 +132,16 @@ def _page_ops(doc_id: int, page_idx: int, n_pages: int,
     (global_line_idx, text) for this page in reading order."""
     left, right = lines[:LINES_PER_COL], lines[LINES_PER_COL:]
     ops = [b"% synthetic fixture page", b"q 0.5 G 1 0 0 RG"]
-    ops.append(b"BT /F1 8 Tf %d %d Td (%s) Tj ET"
-               % (BODY_X[0], FOOTER_Y,
+    ops.append(b"BT /F1 %d Tf %d %d Td (%s) Tj ET"
+               % (META_SIZE, BODY_X[0], FOOTER_Y,
                   _esc_literal(f"Page {page_idx + 1} of {n_pages}")))
     for col_lines, x in ((right, BODY_X[1]), (left, BODY_X[0])):
         for j in range(len(col_lines) - 1, -1, -1):
             gidx, text = col_lines[j]
             row = gidx % LINES_PER_PAGE % LINES_PER_COL
             ops.append(_show_ops(gidx, x, Y_TOP - LEADING * row, text))
-    ops.append(b"BT /F1 8 Tf %d %d Td (%s) Tj ET"
-               % (BODY_X[0], HEADER_Y,
+    ops.append(b"BT /F1 %d Tf %d %d Td (%s) Tj ET"
+               % (META_SIZE, BODY_X[0], HEADER_Y,
                   _esc_literal(f"doc {doc_id} \xb7 part {page_idx + 1}")))
     ops.append(b"Q")
     return ops
@@ -338,6 +339,13 @@ class _Lexer:
                         i += 1
                 else:  # unknown escape: the char stands for itself
                     out.append(e)
+                    i += 1
+            elif c in (0x0A, 0x0D):
+                # unescaped end-of-line inside a literal string reads as a
+                # single LF regardless of CR / LF / CRLF (PDF 1.7 §7.3.4.2)
+                out.append(0x0A)
+                i += 1
+                if c == 0x0D and i < len(d) and d[i] == 0x0A:
                     i += 1
             elif c == 0x28:
                 depth += 1
@@ -573,7 +581,10 @@ def interpret_text(stream: bytes) -> list[tuple[float, float, float, str]]:
         op = v
         try:
             if op == "BT":
-                in_text, lm, leading = True, (0.0, 0.0), 0.0
+                # BT resets the text matrices only; leading (like font
+                # size) is TEXT STATE and persists across BT/ET blocks
+                # (PDF 1.7 §9.3.1)
+                in_text, lm = True, (0.0, 0.0)
             elif op == "ET":
                 in_text = False
             elif op == "Tf":
@@ -616,6 +627,10 @@ def interpret_text(stream: bytes) -> list[tuple[float, float, float, str]]:
 # the page height so the rule is resolution-independent, not generator-tied.
 _MARGIN_FRAC = 0.06
 _MIN_BODY_SIZE = 9.0
+# runs whose baselines differ only by float-path noise merge into one line
+# (bitwise-equal y would split a visual baseline reached via Td on one run
+# and TL+T* arithmetic on another); far below any real leading
+_BASELINE_EPS = 0.5
 
 
 def layout_lines(reader: PdfReader):
@@ -638,7 +653,11 @@ def layout_lines(reader: PdfReader):
     kept.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
     lines: list[dict] = []
     for (pi, col, ny, x, text) in kept:
-        if lines and (lines[-1]["page"], lines[-1]["col"], lines[-1]["y"]) == (pi, col, -ny):
+        if (
+            lines
+            and (lines[-1]["page"], lines[-1]["col"]) == (pi, col)
+            and abs(lines[-1]["y"] - (-ny)) <= _BASELINE_EPS
+        ):
             lines[-1]["text"] += " " + text
         else:
             lines.append({"page": pi, "col": col, "x": x, "y": -ny, "text": text})

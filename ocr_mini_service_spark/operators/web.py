@@ -158,7 +158,12 @@ def canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     re-implements the same surgery with RE2 + list functions."""
     u = F.col(url_col)
     scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z]+)://", 1))
-    hostport = F.regexp_extract(u, r"^[a-zA-Z]+://([^/?#]+)", 1)
+    # authority minus userinfo ("user:pass@host" would otherwise leak the
+    # userinfo into host parsing); '@' cannot appear unencoded elsewhere
+    # in the authority
+    hostport = F.regexp_replace(
+        F.regexp_extract(u, r"^[a-zA-Z]+://([^/?#]+)", 1), r"^[^@]*@", ""
+    )
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     path = F.regexp_extract(u, r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
     cpath = F.regexp_replace(path, r"/+$", "")
@@ -179,7 +184,10 @@ def canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
         | ((scheme == F.lit("https")) & (port == F.lit("443")))
     )
     staged = df.withColumn("scheme_c", scheme).withColumn(
-        "host_raw", F.lower(F.regexp_extract(hostport, r"^([^:]+)", 1))
+        # bracketed IPv6 literals keep their colons; otherwise the host is
+        # everything before the port colon
+        "host_raw",
+        F.lower(F.regexp_extract(hostport, r"^(\[[^\]]*\]|[^:]+)", 1)),
     )
     staged = staged.withColumn(
         "host_c",

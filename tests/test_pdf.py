@@ -202,3 +202,33 @@ def test_span_batches_isolates_bad_rows():
     assert bad.line_text.iloc[0].startswith("pdf_failed:")
     good = out[out.doc_id == 2]
     assert list(good.line_text) == ["a b c"]
+
+
+def test_leading_persists_across_bt_blocks():
+    """Tl is text STATE (PDF 1.7 §9.3.1): a later BT block's T*/' must use
+    the leading set in an earlier block; only the matrices reset at BT."""
+    content = (b"BT /F1 12 Tf 14 TL 100 700 Td (a) Tj ET "
+               b"BT 100 500 Td (b) ' ET")
+    runs = _runs(_mini_pdf(content))
+    assert runs == [
+        (100.0, 700.0, 12.0, "a"),
+        (100.0, 486.0, 12.0, "b"),  # ' dropped by the PERSISTED 14
+    ]
+
+
+def test_literal_string_unescaped_eol_reads_as_lf():
+    """Unescaped CR, LF, and CRLF inside a literal string all read as one
+    LF (§7.3.4.2) — unlike backslash-EOL, which joins lines."""
+    content = b"BT /F1 12 Tf 5 5 Td (a\rb\nc\r\nd) Tj ET"
+    runs = _runs(_mini_pdf(content))
+    assert runs == [(5.0, 5.0, 12.0, "a\nb\nc\nd")]
+
+
+def test_baseline_merge_tolerates_float_path_noise():
+    """Two runs on one visual baseline reached via different float paths
+    (Td vs TL+T* arithmetic) merge into ONE line."""
+    content = (b"BT /F1 12 Tf 100 400 Td (left) Tj ET "
+               b"BT /F1 12 Tf 14.000000000000002 TL 300 414.000000000000002 Td (right) ' ET")
+    r = P.PdfReader(_mini_pdf(content))
+    lines, dropped, n_pages = P.layout_lines(r)
+    assert [ln["text"] for ln in lines] == ["left right"], lines
