@@ -298,6 +298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_strip_spans": boilerplate.ensemble_strip_spans,
         "codec_grid_parity": multimodal.codec_grid_parity,
         "conv_topic_segments": convo.conv_topic_segments,
+        # --- new in r4 session 10 (r5-front these with the list above) ---
+        "secret_scan": convo.secret_scan,
+        "continuation_stitch": convo.continuation_stitch,
     }
 
 
@@ -1442,6 +1445,58 @@ SELECT conv_id, gap_idx, sim, prev_sim, next_sim,
        CAST(sim < COALESCE(prev_sim, 99) AND sim < COALESCE(next_sim, 99)
             AND sim <= {convo.SEG_SIM_MAX} AS INT) AS is_boundary
 FROM sctx ORDER BY conv_id, gap_idx""",
+        "secret_scan": f"""
+WITH {_CONVO},
+pl AS (
+    SELECT conv_id, turn_idx,
+           turn_text ||
+           CASE bucket % {convo.SECRET_MOD}
+             WHEN 0 THEN ' key=AKIA' || upper(substr(md5(turn_text || ':sk'), 1, 16))
+             WHEN 1 THEN ' Authorization: Bearer ' || substr(md5(turn_text || ':sk'), 1, 24)
+             WHEN 2 THEN ' from 10.' || (bucket % 200)::VARCHAR || '.0.' || (turn_idx + 1)::VARCHAR
+             ELSE '' END ||
+           CASE WHEN bucket % {convo.EMAIL_EVERY} = 0
+                THEN ' contact ops' || conv_id::VARCHAR || '@example.com'
+                ELSE '' END AS payload
+    FROM ctb)
+SELECT conv_id, turn_idx,
+       CAST(length(regexp_extract_all(payload, '{convo.AKIA_RE}')) AS INT) AS n_awskey,
+       CAST(length(regexp_extract_all(payload, '{convo.BEARER_RE}')) AS INT) AS n_bearer,
+       CAST(length(regexp_extract_all(payload, '{convo.IPV4_RE}')) AS INT) AS n_ipv4,
+       CAST(length(regexp_extract_all(payload, '{corpus.EMAIL_RE}')) AS INT) AS n_email,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(payload,
+            '{convo.BEARER_RE}', 'Bearer <TOKEN>', 'g'),
+            '{convo.AKIA_RE}', '<AWS_KEY>', 'g'),
+            '{convo.IPV4_RE}', '<IP>', 'g'),
+            '{corpus.EMAIL_RE}', '<EMAIL>', 'g')) AS INT) AS redacted_len
+FROM pl ORDER BY conv_id, turn_idx""",
+        "continuation_stitch": f"""
+WITH {_CONVO},
+cut AS (
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN role = 'assistant' AND bucket % {convo.TRUNC_MOD} = 0
+                THEN array_to_string(list_slice(string_split(turn_text, ' '),
+                     1, bucket % {convo.TRUNC_WORDS_MOD} + {convo.TRUNC_MIN_WORDS}), ' ')
+                ELSE turn_text END AS txt1,
+           (role = 'assistant' AND bucket % {convo.TRUNC_MOD} = 0) AS src
+    FROM ctb),
+ov AS (
+    SELECT conv_id, turn_idx,
+           CASE WHEN role = 'user' AND COALESCE(lag(src) OVER cw, FALSE)
+                THEN 'continue' ELSE txt1 END AS txt2
+    FROM cut WINDOW cw AS (PARTITION BY conv_id ORDER BY turn_idx)),
+det AS (
+    SELECT conv_id, txt2,
+           CASE WHEN txt2 = 'continue' THEN 1 ELSE 0 END AS is_cont,
+           COALESCE(lead(txt2 = 'continue') OVER cw, FALSE) AS truncated,
+           lead(txt2, 2) OVER cw AS after
+    FROM ov WINDOW cw AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id, COUNT(*) AS n_turns,
+       CAST(SUM(is_cont) AS BIGINT) AS n_continue,
+       CAST(SUM(CASE WHEN truncated AND after IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stitched,
+       CAST(COALESCE(SUM(CASE WHEN truncated AND after IS NOT NULL
+            THEN length(txt2 || ' ' || after) END), 0) AS BIGINT) AS stitched_chars
+FROM det GROUP BY conv_id ORDER BY conv_id""",
         "role_sequence_audit": f"""
 WITH {_CONVO},
 r AS (

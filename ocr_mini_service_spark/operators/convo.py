@@ -724,3 +724,152 @@ def transcript_funnel(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("stage_idx", "stage", "n_convs")
     )
     return ordered(out, "stage_idx")
+
+
+# --- secret_scan: credential / PII scrubbing over turn payloads ------------
+# Which secret class a turn's payload carries is chosen by the content-hash
+# bucket, so the scanner must actually MATCH the planted strings, not infer
+# from metadata; the email overlay is independent of the class so some turns
+# carry two secrets at once.
+SECRET_MOD = 4  # bucket % SECRET_MOD picks the class (0 key / 1 bearer /
+#                 2 ip / 3 none)
+EMAIL_EVERY = 7  # bucket % EMAIL_EVERY == 0 additionally plants an email
+# detection patterns, restricted to the Java-regex / RE2 common subset so
+# the DuckDB oracle can apply the IDENTICAL pattern text
+AKIA_RE = r"AKIA[0-9A-Z]{16}"
+BEARER_RE = r"Bearer [0-9A-Za-z_\-]{16,}"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def secret_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Turn-level credential scrubbing — the security rung an
+    agent-transcript pipeline runs before any text is kept: tool outputs
+    routinely leak AWS-style access keys, Authorization bearer tokens,
+    internal IPv4 addresses, and contact emails, and every corpus policy
+    (CCNet/Dolma-style PII scrubbing, extended to credentials for agent
+    logs) requires them detected and redacted.  Per turn: a deterministic
+    payload (turn text + the bucket-planted secrets), regex match counts
+    per class, and the post-redaction length — counts AND redaction both
+    hash-checked against an oracle that re-plants and re-scans
+    independently.
+
+    Scale shape: one narrow projection over the resolved turns frame —
+    synthesis, four regexp_counts, and the redaction chain are all
+    whole-stage-codegen'd string ops; zero shuffles beyond _turns' doc
+    resolution join.  At 100 TB this runs at scan speed."""
+    from .corpus import EMAIL_RE
+
+    t = _turns(spark, sf)
+    m = F.col("bucket") % SECRET_MOD
+    sk = F.md5(F.concat_ws(":", "turn_text", F.lit("sk")))
+    planted = (
+        F.when(m == 0, F.concat(F.lit(" key=AKIA"), F.upper(F.substring(sk, 1, 16))))
+        .when(
+            m == 1,
+            F.concat(F.lit(" Authorization: Bearer "), F.substring(sk, 1, 24)),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("bucket") % 200).cast("string"),
+                F.lit(".0."),
+                (F.col("turn_idx") + 1).cast("string"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    email = F.when(
+        F.col("bucket") % EMAIL_EVERY == 0,
+        F.concat(
+            F.lit(" contact ops"), F.col("conv_id").cast("string"), F.lit("@example.com")
+        ),
+    ).otherwise(F.lit(""))
+    staged = t.select(
+        "conv_id",
+        "turn_idx",
+        F.concat(F.col("turn_text"), planted, email).alias("payload"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("payload"), BEARER_RE, "Bearer <TOKEN>"),
+                AKIA_RE,
+                "<AWS_KEY>",
+            ),
+            IPV4_RE,
+            "<IP>",
+        ),
+        EMAIL_RE,
+        "<EMAIL>",
+    )
+    out = staged.select(
+        "conv_id",
+        "turn_idx",
+        F.regexp_count("payload", F.lit(AKIA_RE)).alias("n_awskey"),
+        F.regexp_count("payload", F.lit(BEARER_RE)).alias("n_bearer"),
+        F.regexp_count("payload", F.lit(IPV4_RE)).alias("n_ipv4"),
+        F.regexp_count("payload", F.lit(EMAIL_RE)).alias("n_email"),
+        F.length(redacted).alias("redacted_len"),
+    )
+    return ordered(out, "conv_id", "turn_idx")
+
+
+# --- continuation_stitch: mid-conversation truncation repair ---------------
+TRUNC_MOD = 3  # assistant turns with bucket % TRUNC_MOD == 0 are truncated
+TRUNC_MIN_WORDS = 3  # truncated turns keep bucket % TRUNC_WORDS_MOD +
+TRUNC_WORDS_MOD = 5  # TRUNC_MIN_WORDS words
+
+
+def continuation_stitch(spark: SparkSession, sf: str) -> DataFrame:
+    """Truncation / continuation repair — the transcript-hygiene rung that
+    detects assistant turns cut off mid-generation (the next user turn is a
+    bare continuation request) and STITCHES the split generation back into
+    one logical message, purely from content (session ids are not stable
+    across retries, so a corpus pipeline cannot rely on lineage).  The
+    synthetic overlay truncates bucket-chosen assistant turns and replaces
+    the following user turn with the literal ``continue``; detection then
+    re-finds them from the text alone.  Per conversation: turn count,
+    continuation-request count, stitchable count (a following assistant
+    turn exists to merge), and the total stitched-message length.
+
+    Scale shape: the synthesis lag and the detection leads ride ONE
+    conv_id sort (same key and order), then one keyed aggregation —
+    per-conversation cost is its turn rows, nothing quadratic."""
+    t = _turns(spark, sf)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    src = (F.col("role") == "assistant") & (F.col("bucket") % TRUNC_MOD == 0)
+    ncut = (F.col("bucket") % TRUNC_WORDS_MOD + TRUNC_MIN_WORDS).cast("int")
+    txt1 = F.when(
+        src, F.array_join(F.slice(F.split("turn_text", " "), F.lit(1), ncut), " ")
+    ).otherwise(F.col("turn_text"))
+    staged = t.select(
+        "conv_id", "turn_idx", "role", txt1.alias("txt1"), src.alias("src")
+    )
+    txt2 = F.when(
+        (F.col("role") == "user")
+        & F.coalesce(F.lag("src").over(w), F.lit(False)),
+        F.lit("continue"),
+    ).otherwise(F.col("txt1"))
+    ov = staged.select("conv_id", "turn_idx", txt2.alias("txt2"))
+    is_cont = F.col("txt2") == "continue"
+    det = ov.select(
+        "conv_id",
+        "txt2",
+        is_cont.cast("int").alias("is_cont"),
+        F.coalesce(F.lead(is_cont).over(w), F.lit(False)).alias("truncated"),
+        F.lead("txt2", 2).over(w).alias("after"),
+    )
+    stitched = F.col("truncated") & F.col("after").isNotNull()
+    out = det.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("is_cont").cast("long").alias("n_continue"),
+        F.sum(stitched.cast("int")).cast("long").alias("n_stitched"),
+        F.coalesce(
+            F.sum(F.when(stitched, F.length(F.concat_ws(" ", "txt2", "after")))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("stitched_chars"),
+    )
+    return ordered(out, "conv_id")

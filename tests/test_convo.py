@@ -413,3 +413,107 @@ def test_topic_segments_single_sort_no_extra_join(spark):
     assert joins == ["BroadcastHashJoin"], plan
     assert "CartesianProduct" not in plan, plan
     assert len(re.findall(r"\(\d+\) Sort", plan)) <= 2, plan
+
+
+def test_secret_scan_replicates_and_scrubs(spark, turns):
+    """The planted-secret arithmetic, the four match counts, and the
+    redaction re-derived independently with hashlib + Python re (a third
+    regex engine beside Java and RE2 — the patterns live in the common
+    subset).  Scrubbing is complete: no pattern matches the redacted
+    payload.  All four secret classes occur on the corpus."""
+    import hashlib
+
+    from ocr_mini_service_spark.operators.corpus import EMAIL_RE
+
+    df = (
+        convo.secret_scan(spark, SF)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    t = turns.set_index(["conv_id", "turn_idx"])
+    pats = [convo.AKIA_RE, convo.BEARER_RE, convo.IPV4_RE, EMAIL_RE]
+    classes = set()
+    for r in df.itertuples():
+        row = t.loc[(r.conv_id, r.turn_idx)]
+        b = int(row["bucket"])
+        sk = hashlib.md5((row["turn_text"] + ":sk").encode()).hexdigest()
+        m = b % convo.SECRET_MOD
+        p = row["turn_text"]
+        if m == 0:
+            p += " key=AKIA" + sk[:16].upper()
+        elif m == 1:
+            p += " Authorization: Bearer " + sk[:24]
+        elif m == 2:
+            p += f" from 10.{b % 200}.0.{r.turn_idx + 1}"
+        if b % convo.EMAIL_EVERY == 0:
+            p += f" contact ops{r.conv_id}@example.com"
+        want = [len(re.findall(pat, p)) for pat in pats]
+        got = [r.n_awskey, r.n_bearer, r.n_ipv4, r.n_email]
+        assert got == want, (r.conv_id, r.turn_idx)
+        red = re.sub(convo.BEARER_RE, "Bearer <TOKEN>", p)
+        red = re.sub(convo.AKIA_RE, "<AWS_KEY>", red)
+        red = re.sub(convo.IPV4_RE, "<IP>", red)
+        red = re.sub(EMAIL_RE, "<EMAIL>", red)
+        assert r.redacted_len == len(red), (r.conv_id, r.turn_idx)
+        for pat in pats:
+            assert not re.search(pat, red), (r.conv_id, r.turn_idx, pat)
+        classes.add(m)
+    assert classes == set(range(convo.SECRET_MOD)), "a secret class never occurs"
+
+
+def test_secret_scan_scan_speed_shape(spark):
+    """Synthesis + scan + redaction are one codegen'd projection: the only
+    join is _turns' broadcast doc resolution, and no sort beyond the
+    presentation device."""
+    plan = formatted_plan(convo.secret_scan(spark, SF))
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
+    assert joins == ["BroadcastHashJoin"], plan
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) <= 1, plan
+
+
+def test_continuation_stitch_replicates(spark, turns):
+    """The truncation overlay, the content-only detection rule, and the
+    stitch accounting re-derived serially per conversation in pandas; both
+    a stitched pair and an unstitchable trailing 'continue' occur."""
+    df = convo.continuation_stitch(spark, SF).toPandas().set_index("conv_id")
+    some_stitched = some_unstitchable = False
+    for conv, g in turns.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        txt = []
+        prev_src = False
+        for r in g.itertuples():
+            src = r.role == "assistant" and r.bucket % convo.TRUNC_MOD == 0
+            keep = r.bucket % convo.TRUNC_WORDS_MOD + convo.TRUNC_MIN_WORDS
+            t1 = " ".join(r.turn_text.split(" ")[:keep]) if src else r.turn_text
+            txt.append("continue" if (r.role == "user" and prev_src) else t1)
+            prev_src = src
+        n_cont = sum(x == "continue" for x in txt)
+        n_st = chars = n_trunc = 0
+        for j in range(len(txt)):
+            if j + 1 < len(txt) and txt[j + 1] == "continue":
+                n_trunc += 1
+                if j + 2 < len(txt):
+                    n_st += 1
+                    chars += len(txt[j] + " " + txt[j + 2])
+        row = df.loc[conv]
+        assert row["n_turns"] == len(txt), conv
+        assert row["n_continue"] == n_cont, conv
+        assert row["n_stitched"] == n_st, conv
+        assert row["stitched_chars"] == chars, conv
+        some_stitched = some_stitched or n_st > 0
+        some_unstitchable = some_unstitchable or n_trunc > n_st
+    assert some_stitched and some_unstitchable
+
+
+def test_continuation_stitch_single_sort_shape(spark):
+    """The synthesis lag window and both detection lead windows share one
+    conv_id sort, and the final per-conversation aggregation reuses the
+    window partitioning — one BroadcastHashJoin, no cartesian, at most the
+    shared window sort plus the presentation sort."""
+    plan = formatted_plan(convo.continuation_stitch(spark, SF))
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
+    assert joins == ["BroadcastHashJoin"], plan
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) <= 2, plan
