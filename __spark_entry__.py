@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 session 10 (r5-front these with the list above) ---
         "secret_scan": convo.secret_scan,
         "continuation_stitch": convo.continuation_stitch,
+        "conv_stitch_apply": convo.conv_stitch_apply,
     }
 
 
@@ -1497,6 +1498,40 @@ SELECT conv_id, COUNT(*) AS n_turns,
        CAST(COALESCE(SUM(CASE WHEN truncated AND after IS NOT NULL
             THEN length(txt2 || ' ' || after) END), 0) AS BIGINT) AS stitched_chars
 FROM det GROUP BY conv_id ORDER BY conv_id""",
+        "conv_stitch_apply": f"""
+WITH {_CONVO},
+cut AS (
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN role = 'assistant' AND bucket % {convo.TRUNC_MOD} = 0
+                THEN array_to_string(list_slice(string_split(turn_text, ' '),
+                     1, bucket % {convo.TRUNC_WORDS_MOD} + {convo.TRUNC_MIN_WORDS}), ' ')
+                ELSE turn_text END AS txt1,
+           (role = 'assistant' AND bucket % {convo.TRUNC_MOD} = 0) AS src
+    FROM ctb),
+ov AS (
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN role = 'user' AND COALESCE(lag(src) OVER cw, FALSE)
+                THEN 'continue' ELSE txt1 END AS txt2
+    FROM cut WINDOW cw AS (PARTITION BY conv_id ORDER BY turn_idx)),
+fl AS (
+    SELECT conv_id, turn_idx, role, txt2,
+           (txt2 = 'continue') AS is_cont,
+           COALESCE(lag(txt2 = 'continue') OVER cw, FALSE) AS post_cont
+    FROM ov WINDOW cw AS (PARTITION BY conv_id ORDER BY turn_idx)),
+gr AS (
+    SELECT *, SUM(CASE WHEN is_cont OR post_cont THEN 0 ELSE 1 END)
+              OVER (PARTITION BY conv_id ORDER BY turn_idx) AS g
+    FROM fl),
+m AS (
+    SELECT conv_id, g,
+           arg_min(role, turn_idx) AS role,
+           CAST(COUNT(*) FILTER (WHERE NOT is_cont) AS INT) AS n_merged,
+           string_agg(txt2, ' ' ORDER BY turn_idx) FILTER (WHERE NOT is_cont) AS text
+    FROM gr GROUP BY conv_id, g)
+SELECT conv_id,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY g) AS INT) AS new_idx,
+       role, n_merged, text
+FROM m ORDER BY conv_id, new_idx""",
         "role_sequence_audit": f"""
 WITH {_CONVO},
 r AS (

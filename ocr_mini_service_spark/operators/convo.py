@@ -821,6 +821,29 @@ TRUNC_MIN_WORDS = 3  # truncated turns keep bucket % TRUNC_WORDS_MOD +
 TRUNC_WORDS_MOD = 5  # TRUNC_MIN_WORDS words
 
 
+def _stitch_overlay(t: DataFrame) -> DataFrame:
+    """The truncation overlay shared by ``continuation_stitch`` (audit) and
+    ``conv_stitch_apply`` (transform): bucket-chosen assistant turns are cut
+    short and the user turn right after each becomes the literal
+    ``continue``.  Returns (conv_id, turn_idx, role, txt2); the synthesis
+    lag rides the same conv_id sort every consumer reuses."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    src = (F.col("role") == "assistant") & (F.col("bucket") % TRUNC_MOD == 0)
+    ncut = (F.col("bucket") % TRUNC_WORDS_MOD + TRUNC_MIN_WORDS).cast("int")
+    txt1 = F.when(
+        src, F.array_join(F.slice(F.split("turn_text", " "), F.lit(1), ncut), " ")
+    ).otherwise(F.col("turn_text"))
+    staged = t.select(
+        "conv_id", "turn_idx", "role", txt1.alias("txt1"), src.alias("src")
+    )
+    txt2 = F.when(
+        (F.col("role") == "user")
+        & F.coalesce(F.lag("src").over(w), F.lit(False)),
+        F.lit("continue"),
+    ).otherwise(F.col("txt1"))
+    return staged.select("conv_id", "turn_idx", "role", txt2.alias("txt2"))
+
+
 def continuation_stitch(spark: SparkSession, sf: str) -> DataFrame:
     """Truncation / continuation repair — the transcript-hygiene rung that
     detects assistant turns cut off mid-generation (the next user turn is a
@@ -836,22 +859,8 @@ def continuation_stitch(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: the synthesis lag and the detection leads ride ONE
     conv_id sort (same key and order), then one keyed aggregation —
     per-conversation cost is its turn rows, nothing quadratic."""
-    t = _turns(spark, sf)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    src = (F.col("role") == "assistant") & (F.col("bucket") % TRUNC_MOD == 0)
-    ncut = (F.col("bucket") % TRUNC_WORDS_MOD + TRUNC_MIN_WORDS).cast("int")
-    txt1 = F.when(
-        src, F.array_join(F.slice(F.split("turn_text", " "), F.lit(1), ncut), " ")
-    ).otherwise(F.col("turn_text"))
-    staged = t.select(
-        "conv_id", "turn_idx", "role", txt1.alias("txt1"), src.alias("src")
-    )
-    txt2 = F.when(
-        (F.col("role") == "user")
-        & F.coalesce(F.lag("src").over(w), F.lit(False)),
-        F.lit("continue"),
-    ).otherwise(F.col("txt1"))
-    ov = staged.select("conv_id", "turn_idx", txt2.alias("txt2"))
+    ov = _stitch_overlay(_turns(spark, sf)).select("conv_id", "turn_idx", "txt2")
     is_cont = F.col("txt2") == "continue"
     det = ov.select(
         "conv_id",
@@ -873,3 +882,75 @@ def continuation_stitch(spark: SparkSession, sf: str) -> DataFrame:
         .alias("stitched_chars"),
     )
     return ordered(out, "conv_id")
+
+
+def _stitch_groups(ov: DataFrame) -> DataFrame:
+    """The repair core over an overlay frame (conv_id, turn_idx, role,
+    txt2): group turns into logical messages (a turn opens a new message
+    unless it is a continuation request or the turn right after one),
+    drop the requests, merge each group's surviving texts in turn order,
+    renumber.  Split out so chain stitching (a continuation that is
+    itself truncated and continued again) is unit-testable on hand-built
+    conversations longer than the synthetic corpus's 4-turn cap."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    is_cont = F.col("txt2") == "continue"
+    fl = ov.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "txt2",
+        is_cont.alias("is_cont"),
+        F.coalesce(F.lag(is_cont).over(w), F.lit(False)).alias("post_cont"),
+    )
+    grp = fl.select(
+        "*",
+        F.sum(
+            F.when(F.col("is_cont") | F.col("post_cont"), 0).otherwise(1)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("g"),
+    )
+    members = grp.groupBy("conv_id", "g").agg(
+        F.array_sort(
+            F.collect_list(F.struct("turn_idx", "is_cont", "role", "txt2"))
+        ).alias("ms")
+    )
+    kept = F.filter("ms", lambda m: ~m["is_cont"])
+    merged = members.select(
+        "conv_id",
+        "g",
+        F.element_at("ms", 1)["role"].alias("role"),
+        F.size(kept).cast("int").alias("n_merged"),
+        F.array_join(F.transform(kept, lambda m: m["txt2"]), " ").alias("text"),
+    )
+    return merged.select(
+        "conv_id",
+        F.row_number()
+        .over(Window.partitionBy("conv_id").orderBy("g"))
+        .alias("new_idx"),
+        "role",
+        "n_merged",
+        "text",
+    )
+
+
+def conv_stitch_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """The TRANSFORM counterpart of ``continuation_stitch``: actually
+    repair the conversation — drop each bare ``continue`` request, merge
+    every truncated generation with its regenerated continuation(s) into
+    one logical message, and renumber the surviving turns.  Chains stitch
+    correctly (a continuation that is itself truncated and continued again
+    collapses into the same message): a turn opens a new logical message
+    unless it is a continuation request or the turn right after one, so a
+    running sum of the opens yields the message group — the sessionization
+    idiom applied to log repair.  One row per repaired message: new index,
+    role of the opening turn, merged-part count, and the merged text
+    itself (driver-hashed, so the merge order and joins are pinned).
+
+    Scale shape: the overlay lag, the grouping lag, and the running sum
+    ride ONE conv_id sort; the merge is a keyed aggregation whose ordered
+    reduction is the array_sort(collect_list(struct)) idiom
+    (``ordered_agg_lineitems``) — per-conversation cost is its turn rows,
+    nothing quadratic, no self-join back to the turn grid."""
+    out = _stitch_groups(_stitch_overlay(_turns(spark, sf)))
+    return ordered(out, "conv_id", "new_idx")

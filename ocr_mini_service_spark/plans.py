@@ -206,6 +206,23 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "the only join is the turn resolution's BroadcastHashJoin.",
             formatted_plan(q["conv_topic_segments"](spark, sf_dir)),
         ),
+        "secret_scan": (
+            "credential scrubbing at scan speed: secret synthesis, four "
+            "regexp_counts, and the 4-pattern redaction chain are one "
+            "codegen'd projection over the resolved turns — no shuffle "
+            "beyond the turn resolution's BroadcastHashJoin, no sort "
+            "before the presentation device.",
+            formatted_plan(q["secret_scan"](spark, sf_dir)),
+        ),
+        "conv_stitch_apply": (
+            "log repair as sessionization: overlay lag, continuation lag, "
+            "and the message-open running sum are windows on ONE conv_id "
+            "sort; the merge is the array_sort(collect_list(struct)) "
+            "ordered reduction keyed by (conv_id, message group) — no "
+            "self-join back to the turn grid, nothing quadratic in "
+            "conversation length.",
+            formatted_plan(q["conv_stitch_apply"](spark, sf_dir)),
+        ),
         "curation_funnel_v2": (
             "strip -> Gopher gate on stripped text -> exact dedup of "
             "stripped text in ONE DAG: the gate is a narrow projection "

@@ -517,3 +517,91 @@ def test_continuation_stitch_single_sort_shape(spark):
     assert joins == ["BroadcastHashJoin"], plan
     assert "CartesianProduct" not in plan, plan
     assert len(re.findall(r"\(\d+\) Sort", plan)) <= 2, plan
+
+
+def test_stitch_apply_replicates(spark, turns):
+    """The repaired-conversation output re-derived serially per
+    conversation in pandas: 'continue' turns drop, truncated generations
+    merge with their continuations, indices renumber, roles come from the
+    opening turn.  Merged (n_merged=2) and unstitchable (a trailing
+    'continue' whose group keeps only the truncated text) both occur."""
+    df = (
+        convo.conv_stitch_apply(spark, SF)
+        .toPandas()
+        .sort_values(["conv_id", "new_idx"])
+        .reset_index(drop=True)
+    )
+    got = {c: g for c, g in df.groupby("conv_id")}
+    saw_merge = False
+    for conv, g in turns.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        rows = []
+        prev_src = False
+        for r in g.itertuples():
+            src = r.role == "assistant" and r.bucket % convo.TRUNC_MOD == 0
+            keep = r.bucket % convo.TRUNC_WORDS_MOD + convo.TRUNC_MIN_WORDS
+            t1 = " ".join(r.turn_text.split(" ")[:keep]) if src else r.turn_text
+            t2 = "continue" if (r.role == "user" and prev_src) else t1
+            rows.append((r.role, t2))
+            prev_src = src
+        msgs = []
+        prev_cont = False
+        for role, t2 in rows:
+            cont = t2 == "continue"
+            if not (cont or prev_cont) or not msgs:
+                msgs.append({"role": role, "parts": []})
+            if not cont:
+                msgs[-1]["parts"].append(t2)
+            prev_cont = cont
+        want = [
+            (i + 1, m["role"], len(m["parts"]), " ".join(m["parts"]))
+            for i, m in enumerate(msgs)
+        ]
+        have = [
+            (r.new_idx, r.role, r.n_merged, r.text) for r in got[conv].itertuples()
+        ]
+        assert have == want, conv
+        saw_merge = saw_merge or any(m[2] >= 2 for m in want)
+    assert saw_merge
+
+
+def test_stitch_apply_chain_merges_into_one_message(spark):
+    """A continuation that is itself truncated and continued again (5-turn
+    chain — longer than the synthetic corpus's 4-turn cap, so exercised on
+    a hand-built conversation): all three assistant fragments collapse
+    into ONE message and the bare requests vanish."""
+    ov = spark.createDataFrame(
+        [
+            ("c0", 0, "user", "ask"),
+            ("c0", 1, "assistant", "part one"),
+            ("c0", 2, "user", "continue"),
+            ("c0", 3, "assistant", "part two"),
+            ("c0", 4, "user", "continue"),
+            ("c0", 5, "assistant", "part three"),
+            ("c0", 6, "user", "followup"),
+            ("c0", 7, "assistant", "done"),
+        ],
+        "conv_id string, turn_idx int, role string, txt2 string",
+    )
+    out = (
+        convo._stitch_groups(ov)
+        .orderBy("new_idx")
+        .toPandas()[["new_idx", "role", "n_merged", "text"]]
+        .values.tolist()
+    )
+    assert out == [
+        [1, "user", 1, "ask"],
+        [2, "assistant", 3, "part one part two part three"],
+        [3, "user", 1, "followup"],
+        [4, "assistant", 1, "done"],
+    ], out
+
+
+def test_stitch_apply_single_sort_shape(spark):
+    """Overlay lag, grouping lag, running sum, ordered merge, and
+    renumbering all ride the conv_id key: one BroadcastHashJoin (doc
+    resolution), no cartesian, and only conv_id-keyed sorts."""
+    plan = formatted_plan(convo.conv_stitch_apply(spark, SF))
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
+    assert joins == ["BroadcastHashJoin"], plan
+    assert "CartesianProduct" not in plan, plan
