@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scan": convo.secret_scan,
         "continuation_stitch": convo.continuation_stitch,
         "conv_stitch_apply": convo.conv_stitch_apply,
+        "crawl_frontier_diff": web.crawl_frontier_diff,
     }
 
 
@@ -1115,6 +1116,37 @@ SELECT u.doc_id, u.canon_url, k.kept_doc_id,
        CAST(u.doc_id != k.kept_doc_id AS INT) AS is_dup
 FROM web_urls u JOIN keep k USING (canon_url)
 ORDER BY u.doc_id""",
+        "crawl_frontier_diff": f"""
+WITH {web.URL_CTES},
+ub2 AS (
+    SELECT canon_url, domain,
+           CASE WHEN doc_id >= {web.REFETCH_OFF}
+                THEN doc_id - {web.REFETCH_OFF} ELSE doc_id END AS base_id
+    FROM web_urls),
+rws AS (
+    SELECT canon_url, domain, ub2.base_id % {web.FRONTIER_MOD} AS m9,
+           md5(d.text) AS fp, md5(d.text || ':v2') AS fp2,
+           md5(d.text || ':new') AS fpn
+    FROM ub2 JOIN documents d ON d.doc_id = ub2.base_id),
+fa AS (
+    SELECT canon_url, MIN(fp) AS fp_a, MIN(domain) AS dom_a
+    FROM rws GROUP BY canon_url),
+bs AS (
+    SELECT canon_url, domain,
+           CASE WHEN m9 = 1 THEN fp2 ELSE fp END AS fpb
+    FROM rws WHERE m9 <> 0
+    UNION ALL
+    SELECT canon_url || '/v2', domain, fpn FROM rws WHERE m9 = 2),
+fb AS (
+    SELECT canon_url, MIN(fpb) AS fp_b, MIN(domain) AS dom_b
+    FROM bs GROUP BY canon_url)
+SELECT canon_url, COALESCE(dom_a, dom_b) AS domain,
+       CASE WHEN fp_a IS NULL THEN 'new'
+            WHEN fp_b IS NULL THEN 'gone'
+            WHEN fp_a <> fp_b THEN 'changed'
+            ELSE 'stable' END AS status
+FROM fa FULL OUTER JOIN fb USING (canon_url)
+ORDER BY canon_url""",
         "domain_policy": f"""
 WITH {web.URL_CTES}, {_qual_sc_ctes()},
 per_url AS (

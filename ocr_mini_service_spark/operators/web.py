@@ -523,3 +523,82 @@ edges AS (
 inbound AS (
     SELECT dst, CAST(SUM(share) AS BIGINT) AS s, COUNT(*) AS n_in
     FROM edges GROUP BY dst)"""
+
+
+# frontier-diff synthesis: base_id % FRONTIER_MOD picks the snapshot-B fate
+# (0 gone / 1 content changed / 2 also spawns a new URL / else stable)
+FRONTIER_MOD = 9
+
+
+def crawl_frontier_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental crawl maintenance — the snapshot diff a re-crawl
+    scheduler runs between two frontier states at CANONICAL-URL
+    granularity: which pages appeared, vanished, changed content, or held
+    stable since the last crawl.  Snapshot A is the current URL layer;
+    snapshot B is a deterministic overlay (every FRONTIER_MOD-th base doc
+    is gone, the next class re-crawls with changed content, the next also
+    publishes a fresh URL).  Per canonical URL: the registrable domain and
+    the status verdict — the table ``dedup_incremental`` /
+    ``curation_incremental`` consume one level down.
+
+    Scale shape: the textbook snapshot-diff plan — each snapshot collapses
+    to one row per canonical URL in a keyed aggregate with map-side
+    combine (content fingerprint = min md5 over the group, so hot re-fetch
+    groups pre-collapse), then ONE key-partitioned FULL OUTER join; status
+    is a null-ness/fingerprint CASE.  Nothing quadratic, no driver state;
+    at 100 TB both sides shuffle once on the URL key."""
+    u = canonicalize(url_table(spark, sf)).select("doc_id", "canon_url", "domain")
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("base_id"), "text"
+    )
+    rows = (
+        u.select(
+            "canon_url",
+            "domain",
+            F.when(
+                F.col("doc_id") >= REFETCH_OFF, F.col("doc_id") - REFETCH_OFF
+            )
+            .otherwise(F.col("doc_id"))
+            .alias("base_id"),
+        )
+        .join(docs, "base_id")
+        .select(
+            "canon_url",
+            "domain",
+            (F.col("base_id") % FRONTIER_MOD).alias("m9"),
+            F.md5("text").alias("fp"),
+            F.md5(F.concat(F.col("text"), F.lit(":v2"))).alias("fp2"),
+            F.md5(F.concat(F.col("text"), F.lit(":new"))).alias("fpn"),
+        )
+    )
+    a = rows.groupBy("canon_url").agg(
+        F.min("fp").alias("fp_a"), F.min("domain").alias("dom_a")
+    )
+    b_surv = rows.filter(F.col("m9") != 0).select(
+        "canon_url",
+        "domain",
+        F.when(F.col("m9") == 1, F.col("fp2")).otherwise(F.col("fp")).alias("fpb"),
+    )
+    b_new = rows.filter(F.col("m9") == 2).select(
+        F.concat(F.col("canon_url"), F.lit("/v2")).alias("canon_url"),
+        "domain",
+        F.col("fpn").alias("fpb"),
+    )
+    b = (
+        b_surv.unionByName(b_new)
+        .groupBy("canon_url")
+        .agg(F.min("fpb").alias("fp_b"), F.min("domain").alias("dom_b"))
+    )
+    d = a.join(b, "canon_url", "full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), "new")
+        .when(F.col("fp_b").isNull(), "gone")
+        .when(F.col("fp_a") != F.col("fp_b"), "changed")
+        .otherwise("stable")
+    )
+    out = d.select(
+        "canon_url",
+        F.coalesce("dom_a", "dom_b").alias("domain"),
+        status.alias("status"),
+    )
+    return ordered(out, "canon_url")

@@ -183,3 +183,66 @@ def test_canonicalize_userinfo_and_ipv6(spark):
     assert rows["http://[::1]:8080/y"]["canon_url"] == "http://[::1]:8080/y"
     assert rows["http://[::1]:8080/y"]["domain"] == "[::1]"
     assert rows["http://[2001:db8::1]/z"]["canon_url"] == "http://[2001:db8::1]/z"
+
+
+def test_frontier_diff_statuses_and_membership(spark):
+    """Every status class occurs, and the whole diff table re-derives
+    exactly in pandas + hashlib (third engine): snapshot A/B group
+    fingerprints, the overlay classes, and the null-ness/fingerprint
+    status CASE."""
+    import hashlib
+
+    import pandas as pd
+
+    from ocr_mini_service_spark.operators.web import (
+        FRONTIER_MOD,
+        REFETCH_OFF,
+        canonicalize,
+        url_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = web.crawl_frontier_diff(spark, sf).toPandas()
+    assert set(df["status"]) == {"new", "gone", "changed", "stable"}
+
+    u = canonicalize(url_table(spark, sf)).select("doc_id", "canon_url").toPandas()
+    u["base_id"] = u["doc_id"].where(
+        u["doc_id"] < REFETCH_OFF, u["doc_id"] - REFETCH_OFF
+    )
+    docs = pd.read_parquet(sf + "/documents.parquet")[["doc_id", "text"]]
+    j = u.merge(docs, left_on="base_id", right_on="doc_id", suffixes=("", "_d"))
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    j["m9"] = j["base_id"] % FRONTIER_MOD
+    j["fp"] = j["text"].map(h)
+    a = j.groupby("canon_url")["fp"].min()
+    surv = j[j["m9"] != 0].copy()
+    surv["fpb"] = surv.apply(
+        lambda r: h(r["text"] + ":v2") if r["m9"] == 1 else r["fp"], axis=1
+    )
+    new_rows = j[j["m9"] == 2].copy()
+    new_rows["canon_url"] = new_rows["canon_url"] + "/v2"
+    new_rows["fpb"] = new_rows["text"].map(lambda t: h(t + ":new"))
+    b = (
+        pd.concat([surv[["canon_url", "fpb"]], new_rows[["canon_url", "fpb"]]])
+        .groupby("canon_url")["fpb"]
+        .min()
+    )
+    want = {}
+    for cu in set(a.index) | set(b.index):
+        fa, fb = a.get(cu), b.get(cu)
+        want[cu] = (
+            "new" if fa is None else
+            "gone" if fb is None else
+            "changed" if fa != fb else "stable"
+        )
+    got = dict(zip(df["canon_url"], df["status"]))
+    assert got == want
+
+
+def test_frontier_diff_snapshot_join_shape(spark):
+    """The diff is ONE key-partitioned FULL OUTER join of two keyed
+    aggregates — no cartesian, no nested-loop join anywhere."""
+    plan = formatted_plan(web.crawl_frontier_diff(spark, "/root/testdata/sf0.001"))
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
