@@ -65,8 +65,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # quality_rung_agreement (bloom_decontaminate stays rows-only by
     # construction), and the session-9 additions ensemble_blocks,
     # ensemble_strip, ensemble_strip_spans, codec_grid_parity,
-    # conv_topic_segments.  36 entries (22 + 9 late-r4 + 5 session-9) —
-    # they all fit the r5 window with room for r5's own additions.
+    # conv_topic_segments, and the session-10 additions secret_scan,
+    # continuation_stitch, conv_stitch_apply, crawl_frontier_diff.
+    # 40 entries (22 + 9 late-r4 + 5 session-9 + 4 session-10) — they all
+    # fit the r5 window with room for r5's own additions.
     return {
         # --- new in r4 session 8: densitometric extraction rung +
         # two-rung agreement audit; conversation-level decontamination ---
