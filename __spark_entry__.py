@@ -851,6 +851,25 @@ ctb AS (
     SELECT conv_id, turn_idx, role, turn_text, {_CONVO_BUCKET} AS bucket
     FROM cturns)"""
 
+# truncation overlay over ctb (operators/convo._stitch_overlay's oracle twin)
+# — ONE definition shared by the continuation_stitch and conv_stitch_apply
+# oracles, mirroring the Spark side's factoring, so the overlay rule cannot
+# drift between the audit and the transform
+_STITCH_CTES = f"""
+cut AS (
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN role = 'assistant' AND bucket % {convo.TRUNC_MOD} = 0
+                THEN array_to_string(list_slice(string_split(turn_text, ' '),
+                     1, bucket % {convo.TRUNC_WORDS_MOD} + {convo.TRUNC_MIN_WORDS}), ' ')
+                ELSE turn_text END AS txt1,
+           (role = 'assistant' AND bucket % {convo.TRUNC_MOD} = 0) AS src
+    FROM ctb),
+ov AS (
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN role = 'user' AND COALESCE(lag(src) OVER cw, FALSE)
+                THEN 'continue' ELSE txt1 END AS txt2
+    FROM cut WINDOW cw AS (PARTITION BY conv_id ORDER BY turn_idx))"""
+
 
 def _hxb(i: int) -> str:
     """DuckDB expression for byte ``i`` of a sha256 digest exposed as the hex
@@ -1121,9 +1140,7 @@ ORDER BY u.doc_id""",
         "crawl_frontier_diff": f"""
 WITH {web.URL_CTES},
 ub2 AS (
-    SELECT canon_url, domain,
-           CASE WHEN doc_id >= {web.REFETCH_OFF}
-                THEN doc_id - {web.REFETCH_OFF} ELSE doc_id END AS base_id
+    SELECT canon_url, domain, {web.base_id_sql()} AS base_id
     FROM web_urls),
 rws AS (
     SELECT canon_url, domain, ub2.base_id % {web.FRONTIER_MOD} AS m9,
@@ -1155,8 +1172,7 @@ per_url AS (
     SELECT u.domain, u.canon_url, COUNT(*) AS n_copies,
            CAST(SUM(sc.quality_score) AS BIGINT) AS q_sum
     FROM web_urls u JOIN sc
-      ON (CASE WHEN u.doc_id >= {web.REFETCH_OFF}
-               THEN u.doc_id - {web.REFETCH_OFF} ELSE u.doc_id END) = sc.doc_id
+      ON ({web.base_id_sql("u.doc_id")}) = sc.doc_id
     GROUP BY u.domain, u.canon_url),
 dom AS (
     SELECT domain,
@@ -1506,20 +1522,7 @@ SELECT conv_id, turn_idx,
             '{corpus.EMAIL_RE}', '<EMAIL>', 'g')) AS INT) AS redacted_len
 FROM pl ORDER BY conv_id, turn_idx""",
         "continuation_stitch": f"""
-WITH {_CONVO},
-cut AS (
-    SELECT conv_id, turn_idx, role,
-           CASE WHEN role = 'assistant' AND bucket % {convo.TRUNC_MOD} = 0
-                THEN array_to_string(list_slice(string_split(turn_text, ' '),
-                     1, bucket % {convo.TRUNC_WORDS_MOD} + {convo.TRUNC_MIN_WORDS}), ' ')
-                ELSE turn_text END AS txt1,
-           (role = 'assistant' AND bucket % {convo.TRUNC_MOD} = 0) AS src
-    FROM ctb),
-ov AS (
-    SELECT conv_id, turn_idx,
-           CASE WHEN role = 'user' AND COALESCE(lag(src) OVER cw, FALSE)
-                THEN 'continue' ELSE txt1 END AS txt2
-    FROM cut WINDOW cw AS (PARTITION BY conv_id ORDER BY turn_idx)),
+WITH {_CONVO},{_STITCH_CTES},
 det AS (
     SELECT conv_id, txt2,
            CASE WHEN txt2 = 'continue' THEN 1 ELSE 0 END AS is_cont,
@@ -1533,20 +1536,7 @@ SELECT conv_id, COUNT(*) AS n_turns,
             THEN length(txt2 || ' ' || after) END), 0) AS BIGINT) AS stitched_chars
 FROM det GROUP BY conv_id ORDER BY conv_id""",
         "conv_stitch_apply": f"""
-WITH {_CONVO},
-cut AS (
-    SELECT conv_id, turn_idx, role,
-           CASE WHEN role = 'assistant' AND bucket % {convo.TRUNC_MOD} = 0
-                THEN array_to_string(list_slice(string_split(turn_text, ' '),
-                     1, bucket % {convo.TRUNC_WORDS_MOD} + {convo.TRUNC_MIN_WORDS}), ' ')
-                ELSE turn_text END AS txt1,
-           (role = 'assistant' AND bucket % {convo.TRUNC_MOD} = 0) AS src
-    FROM ctb),
-ov AS (
-    SELECT conv_id, turn_idx, role,
-           CASE WHEN role = 'user' AND COALESCE(lag(src) OVER cw, FALSE)
-                THEN 'continue' ELSE txt1 END AS txt2
-    FROM cut WINDOW cw AS (PARTITION BY conv_id ORDER BY turn_idx)),
+WITH {_CONVO},{_STITCH_CTES},
 fl AS (
     SELECT conv_id, turn_idx, role, txt2,
            (txt2 = 'continue') AS is_cont,

@@ -67,6 +67,24 @@ REFETCH_MOD = 5
 REFETCH_OFF = 4_000_000
 
 
+def _base_id() -> Column:
+    """Fold a crawl-event ``doc_id`` back to its base document identity
+    (the +REFETCH_OFF overlay convention) — ONE definition shared by every
+    consumer (domain_policy, crawl_frontier_diff) so the fold cannot
+    drift; ``BASE_ID_SQL`` is the oracle-side twin."""
+    return F.when(
+        F.col("doc_id") >= REFETCH_OFF, F.col("doc_id") - REFETCH_OFF
+    ).otherwise(F.col("doc_id"))
+
+
+def base_id_sql(col: str = "doc_id") -> str:
+    """Oracle-side twin of ``_base_id`` for any column reference."""
+    return (
+        f"CASE WHEN {col} >= {REFETCH_OFF} "
+        f"THEN {col} - {REFETCH_OFF} ELSE {col} END"
+    )
+
+
 def url_table(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic messy URL per crawl event (one per document plus the
     re-fetch overlay), derived from doc columns and md5 bytes exactly as
@@ -373,11 +391,7 @@ def domain_policy(spark: SparkSession, sf: str) -> DataFrame:
         "canon_url",
         # a re-fetch carries its base document's content, so quality joins
         # on the base identity
-        F.when(
-            F.col("doc_id") >= REFETCH_OFF, F.col("doc_id") - REFETCH_OFF
-        )
-        .otherwise(F.col("doc_id"))
-        .alias("base_id"),
+        _base_id().alias("base_id"),
     )
     qual = gopher_flags(load(spark, sf, "documents")).select(
         F.col("doc_id").alias("base_id"), _quality_score().alias("q")
@@ -552,15 +566,7 @@ def crawl_frontier_diff(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("base_id"), "text"
     )
     rows = (
-        u.select(
-            "canon_url",
-            "domain",
-            F.when(
-                F.col("doc_id") >= REFETCH_OFF, F.col("doc_id") - REFETCH_OFF
-            )
-            .otherwise(F.col("doc_id"))
-            .alias("base_id"),
-        )
+        u.select("canon_url", "domain", _base_id().alias("base_id"))
         .join(docs, "base_id")
         .select(
             "canon_url",
