@@ -605,3 +605,54 @@ def test_stitch_apply_single_sort_shape(spark):
     joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
     assert joins == ["BroadcastHashJoin"], plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_stitch_groups_randomized_vs_serial(spark):
+    """Adversarial grid for the repair core: 40 seeded random conversations
+    with arbitrary 'continue' placements — leading, trailing, consecutive,
+    and chained — compared against an independent serial reference in ONE
+    Spark round trip.  Pins the general-function semantics beyond what the
+    synthetic overlay can produce (roles there alternate, so consecutive
+    requests never arise)."""
+    import random
+
+    rng = random.Random(20260821)
+    rows = []
+    for c in range(40):
+        n = rng.randint(1, 8)
+        for t in range(n):
+            role = rng.choice(["user", "assistant", "tool"])
+            txt = (
+                "continue"
+                if rng.random() < 0.35
+                else f"w{rng.randint(0, 4)} w{rng.randint(0, 4)}"
+            )
+            rows.append((f"c{c:02d}", t, role, txt))
+    ov = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, txt2 string"
+    )
+    got = {
+        conv: [(r.new_idx, r.role, r.n_merged, r.text) for r in g.itertuples()]
+        for conv, g in convo._stitch_groups(ov)
+        .toPandas()
+        .sort_values(["conv_id", "new_idx"])
+        .groupby("conv_id")
+    }
+    by_conv = {}
+    for conv, t, role, txt in rows:
+        by_conv.setdefault(conv, []).append((t, role, txt))
+    for conv, turns in by_conv.items():
+        msgs = []
+        prev_cont = False
+        for _, role, txt in sorted(turns):
+            cont = txt == "continue"
+            if not (cont or prev_cont) or not msgs:
+                msgs.append({"role": role, "parts": []})
+            if not cont:
+                msgs[-1]["parts"].append(txt)
+            prev_cont = cont
+        want = [
+            (i + 1, m["role"], len(m["parts"]), " ".join(m["parts"]))
+            for i, m in enumerate(msgs)
+        ]
+        assert got[conv] == want, conv
