@@ -52,66 +52,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stalwarts as window filler; everything green in the previous round's
     # window rotates to the back.
     #
-    # R5 FRONTING LIST (the never-driver-checked set after the r4 window,
-    # all strict-parity green): token_surprisal, source_cap,
-    # curriculum_stages, url_canonicalize, domain_stats, text_normalize,
-    # extract_spans, shard_stats, packed_doc_spans, seqlen_buckets,
-    # conv_prefix_containment, conv_fork_points, turn_dedup_xconv,
-    # role_sequence_audit, context_budget, assistant_echo, reply_latency,
-    # tool_turn_stats, transcript_funnel, fork_preference_pairs,
-    # preference_pair_stats, sft_pack_conversations, plus the late-r4
-    # additions justext_blocks, justext_strip, pq_encode, ann_pq_topk,
-    # ann_pq_recall, ivfadc_encode, ann_ivfadc_topk, ann_ivfadc_recall,
-    # quality_rung_agreement (bloom_decontaminate stays rows-only by
-    # construction), and the session-9 additions ensemble_blocks,
-    # ensemble_strip, ensemble_strip_spans, codec_grid_parity,
-    # conv_topic_segments, and the session-10 additions secret_scan,
-    # continuation_stitch, conv_stitch_apply, crawl_frontier_diff.
-    # 40 entries (22 + 9 late-r4 + 5 session-9 + 4 session-10) — they all
-    # fit the r5 window with room for r5's own additions.
+    # R5 WINDOW (executed per VERDICT r4 item 1): positions 1-40 are the 40
+    # never-driver-checked entries pinned by the r4 fronting list (all
+    # strict-parity green); positions 41-50 hold new r5 additions first,
+    # then the least-recently-checked r2-era stalwarts as filler.
     return {
-        # --- new in r4 session 8: densitometric extraction rung +
-        # two-rung agreement audit; conversation-level decontamination ---
+        # --- never checked: r4 overflow (pure-integer/string projections) ---
+        "token_surprisal": corpus.token_surprisal,
+        "source_cap": corpus.source_cap,
+        "curriculum_stages": corpus.curriculum_stages,
+        "url_canonicalize": web.url_canonicalize,
+        "domain_stats": web.domain_stats,
+        "text_normalize": corpus.text_normalize,
+        "extract_spans": transcribe.extract_spans,
+        "shard_stats": corpus.shard_stats,
+        "packed_doc_spans": corpus.packed_doc_spans,
+        "seqlen_buckets": corpus.seqlen_buckets,
+        # --- never checked: r4 session-8 transcript-curation signals ---
+        "conv_prefix_containment": convo.conv_prefix_containment,
+        "conv_fork_points": convo.conv_fork_points,
+        "turn_dedup_xconv": convo.turn_dedup_xconv,
+        "role_sequence_audit": convo.role_sequence_audit,
+        "context_budget": convo.context_budget,
+        "assistant_echo": convo.assistant_echo,
+        "reply_latency": convo.reply_latency,
+        "tool_turn_stats": convo.tool_turn_stats,
+        "transcript_funnel": convo.transcript_funnel,
+        # --- never checked: r4 session-9 preference mining + SFT packing ---
+        "fork_preference_pairs": convo.fork_preference_pairs,
+        "preference_pair_stats": convo.preference_pair_stats,
+        "sft_pack_conversations": convo.sft_pack_conversations,
+        # --- never checked: late-r4 jusText rungs + PQ/IVFADC ANN family ---
+        "justext_blocks": boilerplate.justext_blocks,
+        "justext_strip": boilerplate.justext_strip,
+        "pq_encode": similarity.pq_encode,
+        "ann_pq_topk": similarity.ann_pq_topk,
+        "ann_pq_recall": similarity.ann_pq_recall,
+        "ivfadc_encode": similarity.ivfadc_encode,
+        "ann_ivfadc_topk": similarity.ann_ivfadc_topk,
+        "ann_ivfadc_recall": similarity.ann_ivfadc_recall,
+        "quality_rung_agreement": corpus.quality_rung_agreement,
+        # --- never checked: r4 session-9 ensemble extractor + codec grid +
+        # topic segmentation ---
+        "ensemble_blocks": boilerplate.ensemble_blocks,
+        "ensemble_strip": boilerplate.ensemble_strip,
+        "ensemble_strip_spans": boilerplate.ensemble_strip_spans,
+        "codec_grid_parity": multimodal.codec_grid_parity,
+        "conv_topic_segments": convo.conv_topic_segments,
+        # --- never checked: r4 session-10 transcript hygiene + crawl diff ---
+        "secret_scan": convo.secret_scan,
+        "continuation_stitch": convo.continuation_stitch,
+        "conv_stitch_apply": convo.conv_stitch_apply,
+        "crawl_frontier_diff": web.crawl_frontier_diff,
+        # === positions 41-50: new r5 queries first, then the least-recently
+        # === checked stalwarts (last green r2) as window filler
+        # --- new in r5: the PDF tier composed with the curation stages
+        # (extract -> quality gate on extracted text -> exact dedup of it,
+        # ONE kernel evaluation, republication overlay) ---
+        "pdf_extraction_funnel": pdf.pdf_extraction_funnel,
+        "topk_orders": tpch.topk_orders,
+        "min_by_supplier": tpch.min_by_supplier,
+        "union_by_name": tpch.union_by_name,
+        "scalar_sampler": tpch.scalar_sampler,
+        "from_json_events": tpch.from_json_events,
+        "unbase64_roundtrip": tpch.unbase64_roundtrip,
+        "hash_key_lineitem": tpch.hash_key_lineitem,
+        "baseline_conditional": tpch.baseline_conditional,
+        "join_two_branches": tpch.join_two_branches,
+        "admission_filter": tpch.admission_filter,
+        # === the 50-query window closes here; everything below rotates back
+        # --- green in the r4 window — rotate back ---------------------------
         "density_blocks": boilerplate.density_blocks,
         "extractor_agreement": boilerplate.extractor_agreement,
         "conv_decontaminate": convo.conv_decontaminate,
-        # --- new in r4 session 7: PDF / layout parsing (north-star modality:
-        # real xref/FlateDecode files parsed by an honest PDF-subset reader,
-        # geometric boilerplate strip, two-column reading order) ---
         "pdf_extract": pdf.pdf_extract,
         "pdf_line_spans": pdf.pdf_line_spans,
-        # --- new in r4 session 7: SemDeDup, DSIR selection, hard negatives,
-        # tokenizer fertility ---
         "semdedup_prune": similarity.semdedup_prune,
         "dsir_weights": corpus.dsir_weights,
         "ann_hard_negatives": similarity.ann_hard_negatives,
         "tokenizer_fertility": corpus.tokenizer_fertility,
-        # --- new in r4 session 6: URL dedup rung + domain-level gate ---
         "url_dedup": web.url_dedup,
         "domain_policy": web.domain_policy,
-        # --- new in r4 session 6: CCNet perplexity tiers + exact per-key cap ---
         "perplexity_buckets": corpus.perplexity_buckets,
-        # --- new in r4 session 6: web provenance (URL canonicalization +
-        # registrable-domain rollup sit in the overflow region — pure
-        # string/count projections — to make room for the two changed
-        # funnels; PageRank keeps its slot) ---
         "pagerank_step": web.pagerank_step,
-        # --- new in r4 session 6: real-Y4M video tier (stub path is the
-        # driver-visible surface; the real decode is pinned by exact-value
-        # pytest like the WAV tier) ---
         "video_features": multimodal.video_features,
-        # --- new in r4 session 5: portable sketches (relational CMS + integer
-        # HLL, both value-oracled; GK rank-error audit) + salted skew join ---
         "cms_heavy_audit": sketches.cms_heavy_audit,
         "hll_distinct_audit": sketches.hll_distinct_audit,
         "quantile_sketch_audit": sketches.quantile_sketch_audit,
         "skew_salted_join": sketches.skew_salted_join,
-        # --- new in r4 session 5: soft quality sampling + mixture solver ---
         "quality_weighted_sample": corpus.quality_weighted_sample,
         "mixture_rebalance": corpus.mixture_rebalance,
-        # --- new in r4 session 4: tokenizer/scheduler-side corpus ops +
-        # perceptual image dedup + incremental/drift/cluster audits +
-        # real-WAV audio tier ---
         "audio_features": multimodal.audio_features,
         "curation_incremental": corpus.curation_incremental,
         "source_token_drift": corpus.source_token_drift,
@@ -119,7 +149,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "thumbnail_dedup": multimodal.thumbnail_dedup,
         "bpe_pair_counts": corpus.bpe_pair_counts,
         "source_leakage_matrix": corpus.source_leakage_matrix,
-        # --- never driver-checked: the 14 round-3 additions (VERDICT r3) ---
         "extraction_funnel": transcribe.extraction_funnel,
         "lsh_jaccard_verify": dedup.lsh_jaccard_verify,
         "curation_funnel_v3": dedup.curation_funnel_v3,
@@ -134,87 +163,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": dedup.winnowing_fingerprints,
         "quality_classifier": corpus.quality_classifier,
         "embedding_hygiene": similarity.embedding_hygiene,
-        # --- new in r4: value checks for the xxhash64 production path ---
-        # fast_parity: per-pair exact Jaccard computed from xxhash64 shingle
-        # sets on the portable candidate list, oracled from raw strings;
-        # substring_dupes_fast: hash-compressed windows, value-identical to
-        # substring_dupes and sharing its oracle verbatim
         "fast_parity": dedup.fast_parity,
         "substring_dupes_fast": dedup.substring_dupes_fast,
-        # --- new in r4: importance weighting / bloom decon / ANN recall ---
         "bloom_decon_audit": corpus.bloom_decon_audit,
         "ann_recall_audit": similarity.ann_recall_audit,
         "normalized_dedup": corpus.normalized_dedup,
         "minhash_band_sweep": dedup.minhash_band_sweep,
         "dedup_family_agreement": dedup.dedup_family_agreement,
-        # both funnels' keepers changed this round (window -> aggregation)
-        # so they must re-earn driver rows: positions 49-50 close the window
         "curation_funnel_v2": boilerplate.curation_funnel_v2,
         "curation_funnel": corpus.curation_funnel,
-        # --- added late in r4 after the 50-slot window was already
-        # allocated and strict-parity-validated: FRONT these in r5 ---
-        "justext_blocks": boilerplate.justext_blocks,
-        "justext_strip": boilerplate.justext_strip,
-        "pq_encode": similarity.pq_encode,
-        "ann_pq_topk": similarity.ann_pq_topk,
-        "ann_pq_recall": similarity.ann_pq_recall,
-        "ivfadc_encode": similarity.ivfadc_encode,
-        "ann_ivfadc_topk": similarity.ann_ivfadc_topk,
-        "ann_ivfadc_recall": similarity.ann_ivfadc_recall,
-        "quality_rung_agreement": corpus.quality_rung_agreement,
-        # --- deliberate window overflow (never-driver-checked + changed >
-        # the 50-query window): the overflow entries are single-scan
-        # pure-INTEGER/string projections whose pytest parity compare is
-        # exact (no float tolerance), so a driver hash adds the least
-        # marginal evidence; every float-bearing or composite never-checked
-        # query sits inside the window ---
-        "token_surprisal": corpus.token_surprisal,
-        "source_cap": corpus.source_cap,
-        "curriculum_stages": corpus.curriculum_stages,
-        "url_canonicalize": web.url_canonicalize,
-        "domain_stats": web.domain_stats,
-        "text_normalize": corpus.text_normalize,
-        "extract_spans": transcribe.extract_spans,
-        "shard_stats": corpus.shard_stats,
-        "packed_doc_spans": corpus.packed_doc_spans,
-        "seqlen_buckets": corpus.seqlen_buckets,
-        # --- new in r4 session 8: multi-turn agent-transcript curation
-        # (retry/resume containment, regeneration forks, cross-conv turn
-        # dedup, role hygiene, context budget, echo rate, reply latency,
-        # tool-payload health) — added AFTER the window deliberately: this
-        # round's 50 slots were already promised to the longest-waiting
-        # queries; these nine (eight signals + transcript_funnel) head round
-        # 5's window with the six overflow entries above ---
-        "conv_prefix_containment": convo.conv_prefix_containment,
-        "conv_fork_points": convo.conv_fork_points,
-        "turn_dedup_xconv": convo.turn_dedup_xconv,
-        "role_sequence_audit": convo.role_sequence_audit,
-        "context_budget": convo.context_budget,
-        "assistant_echo": convo.assistant_echo,
-        "reply_latency": convo.reply_latency,
-        "tool_turn_stats": convo.tool_turn_stats,
-        "transcript_funnel": convo.transcript_funnel,
-        # --- new in r4 session 9: preference pairs mined from regeneration
-        # forks + length-bias audit + conversation-aware SFT packing with
-        # loss-mask offsets — queued behind the session-8 batch for round
-        # 5's window ---
-        "fork_preference_pairs": convo.fork_preference_pairs,
-        "preference_pair_stats": convo.preference_pair_stats,
-        "sft_pack_conversations": convo.sft_pack_conversations,
-        # === the 50-query window is EXACTLY full (49 never-driver-checked +
-        # === curation_funnel) above the overflow comment; everything below
-        # === rotates back
-        # --- least recently checked (last green in r2) ----------------------
-        "topk_orders": tpch.topk_orders,
-        "min_by_supplier": tpch.min_by_supplier,
-        "union_by_name": tpch.union_by_name,
-        "scalar_sampler": tpch.scalar_sampler,
-        "from_json_events": tpch.from_json_events,
-        "unbase64_roundtrip": tpch.unbase64_roundtrip,
-        "hash_key_lineitem": tpch.hash_key_lineitem,
-        "baseline_conditional": tpch.baseline_conditional,
-        "join_two_branches": tpch.join_two_branches,
-        "admission_filter": tpch.admission_filter,
+        # --- least recently checked stalwarts not promoted to the window ----
         "to_json_assembly": tpch.to_json_assembly,
         "lang_id": text.lang_id,
         "quality_score": text.quality_score,
@@ -294,17 +252,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_lineitem": tpch.rollup_lineitem,
         "ordered_agg_lineitems": tpch.ordered_agg_lineitems,
         "window_hourly_events": tpch.window_hourly_events,
-        # --- new in r4 session 9 (r5-front these with the list above) ---
-        "ensemble_blocks": boilerplate.ensemble_blocks,
-        "ensemble_strip": boilerplate.ensemble_strip,
-        "ensemble_strip_spans": boilerplate.ensemble_strip_spans,
-        "codec_grid_parity": multimodal.codec_grid_parity,
-        "conv_topic_segments": convo.conv_topic_segments,
-        # --- new in r4 session 10 (r5-front these with the list above) ---
-        "secret_scan": convo.secret_scan,
-        "continuation_stitch": convo.continuation_stitch,
-        "conv_stitch_apply": convo.conv_stitch_apply,
-        "crawl_frontier_diff": web.crawl_frontier_diff,
     }
 
 
@@ -972,6 +919,49 @@ SELECT doc_id, line_idx,
        CAST(cum + line_idx AS INT) AS char_end,
        line_text
 FROM s ORDER BY doc_id, line_idx""",
+        # the PDF funnel oracle re-derives the extraction independently from
+        # documents.text (same derivation as pdf_extract's oracle, over the
+        # republication overlay), then re-states the gate + dedup stages as
+        # per-row flags — the Spark side earns equality only by parsing the
+        # synthesized files and collapsing identical extractions
+        "pdf_extraction_funnel": f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {pdf.PDFF_REPUB_OFF} AS doc_id, text FROM documents
+  WHERE doc_id % {pdf.PDFF_REPUB_MOD} = 0),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws,
+         6 + CAST(doc_id % 5 AS INT) AS k
+  FROM base),
+l AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+            generate_series(1, CAST((len(ws) + k - 1) // k AS INT)),
+            i -> array_to_string(ws[(i-1)*k+1 : least(i*k, len(ws))], ' ')),
+            chr(10)) AS et
+  FROM w),
+sig AS (
+  SELECT doc_id, et,
+         len(string_split_regex(trim(et), '\\s+')) AS n_words,
+         (len(list_distinct(string_split_regex(trim(et), '\\s+'))) * 10000)
+             // len(string_split_regex(trim(et), '\\s+')) AS distinct_bp
+  FROM l),
+fl AS (
+  SELECT (n_words >= {pdf.PDFF_MIN_WORDS}
+          AND distinct_bp >= {pdf.PDFF_DISTINCT_MIN_BP}) AS q,
+         doc_id = MIN(doc_id) OVER (PARTITION BY et) AS canon
+  FROM sig),
+a2 AS (
+  SELECT COUNT(*) AS s0,
+         CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN q AND canon THEN 1 ELSE 0 END) AS BIGINT) AS s2
+  FROM fl)
+SELECT 0 AS stage_idx, 'raw' AS stage, s0 AS n_docs FROM a2
+UNION ALL SELECT 1, 'quality', s1 FROM a2
+UNION ALL SELECT 2, 'dedup', s2 FROM a2
+ORDER BY stage_idx""",
         # ---------------- SemDeDup / DSIR / hard negatives / fertility ------
         "semdedup_prune": f"""
 WITH {_VEC_CORPUS}, {_VEC_NORMS},
@@ -1550,7 +1540,8 @@ m AS (
     SELECT conv_id, g,
            arg_min(role, turn_idx) AS role,
            CAST(COUNT(*) FILTER (WHERE NOT is_cont) AS INT) AS n_merged,
-           string_agg(txt2, ' ' ORDER BY turn_idx) FILTER (WHERE NOT is_cont) AS text
+           COALESCE(string_agg(txt2, ' ' ORDER BY turn_idx)
+                    FILTER (WHERE NOT is_cont), '') AS text
     FROM gr GROUP BY conv_id, g)
 SELECT conv_id,
        CAST(row_number() OVER (PARTITION BY conv_id ORDER BY g) AS INT) AS new_idx,

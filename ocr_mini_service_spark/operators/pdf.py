@@ -782,3 +782,74 @@ def pdf_line_spans(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").select("doc_id", "text")
     out = docs.mapInPandas(_span_batches, schema=PDF_SPANS)
     return ordered(out, "doc_id", "line_idx")
+
+
+# pdf_extraction_funnel: the republication overlay (every PDFF_REPUB_MOD-th
+# base document is re-published verbatim under doc_id + PDFF_REPUB_OFF) and
+# the quality gate on the EXTRACTED text.  PDFF_REPUB_OFF is divisible by 5
+# so the republished file keeps its base's words_per_line — the re-published
+# PDF is byte-different (different object ids in the xref) but extracts to
+# IDENTICAL text, which is exactly the dedup rung's job to discover.
+PDFF_REPUB_MOD = 3
+PDFF_REPUB_OFF = 500_000
+PDFF_MIN_WORDS = 20  # word floor on the extracted text
+PDFF_DISTINCT_MIN_BP = 3_000  # >= 30% distinct words
+
+
+def pdf_extraction_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The PDF tier COMPOSED with the curation stages — the document-corpus
+    twin of ``extraction_funnel`` (transcribe.py): synthesize + parse the
+    fixture PDFs (real xref/FlateDecode two-column files, republication
+    overlay), quality-gate the EXTRACTED text (word floor + distinct-ratio
+    repetition gate), then exact-dedup it (canonical = min doc_id per
+    identical extracted text), reported as cumulative per-stage survivor
+    counts.  A republished PDF differs byte-wise (fresh xref offsets) yet
+    extracts identically, so only real geometric reconstruction lands the
+    copy in its base's dedup group.
+
+    Scale shape: ONE Arrow kernel pass (plan-pinned in test_plans.py), flags
+    in one narrow projection, then ONE aggregation on the content-hash key
+    that IS the dedup — per-text group size + the (text-determined, hence
+    group-constant) quality flag, so stage counts fall out as plain sums and
+    a mass-republished PDF collapses in the map-side partial aggregate
+    (the ``line_dedup`` keeper principle; no mark-back join, no window)."""
+    from pyspark.sql import functions as F
+
+    from . import ordered
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    repub = docs.filter(F.col("doc_id") % PDFF_REPUB_MOD == 0).select(
+        (F.col("doc_id") + PDFF_REPUB_OFF).alias("doc_id"), "text"
+    )
+    ex = docs.unionByName(repub).mapInPandas(_extract_batches, schema=PDF_EXTRACT)
+    staged = ex.select(
+        "extracted_text",
+        F.split(F.trim(F.col("extracted_text")), r"\s+").alias("w"),
+    )
+    sig = staged.select(
+        "extracted_text",
+        F.size("w").alias("n_words"),
+        F.expr("(size(array_distinct(w)) * 10000) div size(w)").alias("distinct_bp"),
+    )
+    grouped = sig.groupBy(F.md5("extracted_text").alias("ck")).agg(
+        F.count("*").alias("n"),
+        # q derives from extracted_text alone, so it is constant within a
+        # content group; max() just picks that constant
+        F.max(
+            (
+                (F.col("n_words") >= PDFF_MIN_WORDS)
+                & (F.col("distinct_bp") >= PDFF_DISTINCT_MIN_BP)
+            ).cast("long")
+        ).alias("q"),
+    )
+    agg = grouped.agg(
+        F.sum("n").alias("s0"),
+        F.sum(F.col("n") * F.col("q")).alias("s1"),
+        F.sum("q").alias("s2"),
+    )
+    out = agg.select(
+        F.expr(
+            "stack(3, 0, 'raw', s0, 1, 'quality', s1, 2, 'dedup', s2)"
+        ).alias("stage_idx", "stage", "n_docs")
+    )
+    return ordered(out, "stage_idx")

@@ -53,6 +53,24 @@ def _b(hx: Column, i: int) -> Column:
     return _hex_int(hx, 2 * i + 1, 2)
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Codegen barrier for a multiply-consumed derived layer: persist +
+    count so downstream plans read an InMemoryRelation leaf instead of
+    re-inlining the canonicalizer's full regex expression tree into every
+    consumer (measured 19x on url_dedup — codegen compilation + AQE
+    re-planning of the huge generated methods dominated wall-clock).
+
+    persist(), NOT localCheckpoint(): cached blocks keep their lineage, so
+    on a real cluster an executor loss or dynamic-allocation decommission
+    recomputes the partition instead of failing the job, and the blocks
+    are evictable under memory pressure rather than pinned for the session
+    (localCheckpoint blocks are neither).  The count() materializes
+    eagerly so the barrier is in place before the first consumer plans."""
+    df = df.persist()
+    df.count()
+    return df
+
+
 # re-fetch overlay: every REFETCH_MOD-th doc is crawled a second time under
 # doc_id + REFETCH_OFF — same URL IDENTITY (scheme value, host, tld, real
 # port, path, surviving query params), freshly rolled DISPLAY NOISE (www
@@ -351,16 +369,15 @@ def url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     .agg(min)`` + equi-join mark-back, NEVER a window over the URL key: a
     page re-crawled 10^6 times collapses in the map-side partial aggregate
     instead of sorting in one task.  The (doc_id, canon_url) layer is
-    localCheckpointed ONCE before the self-join: without the barrier the
-    canonicalization's full regex expression tree is inlined into BOTH
-    join branches and the keeper aggregate, and the resulting huge
-    generated methods dominate wall-clock via codegen compilation and AQE
-    re-planning (measured 19x on this query — 8.3 s -> 0.4 s at sf0.1);
-    production would persist the canonical URL table at this seam anyway."""
-    urls = (
-        canonicalize(url_table(spark, sf))
-        .select("doc_id", "canon_url")
-        .localCheckpoint()
+    materialized ONCE before the self-join (``_materialize``: recoverable
+    persist barrier): without it the canonicalization's full regex
+    expression tree is inlined into BOTH join branches and the keeper
+    aggregate, and the resulting huge generated methods dominate
+    wall-clock via codegen compilation and AQE re-planning (measured 19x
+    on this query — 8.3 s -> 0.4 s at sf0.1); production would persist
+    the canonical URL table at this seam anyway."""
+    urls = _materialize(
+        canonicalize(url_table(spark, sf)).select("doc_id", "canon_url")
     )
     keep = urls.groupBy("canon_url").agg(
         F.min("doc_id").cast("long").alias("kept_doc_id")
@@ -572,13 +589,14 @@ def crawl_frontier_diff(spark: SparkSession, sf: str) -> DataFrame:
     is a null-ness/fingerprint CASE.  Nothing quadratic, no driver state;
     at 100 TB both sides shuffle once on the URL key.  The fingerprinted
     row layer feeds THREE consumers (snapshot A, B's survivors, B's new
-    URLs), so it is localCheckpointed once — same codegen-explosion
-    rationale as ``url_dedup``."""
+    URLs), so it is materialized once via the same recoverable
+    ``_materialize`` persist barrier as ``url_dedup`` (one materialization
+    replaces three corpus scans at scale)."""
     u = canonicalize(url_table(spark, sf)).select("doc_id", "canon_url", "domain")
     docs = load(spark, sf, "documents").select(
         F.col("doc_id").alias("base_id"), "text"
     )
-    rows = (
+    rows = _materialize(
         u.select("canon_url", "domain", _base_id().alias("base_id"))
         .join(docs, "base_id")
         .select(
@@ -589,7 +607,6 @@ def crawl_frontier_diff(spark: SparkSession, sf: str) -> DataFrame:
             F.md5(F.concat(F.col("text"), F.lit(":v2"))).alias("fp2"),
             F.md5(F.concat(F.col("text"), F.lit(":new"))).alias("fpn"),
         )
-        .localCheckpoint()
     )
     a = rows.groupBy("canon_url").agg(
         F.min("fp").alias("fp_a"), F.min("domain").alias("dom_a")

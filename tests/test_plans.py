@@ -427,6 +427,19 @@ def test_extraction_funnel_keeper_is_aggregation_not_window(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
 
 
+def test_pdf_extraction_funnel_runs_the_kernel_exactly_once(spark, sf_dir):
+    """The PDF funnel evaluates the PDF parse kernel ONCE: one MapInPandas
+    node (over the union with the republication overlay) feeding the gate
+    projection and the content-key dedup aggregation — no join, no second
+    kernel pass, and the keeper is an aggregation, never a window."""
+    plan = formatted_plan(entry.queries()["pdf_extraction_funnel"](spark, sf_dir))
+    assert len(set(re.findall(r"\((\d+)\) MapInPandas", plan))) == 1, plan
+    assert "Join" not in plan, plan
+    assert not re.search(r"\(\d+\) Window", plan), plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) <= 4, plan
+
+
 def test_curation_funnel_keeper_is_aggregation_not_window(spark, sf_dir):
     """Same keeper rule for the exact-dedup stage of the curation funnel:
     groupBy(md5(text)) aggregation (group size + text-constant flags +
