@@ -88,26 +88,24 @@ def _children(child_rows: DataFrame, parent_keys: list[str]) -> DataFrame:
     )
 
 
-def extract_hierarchy(
+def hierarchy_flat(
     transcripts: DataFrame,
     _cache_out: list | None = None,
     persist: bool | str = True,
-) -> DataFrame:
-    """transcripts → one row per turn: blocks / paragraphs / lines arrays of
-    ``struct<id, content, left, top, width, height, child_ids>`` in document
-    order.  ``content`` is the element's aggregated text (line = space-joined
-    child words, paragraph = joined lines, block = joined paragraphs — the
-    ``StructureContent`` payload of ``OCRHierarchyElement``).
+) -> dict[str, DataFrame]:
+    """The rollup's FLAT per-level frames — one row per element with
+    ``conv_id, turn_idx, <keys>, emit_ord, id, content, left, top, width,
+    height, child_ids`` for kinds ``line`` / ``paragraph`` / ``block``.
 
-    The shared block-emission pass feeds FOUR consumers (words + three level
-    subtrees), so without sharing it recomputes 4×.  ``persist=True`` caches
-    it; pass ``_cache_out`` to receive the persisted handle for unpersisting
-    after the returned plan is materialized (``write_hierarchy`` does this),
-    otherwise the cache pins memory for the rest of the session.
-    ``persist='checkpoint'`` eagerly ``localCheckpoint``s instead — one
-    emission pass, lineage truncated, blocks freed on RDD GC, no session-long
-    cache pin: the right call for one-shot driver queries.  ``persist=False``
-    skips sharing entirely (recompute the narrow pass 4×)."""
+    This is the cheap surface: consumers that want flat element tables
+    (the driver queries ``hierarchy_lines`` / ``hierarchy_parents``) read
+    these directly instead of paying for the per-turn array assembly +
+    spine joins of ``extract_hierarchy`` and then exploding the arrays
+    right back (measured ~2x of the warm wall-clock at sf0.1).
+
+    The shared block-emission pass feeds FOUR consumers (words + three
+    level subtrees), so without sharing it recomputes 4×.  ``persist``
+    semantics as in ``extract_hierarchy``."""
     raw = transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         _emit_blocks, schema=_RAW
     )
@@ -143,7 +141,7 @@ def extract_hierarchy(
 
     # bottom-up so each level's aggregated content feeds its parent:
     # words → lines → paragraphs → blocks
-    per_level: dict[str, DataFrame] = {}
+    flat: dict[str, DataFrame] = {}
     enriched_child = words
     for kind, level, keys, _child in reversed(_LEVELS):
         elems = _elements(raw, kind, level, keys)
@@ -164,8 +162,27 @@ def extract_hierarchy(
             ),
         )
         enriched_child = enriched
+        flat[kind] = enriched
+    return flat
+
+
+def extract_hierarchy(
+    transcripts: DataFrame,
+    _cache_out: list | None = None,
+    persist: bool | str = True,
+) -> DataFrame:
+    """transcripts → one row per turn: blocks / paragraphs / lines arrays of
+    ``struct<id, content, left, top, width, height, child_ids>`` in document
+    order.  ``content`` is the element's aggregated text (line = space-joined
+    child words, paragraph = joined lines, block = joined paragraphs — the
+    ``StructureContent`` payload of ``OCRHierarchyElement``).  Built on
+    ``hierarchy_flat`` (which holds the sharing/persist contract); this
+    wrapper adds the per-turn document-order array assembly + turn spine."""
+    flat = hierarchy_flat(transcripts, _cache_out=_cache_out, persist=persist)
+    per_level: dict[str, DataFrame] = {}
+    for kind, _level, _keys, _child in _LEVELS:
         per_level[kind] = (
-            enriched.select(
+            flat[kind].select(
                 "conv_id",
                 "turn_idx",
                 "emit_ord",

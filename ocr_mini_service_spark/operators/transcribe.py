@@ -169,28 +169,33 @@ def hierarchy_lines(spark: SparkSession, sf: str) -> DataFrame:
     normalized bbox, and child count.  The synthetic grid (10 words per
     line, closed-form geometry) lets DuckDB derive every column — ids
     included (same sha-256 recipe) — without touching the rollup code."""
-    from ..hierarchy import extract_hierarchy
+    from pyspark.sql.window import Window
 
-    # 'checkpoint': one eager emission pass shared by the four internal
+    from ..hierarchy import hierarchy_flat
+
+    # 'checkpoint': one eager emission pass shared by the internal
     # consumers, lineage truncated, no session-long cache pin (VERDICT r2:
-    # the driver query must reflect the production one-pass shape)
-    h = extract_hierarchy(
+    # the driver query must reflect the production one-pass shape).
+    # hierarchy_flat, not extract_hierarchy: this query consumes FLAT line
+    # rows, so the per-turn array assembly + 3 spine joins of the full
+    # model (which a posexplode would immediately undo) never run —
+    # VERDICT r4 item 4 measured them at ~2x of the warm wall-clock.
+    flat = hierarchy_flat(
         build_structured_transcripts(spark, sf), persist="checkpoint"
     )
-    lines = h.select(
+    # document-order index within the turn (== the posexplode index of the
+    # array model: elements are array_sort'ed by emit_ord there)
+    wturn = Window.partitionBy("conv_id", "turn_idx").orderBy("emit_ord")
+    out = flat["line"].select(
         F.col("conv_id").cast("bigint").alias("doc_id"),
-        F.posexplode("lines").alias("line_idx", "l"),
-    )
-    out = lines.select(
-        "doc_id",
-        "line_idx",
-        F.col("l.id").alias("line_id"),
-        F.col("l.content").alias("content"),
-        F.col("l.left").alias("left"),
-        F.col("l.top").alias("top"),
-        F.col("l.width").alias("width"),
-        F.col("l.height").alias("height"),
-        F.size("l.child_ids").alias("n_words"),
+        (F.row_number().over(wturn) - 1).alias("line_idx"),
+        F.col("id").alias("line_id"),
+        "content",
+        "left",
+        "top",
+        "width",
+        "height",
+        F.size("child_ids").alias("n_words"),
     )
     return ordered(out, "doc_id", "line_idx")
 
@@ -200,29 +205,31 @@ def hierarchy_parents(spark: SparkSession, sf: str) -> DataFrame:
     oracle-checked table — together with ``hierarchy_lines`` every level of
     the lines/paragraphs/blocks model is value-checked: deterministic ids,
     bottom-up aggregated content, page-normalized geometry, and child-count
-    linkage (block -> paragraphs, paragraph -> lines)."""
-    from ..hierarchy import extract_hierarchy
+    linkage (block -> paragraphs, paragraph -> lines).
 
-    h = extract_hierarchy(
+    Reads the FLAT per-level frames (``hierarchy_flat``) — the array
+    assembly of the full model would be exploded right back here (VERDICT
+    r4 item 4); the bottom-up content chain (words -> lines -> paragraphs
+    -> blocks) still runs in full because the parent content IS the
+    aggregated child content."""
+    from ..hierarchy import hierarchy_flat
+
+    flat = hierarchy_flat(
         build_structured_transcripts(spark, sf), persist="checkpoint"
     )
 
-    def level(col: str, kind: str) -> DataFrame:
-        return h.select(
+    def level(kind: str) -> DataFrame:
+        return flat[kind].select(
             F.col("conv_id").cast("bigint").alias("doc_id"),
             F.lit(kind).alias("kind"),
-            F.explode(col).alias("el"),
-        ).select(
-            "doc_id",
-            "kind",
-            F.col("el.id").alias("el_id"),
-            F.col("el.content").alias("content"),
-            F.col("el.top").alias("top"),
-            F.col("el.height").alias("height"),
-            F.size("el.child_ids").alias("n_children"),
+            F.col("id").alias("el_id"),
+            "content",
+            "top",
+            "height",
+            F.size("child_ids").alias("n_children"),
         )
 
-    out = level("blocks", "block").unionByName(level("paragraphs", "paragraph"))
+    out = level("block").unionByName(level("paragraph"))
     return ordered(out, "doc_id", "kind")
 
 
