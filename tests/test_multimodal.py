@@ -969,7 +969,7 @@ def test_codec_grid_parity_builds_real_containers(spark, sf_dir):
         .set_index("media_id")
     )
     assert df["error"].isna().all()
-    assert set(df["fmt"]) == {"ppm", "bmp", "tiff", "gif", "png"}
+    assert set(df["fmt"]) == {"ppm", "bmp", "tiff", "gif", "png", "jpeg"}
     hx = multimodal._codec_const_hex()
 
     def rgb_bytes(d):
@@ -980,7 +980,8 @@ def test_codec_grid_parity_builds_real_containers(spark, sf_dir):
             )
         return bytes(out)
 
-    for d, fmt in [(0, "ppm"), (1, "bmp"), (2, "tiff"), (3, "gif"), (4, "png")]:
+    for d, fmt in [(0, "ppm"), (1, "bmp"), (2, "tiff"), (3, "gif"), (4, "png"),
+                   (5, "jpeg")]:
         if fmt == "bmp":
             # bottom-up rows, BGR channel order
             px = rgb_bytes(d)
@@ -1004,6 +1005,16 @@ def test_codec_grid_parity_builds_real_containers(spark, sf_dir):
             raw = b"".join(b"\x00" + px[r * 12 : r * 12 + 12] for r in range(4))
             adler = struct.pack(">I", zlib.adler32(raw))
             payload = bytes.fromhex(hx["png"][0]) + raw + adler + bytes.fromhex(hx["png"][1])
+        elif fmt == "jpeg":
+            # two-MCU DC-only entropy bytes from the query's integer rules
+            entropy = bytes([
+                56 + 2 * ((d * 7) % 4),
+                0x05,
+                ((d * 11) % 2) * 128 + 7,
+            ])
+            payload = (
+                bytes.fromhex(hx["jpeg"][0]) + entropy + bytes.fromhex(hx["jpeg"][1])
+            )
         else:
             payload = bytes.fromhex(hx[fmt][0]) + rgb_bytes(d)
         grid = multimodal._resize_grid(payload, "image", 4, 4)
