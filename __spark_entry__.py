@@ -110,6 +110,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (extract -> quality gate on extracted text -> exact dedup of it,
         # ONE kernel evaluation, republication overlay) ---
         "pdf_extraction_funnel": pdf.pdf_extraction_funnel,
+        # --- new in r5: transcript credit assignment, tool-use transitions,
+        # T5 span-corruption sampling, per-source dataset card ---
+        "turn_credit_decay": convo.turn_credit_decay,
+        "tool_transition_matrix": convo.tool_transition_matrix,
+        "span_corruption_masks": corpus.span_corruption_masks,
+        "corpus_report": corpus.corpus_report,
         "topk_orders": tpch.topk_orders,
         "min_by_supplier": tpch.min_by_supplier,
         "union_by_name": tpch.union_by_name,
@@ -962,6 +968,95 @@ SELECT 0 AS stage_idx, 'raw' AS stage, s0 AS n_docs FROM a2
 UNION ALL SELECT 1, 'quality', s1 FROM a2
 UNION ALL SELECT 2, 'dedup', s2 FROM a2
 ORDER BY stage_idx""",
+        # ---------------- r5: credit decay / tool transitions / span
+        # corruption / dataset card --------------------------------------
+        "turn_credit_decay": f"""
+WITH {_CONVO},
+tn AS (
+  SELECT ctb.*, CAST({convo.CONV_MIN_TURNS} + conv_id % 3 AS INT) AS nt FROM ctb),
+rw AS (
+  SELECT conv_id,
+         CAST({convo.CREDIT_BASE} + MAX(CASE WHEN turn_idx = nt - 1 THEN bucket END)
+              AS BIGINT) AS reward
+  FROM tn GROUP BY conv_id)
+SELECT t.conv_id, t.turn_idx, t.role, rw.reward,
+       CAST(rw.reward // (1 << (t.nt - 1 - t.turn_idx)) AS BIGINT) AS credit
+FROM tn t JOIN rw USING (conv_id)
+ORDER BY conv_id, turn_idx""",
+        "tool_transition_matrix": f"""
+WITH {_CONVO},
+lb AS (
+  SELECT conv_id, turn_idx,
+         {list(convo.TOOL_NAMES)!r}[CAST(bucket % 5 AS INT) + 1] AS tool
+  FROM ctb),
+pr AS (
+  SELECT conv_id,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS tool_from,
+         tool AS tool_to
+  FROM lb)
+SELECT tool_from, tool_to, COUNT(*) AS n_pairs,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM pr WHERE tool_from IS NOT NULL
+GROUP BY tool_from, tool_to ORDER BY tool_from, tool_to""",
+        "span_corruption_masks": f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+  FROM documents),
+wins AS (
+  SELECT doc_id, n_tokens, CAST(j AS INT) AS span_idx,
+         CAST(least({corpus.CORRUPT_WIN}, n_tokens - j * {corpus.CORRUPT_WIN}) AS INT) AS m
+  FROM w, unnest(generate_series(0,
+       CAST((n_tokens - 1) // {corpus.CORRUPT_WIN} AS BIGINT))) AS t(j))
+SELECT doc_id, span_idx, n_tokens,
+       CAST(span_idx * {corpus.CORRUPT_WIN}
+            + (doc_id * 31 + span_idx * 7) % (m - 2) AS INT) AS tok_start,
+       CAST(1 + (doc_id + span_idx) % 3 AS INT) AS tok_len
+FROM wins WHERE m >= {corpus.CORRUPT_MIN}
+ORDER BY doc_id, span_idx""",
+        "corpus_report": f"""
+WITH base0 AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + {corpus.REPORT_REPUB_OFF} AS doc_id, text, lang, source
+  FROM documents WHERE doc_id % {corpus.REPORT_REPUB_MOD} = 0),
+ws AS (
+  SELECT doc_id, lang, source, text AS _qtext,
+         string_split_regex(trim(text), '\\s+') AS w FROM base0),
+st AS (
+  SELECT doc_id, lang, source, _qtext,
+         CAST(len(w) AS INT) AS n_words,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         CAST(length(regexp_extract_all(lower(_qtext), '{EN_STOPWORDS}')) AS INT) AS n_stop
+  FROM ws),
+sig AS (
+  SELECT doc_id, lang, source, _qtext, n_words,
+         (sum_len * 100) // n_words AS mean_wlen_x100,
+         (n_distinct * 10000) // n_words AS distinct_bp,
+         n_stop
+  FROM st),
+sc AS (
+  SELECT lang, source, md5(_qtext) AS ck, CAST(n_words AS BIGINT) AS n_toks,
+         CAST(CASE WHEN n_words BETWEEN {corpus.GOPHER_MIN_WORDS} AND {corpus.GOPHER_MAX_WORDS}
+              THEN {corpus.QUAL_W_WORDS} ELSE 0 END
+            + CASE WHEN mean_wlen_x100 BETWEEN {corpus.GOPHER_MEANLEN_MIN_X100} AND {corpus.GOPHER_MEANLEN_MAX_X100}
+              THEN {corpus.QUAL_W_MLEN} ELSE 0 END
+            + CASE WHEN distinct_bp >= {corpus.GOPHER_DISTINCT_MIN_BP}
+              THEN {corpus.QUAL_W_DISTINCT} ELSE 0 END
+            + CASE WHEN n_stop >= {corpus.GOPHER_STOP_MIN}
+              THEN {corpus.QUAL_W_STOPFLAG} ELSE 0 END
+            + least(n_stop, {corpus.QUAL_STOP_CAP}) AS BIGINT) AS q
+  FROM sig)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(MIN(n_toks) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_toks) AS BIGINT) AS max_tokens,
+       CAST((SUM(q) * 100) // COUNT(*) AS BIGINT) AS mean_quality_x100,
+       CAST(((COUNT(*) - COUNT(DISTINCT ck)) * 10000) // COUNT(*) AS BIGINT) AS dup_bp,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM sc GROUP BY source ORDER BY source""",
         # ---------------- SemDeDup / DSIR / hard negatives / fertility ------
         "semdedup_prune": f"""
 WITH {_VEC_CORPUS}, {_VEC_NORMS},

@@ -954,3 +954,82 @@ def conv_stitch_apply(spark: SparkSession, sf: str) -> DataFrame:
     nothing quadratic, no self-join back to the turn grid."""
     out = _stitch_groups(_stitch_overlay(_turns(spark, sf)))
     return ordered(out, "conv_id", "new_idx")
+
+
+# --- round-5 additions: credit assignment + tool-use transitions ----------
+
+CREDIT_BASE = 100  # terminal-reward floor (reward = base + last-turn bucket)
+TOOL_NAMES = ("search", "code", "browse", "none", "none")  # bucket % 5 map
+
+
+def turn_credit_decay(spark: SparkSession, sf: str) -> DataFrame:
+    """RL-style credit assignment over agent transcripts: each conversation
+    earns a deterministic terminal reward (CREDIT_BASE + the final turn's
+    content-hash bucket — the stand-in for a real grader's score), and every
+    turn receives the reward halved once per step of distance from the end:
+    ``credit = reward div 2^(n_turns - 1 - turn_idx)`` — exact integer
+    right-shift, so the per-turn training weights a reward-weighted SFT /
+    RLHF pipeline consumes are bit-reproducible.
+
+    Scale shape: the terminal reward distributes over the conversation via
+    ONE bounded window on the conv_id key (max of a last-turn-only CASE —
+    no join back); the decay is a narrow integer projection.  Per-conv cost
+    = its turn rows."""
+    t = _turns(spark, sf)
+    staged = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "bucket",
+        (F.lit(CONV_MIN_TURNS) + F.col("conv_id") % 3).cast("int").alias("nt"),
+    )
+    w = Window.partitionBy("conv_id")
+    reward = F.max(
+        F.when(F.col("turn_idx") == F.col("nt") - 1, F.lit(CREDIT_BASE) + F.col("bucket"))
+    ).over(w)
+    s2 = staged.select(
+        "conv_id", "turn_idx", "role", "nt", reward.cast("long").alias("reward")
+    )
+    out = s2.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "reward",
+        F.expr("reward div shiftleft(1, nt - 1 - turn_idx)")
+        .cast("long")
+        .alias("credit"),
+    )
+    return ordered(out, "conv_id", "turn_idx")
+
+
+def tool_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Tool-use transition matrix over agent transcripts: which tool tends
+    to follow which across consecutive turns — the corpus-level signal an
+    agent-training pipeline reads to spot degenerate loops (search->search
+    chains) and to stratify sampling by tool mix.  The per-turn tool label
+    derives from the content-hash bucket (mod 5 over TOOL_NAMES, 'none'
+    weighted double) so both engines must classify identically; a real
+    corpus supplies its logged tool field.
+
+    Scale shape: one bounded lag window on the conv_id key forms the
+    consecutive pairs, then ONE keyed aggregation on the (from, to) label
+    pair — output is alphabet^2-bounded regardless of corpus size."""
+    t = _turns(spark, sf)
+    lab = t.select(
+        "conv_id",
+        "turn_idx",
+        F.element_at(
+            F.array(*[F.lit(x) for x in TOOL_NAMES]), (F.col("bucket") % 5 + 1).cast("int")
+        ).alias("tool"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = lab.select(
+        "conv_id",
+        F.lag("tool").over(w).alias("tool_from"),
+        F.col("tool").alias("tool_to"),
+    ).filter(F.col("tool_from").isNotNull())
+    out = pairs.groupBy("tool_from", "tool_to").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+    return ordered(out, "tool_from", "tool_to")

@@ -1971,3 +1971,112 @@ def tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return ordered(out, "source")
+
+
+# --- round-5 additions: span-corruption sampling + dataset-card report ----
+
+CORRUPT_WIN = 20  # token window per span slot (one corrupted span each)
+CORRUPT_MIN = 4  # windows shorter than this stay intact
+REPORT_REPUB_MOD = 4  # corpus_report re-crawl overlay: every 4th base doc
+REPORT_REPUB_OFF = 700_000  # ...republishes verbatim under this id offset
+
+
+def span_corruption_masks(spark: SparkSession, sf: str) -> DataFrame:
+    """T5-style span-corruption metadata (Raffel et al. 2020: contiguous
+    token spans replaced by sentinels, ~15% noise density, mean span 3) in
+    a deterministic windowed form: every CORRUPT_WIN-token window of a
+    document corrupts ONE span whose start offset and length derive from
+    integer hash arithmetic — ``start = (doc_id*31 + j*7) % (m-2)``,
+    ``len = 1 + (doc_id + j) % 3`` — so the mask plan is a pure function
+    of (doc_id, position) that the trainer, a replay, and the DuckDB
+    oracle all re-derive bit-identically (no RNG state to ship).  Windows
+    shorter than CORRUPT_MIN stay intact; spans never cross windows, so
+    noise density is bounded by construction.  One row per span: the
+    sentinel index, token start offset, and length.
+
+    Scale shape: one narrow projection + a JVM-side sequence explode
+    (fan-out = n_tokens / CORRUPT_WIN per doc, linear); no shuffle before
+    the presentation sort."""
+    docs = load(spark, sf, "documents")
+    nd = docs.select("doc_id", F.size(_words()).cast("int").alias("n_tokens"))
+    wins = nd.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.expr(f"sequence(0, (n_tokens - 1) div {CORRUPT_WIN})")
+        ).alias("j"),
+    )
+    staged = wins.select(
+        "doc_id",
+        "n_tokens",
+        F.col("j").cast("int").alias("span_idx"),
+        F.least(
+            F.lit(CORRUPT_WIN), F.col("n_tokens") - F.col("j") * CORRUPT_WIN
+        ).cast("int").alias("m"),
+    ).filter(F.col("m") >= CORRUPT_MIN)
+    out = staged.select(
+        "doc_id",
+        "span_idx",
+        "n_tokens",
+        (
+            F.col("span_idx") * CORRUPT_WIN
+            + F.expr("(doc_id * 31 + span_idx * 7) % (m - 2)")
+        ).cast("int").alias("tok_start"),
+        (F.lit(1) + (F.col("doc_id") + F.col("span_idx")) % 3)
+        .cast("int")
+        .alias("tok_len"),
+    )
+    return ordered(out, "doc_id", "span_idx")
+
+
+def corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The dataset card: per-source corpus summary — document and token
+    volume, token-length envelope, mean graded quality (exact integer
+    x100), exact-duplicate rate in basis points, and language spread —
+    the one table an operator reads before choosing mixture weights.  The
+    report runs over the crawl batch INCLUDING re-fetches (every
+    REPORT_REPUB_MOD-th base doc republished verbatim, the ``url_dedup``
+    overlay convention) so the duplicate-rate column has true positives
+    to count.
+
+    Scale shape: one scan through the shared ``gopher_flags`` projection
+    chain, then ONE source-keyed aggregation; the two distinct counts
+    (text fingerprints, languages) ride the same aggregate via Spark's
+    expand-based multi-distinct rewrite — map-side partial dedup, never a
+    corpus-wide distinct-first shuffle per signal.  Output is
+    source-bounded."""
+    docs = load(spark, sf, "documents").select("doc_id", "text", "lang", "source")
+    repub = docs.filter(F.col("doc_id") % REPORT_REPUB_MOD == 0).select(
+        (F.col("doc_id") + REPORT_REPUB_OFF).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+    )
+    flags = gopher_flags(docs.unionByName(repub), keep=["lang", "source", "text"])
+    scored = flags.select(
+        "source",
+        "lang",
+        F.col("n_words").cast("long").alias("n_toks"),
+        _quality_score().alias("q"),
+        F.md5("text").alias("ck"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.min("n_toks").alias("min_tokens"),
+        F.max("n_toks").alias("max_tokens"),
+        F.sum("q").alias("qsum"),
+        F.countDistinct("ck").alias("n_distinct_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    out = agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "min_tokens",
+        "max_tokens",
+        F.expr("qsum * 100 div n_docs").alias("mean_quality_x100"),
+        F.expr("(n_docs - n_distinct_texts) * 10000 div n_docs").alias("dup_bp"),
+        "n_langs",
+    )
+    return ordered(out, "source")

@@ -656,3 +656,38 @@ def test_stitch_groups_randomized_vs_serial(spark):
             for i, m in enumerate(msgs)
         ]
         assert got[conv] == want, conv
+
+
+def test_turn_credit_decay_halves_toward_the_front(spark, sf_dir):
+    """credit = reward >> (steps from the end): the final turn carries the
+    full reward, each earlier turn exactly half its successor (integer
+    div), and the reward is CREDIT_BASE + the final turn's bucket."""
+    rows = convo.turn_credit_decay(spark, sf_dir).collect()
+    buckets = {
+        (r["conv_id"], r["turn_idx"]): r["bucket"]
+        for r in convo._turns(spark, sf_dir).collect()
+    }
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    for conv, turns in by_conv.items():
+        turns.sort(key=lambda r: r["turn_idx"])
+        last = turns[-1]
+        assert last["credit"] == last["reward"]
+        assert last["reward"] == convo.CREDIT_BASE + buckets[(conv, last["turn_idx"])]
+        for earlier, later in zip(turns, turns[1:]):
+            assert earlier["credit"] == later["credit"] // 2
+            assert earlier["reward"] == later["reward"]
+
+
+def test_tool_transition_matrix_accounts_for_every_gap(spark, sf_dir):
+    """Every consecutive-turn gap contributes exactly one pair: the matrix
+    total equals sum over conversations of (n_turns - 1), and all labels
+    come from the TOOL_NAMES alphabet."""
+    mat = convo.tool_transition_matrix(spark, sf_dir).collect()
+    turns = convo._turns(spark, sf_dir).groupBy("conv_id").count().collect()
+    assert sum(r["n_pairs"] for r in mat) == sum(r["count"] - 1 for r in turns)
+    labels = set(convo.TOOL_NAMES)
+    for r in mat:
+        assert r["tool_from"] in labels and r["tool_to"] in labels
+        assert 0 < r["n_convs"] <= r["n_pairs"]

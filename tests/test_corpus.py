@@ -415,3 +415,47 @@ def test_quality_rung_agreement_telescopes_from_components(spark, sf_dir):
     assert got.loc[(got["in_gopher"] == 1) & (got["in_classifier"] == 0)].empty
     # real disagreement: classifier-only keeps and head-tier splits exist
     assert len(got) >= 4
+
+
+def test_span_corruption_masks_stay_inside_their_window(spark, sf_dir):
+    """Each span lives entirely inside its CORRUPT_WIN-token window and
+    inside the document; windows shorter than CORRUPT_MIN emit nothing, so
+    spans never overlap by construction."""
+    rows = corpus.span_corruption_masks(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        w0 = r["span_idx"] * corpus.CORRUPT_WIN
+        m = min(corpus.CORRUPT_WIN, r["n_tokens"] - w0)
+        assert m >= corpus.CORRUPT_MIN
+        assert w0 <= r["tok_start"] < w0 + m - 2
+        assert 1 <= r["tok_len"] <= 3
+        assert r["tok_start"] + r["tok_len"] <= w0 + m <= r["n_tokens"]
+
+
+def test_corpus_report_counts_the_republication_overlay(spark, sf_dir):
+    """The dataset card counts the re-crawl overlay as duplicates: every
+    source shows a positive dup rate, and doc counts close over base +
+    overlay."""
+    from pyspark.sql import functions as F
+
+    rep = {r["source"]: r for r in corpus.corpus_report(spark, sf_dir).collect()}
+    docs = corpus.load(spark, sf_dir, "documents")
+    base = {
+        r["source"]: (r["n"], r["n_over"])
+        for r in docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("doc_id") % corpus.REPORT_REPUB_MOD == 0).cast("int")).alias(
+                "n_over"
+            ),
+        )
+        .collect()
+    }
+    assert set(rep) == set(base)
+    for src, (n, n_over) in base.items():
+        r = rep[src]
+        assert r["n_docs"] == n + n_over
+        if n_over:
+            assert r["dup_bp"] > 0
+        assert r["min_tokens"] <= r["max_tokens"]
+        assert r["n_langs"] >= 1

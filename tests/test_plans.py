@@ -440,6 +440,26 @@ def test_pdf_extraction_funnel_runs_the_kernel_exactly_once(spark, sf_dir):
     assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) <= 4, plan
 
 
+def test_span_corruption_masks_is_shuffle_free(spark, sf_dir):
+    """The mask plan is a pure projection + JVM-side explode — nothing
+    shuffles before the presentation repartition (one Exchange total)."""
+    plan = formatted_plan(entry.queries()["span_corruption_masks"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) <= 1, plan
+
+
+def test_corpus_report_is_one_expand_aggregate(spark, sf_dir):
+    """The dataset card is ONE source-keyed aggregation (the two distinct
+    counts ride Spark's expand rewrite) — no window, no self-join of the
+    corpus back onto itself."""
+    plan = formatted_plan(entry.queries()["corpus_report"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "Expand" in plan, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+    # the only joins allowed are none: base ∪ overlay is a union
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
 def test_curation_funnel_keeper_is_aggregation_not_window(spark, sf_dir):
     """Same keeper rule for the exact-dedup stage of the curation funnel:
     groupBy(md5(text)) aggregation (group size + text-constant flags +
