@@ -561,6 +561,10 @@ equality (tests/test_pipeline.py; CORRECTNESS harness).
 Per-query wall-clock at sf={SF_DIR}: see the JSON line in BENCH_r*.json.
 """)
 
+    # persist the full JSON next to the history (previously a manual step)
+    with open("BENCH/last_full_run.json", "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
     print(json.dumps(out))
 
 

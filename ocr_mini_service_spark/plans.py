@@ -603,6 +603,36 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "only.",
             formatted_plan(q["sft_pack_conversations"](spark, sf_dir)),
         ),
+        "pdf_extraction_funnel": (
+            "PDF tier composed with curation: ONE MapInPandas parse pass "
+            "over the union with the republication overlay, gate flags in "
+            "a narrow projection, then the content-hash aggregation that "
+            "IS the dedup (map-side partial agg collapses re-published "
+            "extractions; no mark-back join, no window).",
+            formatted_plan(q["pdf_extraction_funnel"](spark, sf_dir)),
+        ),
+        "turn_credit_decay": (
+            "credit assignment: terminal reward distributes over the "
+            "conversation via ONE bounded conv_id-keyed window (max of a "
+            "last-turn CASE); the decay is an integer shift projection — "
+            "no join back, per-conversation cost = its turn rows.",
+            formatted_plan(q["turn_credit_decay"](spark, sf_dir)),
+        ),
+        "span_corruption_masks": (
+            "span-corruption plan: pure projection + JVM-side sequence "
+            "explode (fan-out n_tokens/CORRUPT_WIN per doc) — zero "
+            "shuffles before the presentation repartition; the mask is a "
+            "closed-form integer function of (doc_id, window).",
+            formatted_plan(q["span_corruption_masks"](spark, sf_dir)),
+        ),
+        "corpus_report": (
+            "dataset card: one scan through the shared gopher_flags "
+            "projection, then ONE source-keyed aggregate whose two "
+            "distinct counts ride Spark's Expand-based multi-distinct "
+            "rewrite (map-side partial dedup) — output source-bounded, "
+            "no window, no self-join.",
+            formatted_plan(q["corpus_report"](spark, sf_dir)),
+        ),
     }
 
 
