@@ -116,6 +116,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_transition_matrix": convo.tool_transition_matrix,
         "span_corruption_masks": corpus.span_corruption_masks,
         "corpus_report": corpus.corpus_report,
+        # --- new in r5 (second wave): score calibration, batch planning,
+        # split leakage, contrastive collisions, vocabulary growth ---
+        "quality_calibration": corpus.quality_calibration,
+        "length_quality_matrix": corpus.length_quality_matrix,
+        "split_leakage_audit": corpus.split_leakage_audit,
+        "inbatch_collision_audit": similarity.inbatch_collision_audit,
+        "ngram_novelty_curve": corpus.ngram_novelty_curve,
+        # === the 50-query window closes here (40 never-checked + 10 new r5
+        # === queries); the r2-era stalwarts below keep their r2 rows
         "topk_orders": tpch.topk_orders,
         "min_by_supplier": tpch.min_by_supplier,
         "union_by_name": tpch.union_by_name,
@@ -126,7 +135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "baseline_conditional": tpch.baseline_conditional,
         "join_two_branches": tpch.join_two_branches,
         "admission_filter": tpch.admission_filter,
-        # === the 50-query window closes here; everything below rotates back
         # --- green in the r4 window — rotate back ---------------------------
         "density_blocks": boilerplate.density_blocks,
         "extractor_agreement": boilerplate.extractor_agreement,
@@ -1057,6 +1065,93 @@ SELECT source,
        CAST(((COUNT(*) - COUNT(DISTINCT ck)) * 10000) // COUNT(*) AS BIGINT) AS dup_bp,
        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
 FROM sc GROUP BY source ORDER BY source""",
+        "quality_calibration": f"""
+WITH {_qual_sc_ctes()},
+pf AS (
+  SELECT sc.quality_score AS score,
+         CASE WHEN sig.n_words BETWEEN {corpus.GOPHER_MIN_WORDS} AND {corpus.GOPHER_MAX_WORDS}
+               AND sig.mean_wlen_x100 BETWEEN {corpus.GOPHER_MEANLEN_MIN_X100} AND {corpus.GOPHER_MEANLEN_MAX_X100}
+               AND sig.distinct_bp >= {corpus.GOPHER_DISTINCT_MIN_BP}
+               AND sig.n_stop >= {corpus.GOPHER_STOP_MIN} THEN 1 ELSE 0 END AS p
+  FROM sc JOIN sig USING (doc_id))
+SELECT score, COUNT(*) AS n_docs, CAST(SUM(p) AS BIGINT) AS n_pass,
+       CAST((SUM(p) * 10000) // COUNT(*) AS BIGINT) AS pass_bp
+FROM pf GROUP BY score ORDER BY score""",
+        "length_quality_matrix": f"""
+WITH {_qual_sc_ctes()},
+m AS (
+  SELECT CAST(length(printf('%b', sig.n_words)) - 1 AS INT) AS len_bucket,
+         sc.quality_score AS score,
+         CAST(sig.n_words AS BIGINT) AS n_toks
+  FROM sc JOIN sig USING (doc_id) WHERE sig.n_words > 0)
+SELECT len_bucket,
+       CASE WHEN score < {corpus.QUAL_ACCEPT} THEN 'reject'
+            WHEN score < {corpus.QUAL_PREMIUM} THEN 'accept'
+            ELSE 'premium' END AS tier,
+       COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+FROM m GROUP BY 1, 2 ORDER BY len_bucket, tier""",
+        "split_leakage_audit": f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {corpus.REPORT_REPUB_OFF} AS doc_id, text FROM documents
+  WHERE doc_id % {corpus.REPORT_REPUB_MOD} = 0),
+lab AS (
+  SELECT doc_id, text,
+         CASE WHEN bucket < {corpus.TRAIN_UPTO} THEN 'train'
+              WHEN bucket < {corpus.VAL_UPTO} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, text,
+           CAST((instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text)), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(md5(concat_ws(':', doc_id, text)), 2, 1)) - 1)
+              AS INT) AS bucket
+    FROM base) t),
+w AS (SELECT doc_id, split, string_split_regex(trim(text), '\\s+') AS ws FROM lab),
+g AS (
+  SELECT DISTINCT doc_id, split,
+         array_to_string(list_slice(ws, i, i + {corpus.DECON_N - 1}), ' ') AS gram
+  FROM w, unnest(generate_series(1, greatest(len(ws) - {corpus.DECON_N - 1}, 0))) AS t(i)),
+pres AS (
+  SELECT gram,
+         MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+         MAX(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS va,
+         MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
+  FROM g GROUP BY gram),
+sh AS (
+  SELECT CAST(SUM(tr * va) AS BIGINT) AS g_tv,
+         CAST(SUM(tr * te) AS BIGINT) AS g_tt,
+         CAST(SUM(va * te) AS BIGINT) AS g_vt
+  FROM pres),
+cont AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM g
+  WHERE split = 'test' AND gram IN (SELECT gram FROM g WHERE split = 'train'))
+SELECT 'grams_train_val' AS metric, g_tv AS n FROM sh
+UNION ALL SELECT 'grams_train_test', g_tt FROM sh
+UNION ALL SELECT 'grams_val_test', g_vt FROM sh
+UNION ALL SELECT 'test_docs_contaminated_by_train', n FROM cont
+ORDER BY metric""",
+        "inbatch_collision_audit": f"""
+WITH v AS (SELECT vec_id // {similarity.IN_BATCH} AS batch, label FROM embeddings),
+kl AS (SELECT batch, label, COUNT(*) AS k FROM v GROUP BY batch, label)
+SELECT batch, CAST(SUM(k) AS BIGINT) AS n_vecs,
+       CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS n_collisions
+FROM kl GROUP BY batch ORDER BY batch""",
+        "ngram_novelty_curve": f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(ws, i, i + {corpus.NOVELTY_N - 1}), ' ') AS gram
+  FROM w, unnest(generate_series(1, greatest(len(ws) - {corpus.NOVELTY_N - 1}, 0))) AS t(i)),
+f AS (SELECT gram, MIN(doc_id) AS fd FROM g GROUP BY gram),
+mx AS (SELECT MAX(doc_id) + 1 AS mx FROM documents),
+d AS (SELECT CAST(fd * 10 // mx AS INT) AS decile FROM f, mx),
+c AS (SELECT decile, COUNT(*) AS n_new_grams FROM d GROUP BY decile)
+SELECT decile, n_new_grams,
+       CAST(SUM(n_new_grams) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_grams
+FROM c ORDER BY decile""",
         # ---------------- SemDeDup / DSIR / hard negatives / fertility ------
         "semdedup_prune": f"""
 WITH {_VEC_CORPUS}, {_VEC_NORMS},

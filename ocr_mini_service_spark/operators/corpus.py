@@ -2080,3 +2080,154 @@ def corpus_report(spark: SparkSession, sf: str) -> DataFrame:
         "n_langs",
     )
     return ordered(out, "source")
+
+
+QUAL_PREMIUM = QUAL_ACCEPT + 3  # length_quality_matrix: top quality tier
+NOVELTY_N = 3  # ngram_novelty_curve: vocabulary-growth shingle size
+
+
+def quality_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Calibration curve of the graded quality score against the hard rule
+    gate: per score value, document count, Gopher-pass count, and the pass
+    rate in exact basis points — the table that tells an operator where to
+    put the acceptance threshold (a well-calibrated score should show pass
+    rate rising monotonically with the score).
+
+    Scale shape: one scan through the shared ``gopher_flags`` projection,
+    one keyed aggregate on the score — output bounded by the score range
+    (0..13), never corpus-sized."""
+    flags = gopher_flags(load(spark, sf, "documents"))
+    scored = flags.select(
+        _quality_score().alias("score"),
+        F.col("pass_gopher").cast("long").alias("p"),
+    )
+    out = (
+        scored.groupBy("score")
+        .agg(F.count("*").alias("n_docs"), F.sum("p").alias("n_pass"))
+        .select(
+            "score",
+            "n_docs",
+            "n_pass",
+            F.expr("n_pass * 10000 div n_docs").alias("pass_bp"),
+        )
+    )
+    return ordered(out, "score")
+
+
+def length_quality_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """The batch scheduler's 2-D planning table: document counts and token
+    mass per (power-of-two length bucket x quality tier) cell — how much
+    premium/accept/reject material exists at each sequence length, read
+    when choosing length-bucketed batch shapes and per-tier sampling
+    rates.  Length bucket = exact integer log2 (the ``seqlen_buckets``
+    bit-length idiom); tiers cut the graded score at QUAL_ACCEPT and
+    QUAL_PREMIUM.
+
+    Scale shape: one projection + one keyed aggregate with map-side
+    combine; output bounded by buckets x 3 tiers."""
+    flags = gopher_flags(load(spark, sf, "documents"))
+    staged = flags.filter(F.col("n_words") > 0).select(
+        (F.length(F.bin(F.col("n_words"))) - 1).cast("int").alias("len_bucket"),
+        _quality_score().alias("score"),
+        F.col("n_words").cast("long").alias("n_toks"),
+    )
+    tier = (
+        F.when(F.col("score") < QUAL_ACCEPT, "reject")
+        .when(F.col("score") < QUAL_PREMIUM, "accept")
+        .otherwise("premium")
+    )
+    out = (
+        staged.select("len_bucket", tier.alias("tier"), "n_toks")
+        .groupBy("len_bucket", "tier")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+    )
+    return ordered(out, "len_bucket", "tier")
+
+
+def split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/val/test split-leakage audit: the ``sample_split`` assignment
+    hashes (doc_id, text), so a re-crawled copy of a training document can
+    land in the test split carrying every one of its DECON_N-grams — the
+    exact leak benchmark decontamination exists to catch, here measured
+    INSIDE the corpus' own splits.  Over the corpus plus the re-crawl
+    overlay (``corpus_report`` convention, guaranteeing cross-split
+    copies): distinct shared grams per split pair, and the count of test
+    documents contaminated by the train split.
+
+    Scale shape: per-gram split presence is ONE gram-keyed aggregate with
+    map-side combine (three max flags — never a COUNT DISTINCT per pair);
+    the contaminated-doc count is one gram-keyed semi join plus a distinct
+    on the (small) leaked-doc set.  Output is 4 audit rows."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    repub = docs.filter(F.col("doc_id") % REPORT_REPUB_MOD == 0).select(
+        (F.col("doc_id") + REPORT_REPUB_OFF).alias("doc_id"), "text"
+    )
+    base = docs.unionByName(repub)
+    bucket = _md5_bucket(F.concat_ws(":", F.col("doc_id"), F.col("text")))
+    lab = base.select(
+        "doc_id",
+        F.when(bucket < TRAIN_UPTO, "train")
+        .when(bucket < VAL_UPTO, "val")
+        .otherwise("test")
+        .alias("split"),
+        _words().alias("w"),
+    )
+    grams = lab.select(
+        "doc_id", "split", F.explode(_gram_array(F.col("w"), DECON_N)).alias("gram")
+    )
+    pres = grams.groupBy("gram").agg(
+        F.max((F.col("split") == "train").cast("long")).alias("tr"),
+        F.max((F.col("split") == "val").cast("long")).alias("va"),
+        F.max((F.col("split") == "test").cast("long")).alias("te"),
+    )
+    shared = pres.agg(
+        F.sum(F.expr("tr * va")).alias("g_tv"),
+        F.sum(F.expr("tr * te")).alias("g_tt"),
+        F.sum(F.expr("va * te")).alias("g_vt"),
+    )
+    train_g = grams.filter(F.col("split") == "train").select("gram").distinct()
+    cont = (
+        grams.filter(F.col("split") == "test")
+        .join(train_g, "gram", "left_semi")
+        .agg(F.countDistinct("doc_id").alias("n"))
+    )
+    a = shared.select(
+        F.expr(
+            "stack(3, 'grams_train_val', g_tv, 'grams_train_test', g_tt,"
+            " 'grams_val_test', g_vt)"
+        ).alias("metric", "n")
+    )
+    b = cont.select(F.lit("test_docs_contaminated_by_train").alias("metric"), "n")
+    return ordered(a.unionByName(b), "metric")
+
+
+def ngram_novelty_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) audit: how many NEW distinct
+    NOVELTY_N-grams each doc-id decile of the corpus introduces, with the
+    cumulative total — a flat tail means later documents add nothing new
+    (template flood / crawl collapse), the corpus-level twin of the
+    per-doc repetition gates.
+
+    Scale shape: first occurrence per gram is a gram-keyed MIN aggregate
+    (map-side combine — a gram repeated 10^6 times collapses per
+    partition); deciles come from a broadcast 1-row max; the cumulative
+    sum runs over the 10-row decile frame (driver-sized, the
+    ``vocab_coverage`` convention)."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    wd = docs.select("doc_id", _words().alias("w"))
+    grams = wd.select(
+        "doc_id", F.explode(_gram_array(F.col("w"), NOVELTY_N)).alias("gram")
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("fd"))
+    mx = docs.agg((F.max("doc_id") + 1).alias("mx"))
+    dec = first.crossJoin(F.broadcast(mx)).select(
+        F.expr("CAST(fd * 10 div mx AS INT)").alias("decile")
+    )
+    cnt = dec.groupBy("decile").agg(F.count("*").alias("n_new_grams"))
+    w10 = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    out = cnt.select(
+        "decile",
+        "n_new_grams",
+        F.sum("n_new_grams").over(w10).alias("cum_grams"),
+    )
+    return ordered(out, "decile")

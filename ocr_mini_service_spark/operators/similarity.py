@@ -1262,3 +1262,28 @@ def ann_ivfadc_recall(spark: SparkSession, sf: str) -> DataFrame:
     here compound list pruning AND code quantization, so this row minus
     the PQ row isolates what probing costs)."""
     return _recall_audit(spark, sf, _ivfadc_topk(spark, sf), "ivfadc")
+
+
+IN_BATCH = 32  # inbatch_collision_audit: contrastive-training batch size
+
+
+def inbatch_collision_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive-training false-negative audit: with the standard
+    contiguous dataloader batching (batch = vec_id div IN_BATCH), count
+    per batch the same-label pairs — each is a FALSE negative under the
+    in-batch-negatives objective (the 'negative' shares the anchor's
+    label).  The table that decides whether batches need label-aware
+    de-collision before embedding training.
+
+    Scale shape: two keyed aggregations — (batch, label) sizes with
+    map-side combine, then per-batch pair counts k*(k-1)/2 in exact
+    integer arithmetic; nothing quadratic, output batch-bounded."""
+    vecs = load(spark, sf, "embeddings").select(
+        F.expr(f"vec_id div {IN_BATCH}").alias("batch"), "label"
+    )
+    kl = vecs.groupBy("batch", "label").agg(F.count("*").alias("k"))
+    out = kl.groupBy("batch").agg(
+        F.sum("k").alias("n_vecs"),
+        F.sum(F.expr("k * (k - 1) div 2")).alias("n_collisions"),
+    )
+    return ordered(out, "batch")

@@ -459,3 +459,61 @@ def test_corpus_report_counts_the_republication_overlay(spark, sf_dir):
             assert r["dup_bp"] > 0
         assert r["min_tokens"] <= r["max_tokens"]
         assert r["n_langs"] >= 1
+
+
+def test_quality_calibration_buckets_cover_the_corpus(spark, sf_dir):
+    """Calibration rows partition the corpus: bucket doc counts sum to the
+    corpus size, pass counts never exceed doc counts, and the rule gate
+    only passes at scores where every flag could fire."""
+    rows = corpus.quality_calibration(spark, sf_dir).collect()
+    total = corpus.load(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+        assert r["pass_bp"] == r["n_pass"] * 10000 // r["n_docs"]
+        # the full conjunction implies at least the four flag weights
+        if r["n_pass"]:
+            assert r["score"] >= (
+                corpus.QUAL_W_WORDS + corpus.QUAL_W_MLEN
+                + corpus.QUAL_W_DISTINCT + corpus.QUAL_W_STOPFLAG
+            )
+
+
+def test_split_leakage_audit_finds_the_overlay(spark, sf_dir):
+    """The re-crawl overlay guarantees cross-split verbatim copies, so the
+    train/test shared-gram count and the contaminated-test-doc count are
+    both positive."""
+    vals = {
+        r["metric"]: r["n"]
+        for r in corpus.split_leakage_audit(spark, sf_dir).collect()
+    }
+    assert set(vals) == {
+        "grams_train_val", "grams_train_test", "grams_val_test",
+        "test_docs_contaminated_by_train",
+    }
+    assert vals["grams_train_test"] > 0
+    assert vals["test_docs_contaminated_by_train"] > 0
+
+
+def test_ngram_novelty_curve_is_cumulative_and_complete(spark, sf_dir):
+    """Deciles 0..9 all appear, the cumulative column is the running sum,
+    and the final total equals the corpus-wide distinct gram count."""
+    from pyspark.sql import functions as F
+
+    rows = corpus.ngram_novelty_curve(spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(10))
+    run = 0
+    for r in rows:
+        run += r["n_new_grams"]
+        assert r["cum_grams"] == run
+    docs = corpus.load(spark, sf_dir, "documents")
+    total = (
+        docs.select(
+            F.explode(
+                corpus._gram_array(corpus._words(), corpus.NOVELTY_N)
+            ).alias("g")
+        )
+        .agg(F.countDistinct("g"))
+        .collect()[0][0]
+    )
+    assert rows[-1]["cum_grams"] == total

@@ -315,3 +315,23 @@ def test_ivfadc_recall_consistent_with_public_outputs(spark, sf_dir):
         assert row["k"] == len(ts)
         assert row["n_hit"] == len(ts & aps)
         assert row["recall_bp"] == (len(ts & aps) * 10000) // len(ts)
+
+
+def test_inbatch_collision_audit_matches_serial_pairs(spark, sf_dir):
+    """Per-batch collision counts equal the serially computed same-label
+    pair counts, and vector counts close over the table."""
+    from collections import Counter
+
+    from ocr_mini_service_spark.operators import similarity as sim
+    from ocr_mini_service_spark.sources import load
+
+    got = {r["batch"]: r for r in sim.inbatch_collision_audit(spark, sf_dir).collect()}
+    vecs = load(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    by_batch = {}
+    for r in vecs:
+        by_batch.setdefault(r["vec_id"] // sim.IN_BATCH, []).append(r["label"])
+    assert set(got) == set(by_batch)
+    for b, labels in by_batch.items():
+        want = sum(k * (k - 1) // 2 for k in Counter(labels).values())
+        assert got[b]["n_vecs"] == len(labels)
+        assert got[b]["n_collisions"] == want
