@@ -633,6 +633,21 @@ def plan_report(spark, sf_dir: str) -> dict[str, tuple[str, str]]:
             "no window, no self-join.",
             formatted_plan(q["corpus_report"](spark, sf_dir)),
         ),
+        "split_leakage_audit": (
+            "split leakage: per-gram split presence is one gram-keyed "
+            "aggregate of three max flags (map-side combine — never a "
+            "COUNT DISTINCT per split pair); the contaminated-doc count "
+            "is one gram-keyed semi join; output is 4 audit rows.",
+            formatted_plan(q["split_leakage_audit"](spark, sf_dir)),
+        ),
+        "ngram_novelty_curve": (
+            "vocabulary growth: first occurrence per gram is a gram-keyed "
+            "MIN aggregate (a 10^6-duplicated gram collapses per "
+            "partition); deciles via a broadcast 1-row grand max; the "
+            "cumulative sum runs over the 10-row decile frame "
+            "(driver-sized, the vocab_coverage convention).",
+            formatted_plan(q["ngram_novelty_curve"](spark, sf_dir)),
+        ),
     }
 
 
