@@ -38,3 +38,28 @@ def test_run_curate_end_to_end(spark, sf_dir, tmp_path):
     keys = by_doc.loc[sorted(curated_ids)]
     assert keys.is_unique
     assert all(key_min[k] == d for d, k in keys.items())
+
+
+def test_run_report_end_to_end(spark, sf_dir, tmp_path):
+    """The run_report.py job surface: every audit table on disk equals the
+    corresponding driver query's result, via an independent DuckDB read."""
+    import run_report
+
+    out = str(tmp_path / "rep")
+    stats = run_report.run(spark, sf_dir, out)
+    assert stats["tables"]["split_leakage_audit"] == 4
+    for name in (
+        "corpus_report",
+        "quality_calibration",
+        "length_quality_matrix",
+        "split_leakage_audit",
+    ):
+        disk = duckdb.sql(
+            f"SELECT * FROM '{out}/{name}/*.parquet'"
+        ).df()
+        assert len(disk) == stats["tables"][name] > 0
+        want = getattr(corpus, name)(spark, sf_dir).toPandas()
+        cols = sorted(want.columns)
+        a = disk[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b), name
