@@ -2815,13 +2815,15 @@ WITH t AS (
          unnest(generate_series(0, 7)) AS b(tx)),
 px AS (
     SELECT doc_id, ty, tx,
-           CASE WHEN doc_id % 6 = 3 THEN
+           CASE WHEN doc_id % 7 = 3 THEN
                (299 * ((3 * ((doc_id * 7 + p * 3) % 128)) % 256)
               + 587 * ((5 * ((doc_id * 7 + p * 3) % 128) + 1) % 256)
               + 114 * ((11 * ((doc_id * 7 + p * 3) % 128) + 2) % 256)) // 1000
-           WHEN doc_id % 6 = 5 THEN
-               -- two-MCU DC-only grayscale JPEG: left MCU = 128 + DC1,
-               -- right MCU (tx >= 4 of the 16-wide source) adds the DC diff
+           WHEN doc_id % 7 >= 5 THEN
+               -- two-MCU DC-only grayscale JPEG (baseline arm 5 and
+               -- progressive arm 6 decode to the same pixels): left MCU =
+               -- 128 + DC1, right MCU (tx >= 4 of the 16-wide source)
+               -- adds the DC diff
                128 + 4 + (doc_id * 7) % 4
                    + CASE WHEN tx >= 4 THEN 2 + (doc_id * 11) % 2 ELSE 0 END
            ELSE
@@ -2836,7 +2838,7 @@ g AS (
            string_agg(CAST(luma AS VARCHAR), ',' ORDER BY ty * 8 + tx) AS luma_csv
     FROM px GROUP BY doc_id)
 SELECT doc_id AS media_id,
-       ['ppm', 'bmp', 'tiff', 'gif', 'png', 'jpeg'][CAST(doc_id % 6 AS INT) + 1] AS fmt,
+       ['ppm', 'bmp', 'tiff', 'gif', 'png', 'jpeg', 'jpeg_prog'][CAST(doc_id % 7 AS INT) + 1] AS fmt,
        CAST(8 AS INT) AS grid_w, CAST(8 AS INT) AS grid_h,
        luma_sum, luma_csv, CAST(NULL AS VARCHAR) AS error
 FROM g ORDER BY media_id""",

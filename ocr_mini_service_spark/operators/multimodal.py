@@ -1750,24 +1750,40 @@ def _codec_const_hex() -> dict[str, tuple[str, str]]:
         + b"\xff\xda" + _s.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
     )
     jpeg = (jpeg_hdr.hex().upper(), "FFD9")
+    # progressive twin: SOF2 + a single DC scan (Ss=Se=0, Ah=Al=0) over the
+    # same two MCUs — the progressive coefficient-buffer path, scan-until-EOI
+    # termination, and the same generated DC table; DC scans carry no EOB,
+    # so the entropy is 2 bytes (13 bits + 1-padding)
+    jpeg_prog_hdr = (
+        b"\xff\xd8"
+        + b"\xff\xdb" + _s.pack(">H", 67) + b"\x00" + bytes([8]) * 64
+        + b"\xff\xc2" + _s.pack(">H", 11) + bytes([8])
+        + _s.pack(">HH", 4, 16) + bytes([1, 1, 0x11, 0])
+        + b"\xff\xc4" + _s.pack(">H", 35) + bytes([0x00]) + jc + bytes(range(16))
+        + b"\xff\xda" + _s.pack(">H", 8) + bytes([1, 1, 0x00, 0, 0, 0])
+    )
+    jpeg_prog = (jpeg_prog_hdr.hex().upper(), "FFD9")
     return {
         "ppm": ppm, "bmp": bmp, "tiff": tif, "gif": gif, "png": png,
-        "jpeg": jpeg,
+        "jpeg": jpeg, "jpeg_prog": jpeg_prog,
     }
 
 
 def codec_grid_parity(spark: SparkSession, sf: str) -> DataFrame:
-    """Driver-hashable end-to-end check of the REAL codecs: six container
-    formats (PPM, BMP, TIFF, GIF, PNG, JPEG) are built byte-by-byte in
-    native Spark SQL from closed-form integer pixel rules — headers are
-    layout constants, the encodings chosen are the stored/uncompressed ones
-    so the byte stream stays arithmetic (GIF uses the clear-code-per-symbol
-    LZW degenerate, whose 8-bit codes are plain bytes; PNG uses a
-    stored-deflate block with the Adler-32 trailer computed by a SQL
-    aggregate; JPEG is a two-MCU DC-only grayscale baseline stream with
-    GENERATED uniform-length Huffman tables and a flat Q=8 table, so the
-    Huffman decode, DC prediction, dequant and IDCT land on exact integers
-    — 128 + cumulative DC) — then decoded by the real decoders inside the
+    """Driver-hashable end-to-end check of the REAL codecs: seven container
+    arms (PPM, BMP, TIFF, GIF, PNG, baseline JPEG, progressive JPEG) are
+    built byte-by-byte in native Spark SQL from closed-form integer pixel
+    rules — headers are layout constants, the encodings chosen are the
+    stored/uncompressed ones so the byte stream stays arithmetic (GIF uses
+    the clear-code-per-symbol LZW degenerate, whose 8-bit codes are plain
+    bytes; PNG uses a stored-deflate block with the Adler-32 trailer
+    computed by a SQL aggregate; both JPEG arms are two-MCU DC-only
+    grayscale streams with GENERATED uniform-length Huffman tables and a
+    flat Q=8 table, so Huffman decode, DC prediction, dequant and IDCT
+    land on exact integers — 128 + cumulative DC; the progressive arm
+    additionally drives the SOF2 coefficient-buffer path, the
+    non-interleaved DC scan, and scan-until-EOI termination) — then
+    decoded by the real decoders inside the
     one-pass Arrow resize kernel.  The
     oracle never parses a payload: it derives the same 8x8
     nearest-neighbor integer luma grid directly from the pixel rules
@@ -1825,20 +1841,27 @@ def codec_grid_parity(spark: SparkSession, sf: str) -> DataFrame:
         f" + {png_byte.format(i='i')})) % 65521), 8, '0')"
     )
     # JPEG entropy bytes: DC1 = 4 + (doc_id*7)%4 (category 3), DC diff
-    # = 2 + (doc_id*11)%2 (category 2), each value + EOB, padded with 1s:
-    # byte0 = 0011 v1v1v1 0, byte1 = 000 0010 1, byte2 = d0 0000 111
+    # = 2 + (doc_id*11)%2 (category 2).  Baseline: each value + EOB,
+    # padded with 1s — byte0 = 0011 v1v1v1 0, byte1 = 000 0010 1,
+    # byte2 = d0 0000 111.  Progressive DC scan: no EOBs — 13 bits
+    # (0011 v1v1v1 0010 dd) + 3 padding 1s in 2 bytes.
     jpeg_hex = (
         "concat(lpad(hex(56 + 2 * ((doc_id * 7) % 4)), 2, '0'), '05',"
         " lpad(hex(((doc_id * 11) % 2) * 128 + 7), 2, '0'))"
     )
+    jpeg_prog_hex = (
+        "concat(lpad(hex(56 + 2 * ((doc_id * 7) % 4)), 2, '0'),"
+        " lpad(hex(87 + 8 * ((doc_id * 11) % 2)), 2, '0'))"
+    )
     payload_hex = F.expr(
-        f"""CASE doc_id % 6
+        f"""CASE doc_id % 7
           WHEN 0 THEN concat('{hx["ppm"][0]}', {rgb_hex})
           WHEN 1 THEN concat('{hx["bmp"][0]}', {bmp_hex})
           WHEN 2 THEN concat('{hx["tiff"][0]}', {rgb_hex})
           WHEN 3 THEN concat('{hx["gif"][0]}', {gif_hex}, '{hx["gif"][1]}')
           WHEN 4 THEN concat('{hx["png"][0]}', {png_raw_hex}, {adler_hex}, '{hx["png"][1]}')
-          ELSE concat('{hx["jpeg"][0]}', {jpeg_hex}, '{hx["jpeg"][1]}')
+          WHEN 5 THEN concat('{hx["jpeg"][0]}', {jpeg_hex}, '{hx["jpeg"][1]}')
+          ELSE concat('{hx["jpeg_prog"][0]}', {jpeg_prog_hex}, '{hx["jpeg_prog"][1]}')
         END"""
     )
     m = docs.select(
@@ -1852,8 +1875,8 @@ def codec_grid_parity(spark: SparkSession, sf: str) -> DataFrame:
         "media_id",
         F.element_at(
             F.array(F.lit("ppm"), F.lit("bmp"), F.lit("tiff"), F.lit("gif"),
-                    F.lit("png"), F.lit("jpeg")),
-            (F.col("media_id") % 6 + 1).cast("int"),
+                    F.lit("png"), F.lit("jpeg"), F.lit("jpeg_prog")),
+            (F.col("media_id") % 7 + 1).cast("int"),
         ).alias("fmt"),
         "grid_w",
         "grid_h",

@@ -969,7 +969,9 @@ def test_codec_grid_parity_builds_real_containers(spark, sf_dir):
         .set_index("media_id")
     )
     assert df["error"].isna().all()
-    assert set(df["fmt"]) == {"ppm", "bmp", "tiff", "gif", "png", "jpeg"}
+    assert set(df["fmt"]) == {
+        "ppm", "bmp", "tiff", "gif", "png", "jpeg", "jpeg_prog",
+    }
     hx = multimodal._codec_const_hex()
 
     def rgb_bytes(d):
@@ -981,7 +983,7 @@ def test_codec_grid_parity_builds_real_containers(spark, sf_dir):
         return bytes(out)
 
     for d, fmt in [(0, "ppm"), (1, "bmp"), (2, "tiff"), (3, "gif"), (4, "png"),
-                   (5, "jpeg")]:
+                   (5, "jpeg"), (6, "jpeg_prog")]:
         if fmt == "bmp":
             # bottom-up rows, BGR channel order
             px = rgb_bytes(d)
@@ -1014,6 +1016,16 @@ def test_codec_grid_parity_builds_real_containers(spark, sf_dir):
             ])
             payload = (
                 bytes.fromhex(hx["jpeg"][0]) + entropy + bytes.fromhex(hx["jpeg"][1])
+            )
+        elif fmt == "jpeg_prog":
+            # progressive DC scan: no EOBs — 13 bits + 1-padding in 2 bytes
+            entropy = bytes([
+                56 + 2 * ((d * 7) % 4),
+                87 + 8 * ((d * 11) % 2),
+            ])
+            payload = (
+                bytes.fromhex(hx["jpeg_prog"][0]) + entropy
+                + bytes.fromhex(hx["jpeg_prog"][1])
             )
         else:
             payload = bytes.fromhex(hx[fmt][0]) + rgb_bytes(d)
