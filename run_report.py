@@ -23,6 +23,12 @@ All four are bounded-output aggregates (source / score / bucket x tier /
 cost is the audit scans themselves.  Writes through the ``TableIO`` seam
 and prints ONE JSON stats line.
 
+Note on the ``ordered()`` presentation wrapper (a ``repartition(1)``):
+production jobs writing CORPUS-SIZED tables must avoid it (run_dedup /
+run_curate write unordered — VERDICT r2/r4), but these audit tables are
+BOUNDED (dozens of rows), where one sorted task producing one small file
+is exactly the artifact an operator wants to open.
+
 Local dev:
     python run_report.py --sf-dir /root/testdata/sf0.01 --output /tmp/report
 """
