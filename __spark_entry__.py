@@ -975,6 +975,9 @@ a2 AS (
 SELECT 0 AS stage_idx, 'raw' AS stage, s0 AS n_docs FROM a2
 UNION ALL SELECT 1, 'quality', s1 FROM a2
 UNION ALL SELECT 2, 'dedup', s2 FROM a2
+-- the oracle EXPECTS zero parse failures; a kernel regression makes the
+-- Spark side's count non-zero and the driver hash rejects it loudly
+UNION ALL SELECT 3, 'parse_errors', CAST(0 AS BIGINT) FROM a2
 ORDER BY stage_idx""",
         # ---------------- r5: credit decay / tool transitions / span
         # corruption / dataset card --------------------------------------

@@ -1981,6 +1981,20 @@ REPORT_REPUB_MOD = 4  # corpus_report re-crawl overlay: every 4th base doc
 REPORT_REPUB_OFF = 700_000  # ...republishes verbatim under this id offset
 
 
+def _with_repub(docs: DataFrame, mod: int = REPORT_REPUB_MOD,
+                off: int = REPORT_REPUB_OFF) -> DataFrame:
+    """The re-crawl overlay convention in ONE place: every ``mod``-th base
+    document re-appears verbatim under ``doc_id + off``, all other columns
+    riding through unchanged.  Shared by corpus_report /
+    split_leakage_audit (and pdf_extraction_funnel with its own offset,
+    whose divisibility invariant is documented there)."""
+    repub = docs.filter(F.col("doc_id") % mod == 0).select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"],
+    )
+    return docs.unionByName(repub)
+
+
 def span_corruption_masks(spark: SparkSession, sf: str) -> DataFrame:
     """T5-style span-corruption metadata (Raffel et al. 2020: contiguous
     token spans replaced by sentinels, ~15% noise density, mean span 3) in
@@ -2046,13 +2060,7 @@ def corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     corpus-wide distinct-first shuffle per signal.  Output is
     source-bounded."""
     docs = load(spark, sf, "documents").select("doc_id", "text", "lang", "source")
-    repub = docs.filter(F.col("doc_id") % REPORT_REPUB_MOD == 0).select(
-        (F.col("doc_id") + REPORT_REPUB_OFF).alias("doc_id"),
-        "text",
-        "lang",
-        "source",
-    )
-    flags = gopher_flags(docs.unionByName(repub), keep=["lang", "source", "text"])
+    flags = gopher_flags(_with_repub(docs), keep=["lang", "source", "text"])
     scored = flags.select(
         "source",
         "lang",
@@ -2158,18 +2166,12 @@ def split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
     map-side combine (three max flags — never a COUNT DISTINCT per pair);
     the contaminated-doc count is one gram-keyed semi join plus a distinct
     on the (small) leaked-doc set.  Output is 4 audit rows."""
-    docs = load(spark, sf, "documents").select("doc_id", "text")
-    repub = docs.filter(F.col("doc_id") % REPORT_REPUB_MOD == 0).select(
-        (F.col("doc_id") + REPORT_REPUB_OFF).alias("doc_id"), "text"
-    )
-    base = docs.unionByName(repub)
-    bucket = _md5_bucket(F.concat_ws(":", F.col("doc_id"), F.col("text")))
+    base = _with_repub(load(spark, sf, "documents").select("doc_id", "text"))
+    # the EXACT sample_split assignment, via the shared helper so the audit
+    # can never drift from the split it audits
     lab = base.select(
         "doc_id",
-        F.when(bucket < TRAIN_UPTO, "train")
-        .when(bucket < VAL_UPTO, "val")
-        .otherwise("test")
-        .alias("split"),
+        _split_expr().alias("split"),
         _words().alias("w"),
     )
     grams = lab.select(

@@ -816,40 +816,49 @@ def pdf_extraction_funnel(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from . import ordered
+    from .corpus import _with_repub
 
     docs = load(spark, sf, "documents").select("doc_id", "text")
-    repub = docs.filter(F.col("doc_id") % PDFF_REPUB_MOD == 0).select(
-        (F.col("doc_id") + PDFF_REPUB_OFF).alias("doc_id"), "text"
-    )
-    ex = docs.unionByName(repub).mapInPandas(_extract_batches, schema=PDF_EXTRACT)
+    base = _with_repub(docs, PDFF_REPUB_MOD, PDFF_REPUB_OFF)
+    ex = base.mapInPandas(_extract_batches, schema=PDF_EXTRACT)
     staged = ex.select(
         "extracted_text",
+        F.col("error").isNotNull().cast("long").alias("err"),
         F.split(F.trim(F.col("extracted_text")), r"\s+").alias("w"),
     )
     sig = staged.select(
         "extracted_text",
+        "err",
         F.size("w").alias("n_words"),
         F.expr("(size(array_distinct(w)) * 10000) div size(w)").alias("distinct_bp"),
     )
     grouped = sig.groupBy(F.md5("extracted_text").alias("ck")).agg(
         F.count("*").alias("n"),
         # q derives from extracted_text alone, so it is constant within a
-        # content group; max() just picks that constant
+        # content group; max() just picks that constant.  Error rows
+        # (extracted_text NULL) never pass the gate AND are surfaced in
+        # the explicit parse_errors stage below — a kernel failure shows
+        # up as a non-zero row the (zero-expecting) oracle rejects, never
+        # as a silent count drift.
         F.max(
             (
-                (F.col("n_words") >= PDFF_MIN_WORDS)
+                (F.col("err") == 0)
+                & (F.col("n_words") >= PDFF_MIN_WORDS)
                 & (F.col("distinct_bp") >= PDFF_DISTINCT_MIN_BP)
             ).cast("long")
         ).alias("q"),
+        F.sum("err").alias("e"),
     )
     agg = grouped.agg(
         F.sum("n").alias("s0"),
         F.sum(F.col("n") * F.col("q")).alias("s1"),
         F.sum("q").alias("s2"),
+        F.sum("e").alias("s_err"),
     )
     out = agg.select(
         F.expr(
-            "stack(3, 0, 'raw', s0, 1, 'quality', s1, 2, 'dedup', s2)"
+            "stack(4, 0, 'raw', s0, 1, 'quality', s1, 2, 'dedup', s2,"
+            " 3, 'parse_errors', s_err)"
         ).alias("stage_idx", "stage", "n_docs")
     )
     return ordered(out, "stage_idx")

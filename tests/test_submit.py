@@ -50,7 +50,10 @@ def test_sigkill_mid_write_then_resume_no_dupes_no_gaps(tmp_path):
 
     inp = str(tmp_path / "transcripts.parquet")
     out = str(tmp_path / "extracted")
-    write_transcripts_parquet(inp, 30_000)
+    # sized so the write phase lasts many seconds on any plausible host:
+    # 60k turns through the Python Arrow kernel at local[4] is >= several
+    # seconds of task time after the staging dir appears
+    write_transcripts_parquet(inp, 60_000)
     n_in, n_in_keys = duckdb.sql(
         f"SELECT (SELECT COUNT(*) FROM '{inp}'), "
         f"(SELECT COUNT(*) FROM (SELECT DISTINCT conv_id, turn_idx FROM '{inp}'))"
@@ -64,15 +67,21 @@ def test_sigkill_mid_write_then_resume_no_dupes_no_gaps(tmp_path):
         args, cwd=REPO,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
-    # wait for the write action to begin (Spark creates the output dir and
-    # its _temporary staging first), then SIGKILL the whole JVM mid-flight —
-    # no shutdown hooks, no committer cleanup
+    # wait for the write action to begin — gate on the writer's staging
+    # dir appearing inside the output (dynamic partition overwrite stages
+    # under .spark-staging-<jobid>), then SIGKILL the whole JVM
+    # mid-flight — no shutdown hooks, no committer cleanup.  Gating on
+    # the staging dir rather than a fixed post-launch sleep keeps the
+    # kill point deterministic as hardware speeds up.
+    def _write_started() -> bool:
+        return os.path.isdir(out) and bool(os.listdir(out))
+
     deadline = time.time() + 180
-    while time.time() < deadline and not os.path.isdir(out):
+    while time.time() < deadline and not _write_started():
         if proc.poll() is not None:
             break
-        time.sleep(0.05)
-    time.sleep(0.7)  # land inside the task waves of the write
+        time.sleep(0.02)
+    time.sleep(0.3)  # land inside the task waves of the write
     assert proc.poll() is None, (
         "job finished before the kill could land — the scenario under test "
         "(crash mid-write) was not exercised; returncode=%s" % proc.returncode
