@@ -368,3 +368,43 @@ def attach_progress_listener(spark: SparkSession, progress_path: str):
     listener = _Progress()
     spark.streams.addListener(listener)
     return listener
+
+
+def run_enriched_stream(
+    spark: SparkSession,
+    input_dir: str,
+    lang_dim,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Stream-static enrichment: the arriving transcript stream joined
+    against a fixed-size dimension table (conv_id -> lang, the reference's
+    per-request ``language`` option lifted to a routing table,
+    ocr.service.ts:149-153) BEFORE the extraction kernel, so the joined
+    column drives the kernel's per-turn language seam.  This is the
+    standard stream-static broadcast pattern: the static side is planned
+    into every micro-batch as a broadcast hash join — no state store, no
+    watermark, nothing accumulates across batches; at production scale the
+    dimension re-broadcasts per batch and the stream side never shuffles.
+
+    AvailableNow drain; returns the finished StreamingQuery.  The
+    checkpoint carries file progress, so a resumed drain never re-extracts
+    (and never re-joins) a completed batch."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    enriched = stream.join(
+        F.broadcast(lang_dim.select("conv_id", "lang")), "conv_id", "left"
+    )
+    extracted = extract_fused(enriched)
+    writer = (
+        extracted.writeStream.option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return q

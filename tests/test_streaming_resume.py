@@ -189,3 +189,50 @@ def test_resume_pins_bucket_modulus(spark, tmp_path, pdfs):
     assert stats2["buckets_skipped"] == stats1["buckets_done"]
     assert stats2["n_turns"] == 0
     assert spark.read.parquet(out).count() == len(first)
+
+
+def test_stream_static_enrichment_routes_the_kernel(spark, tmp_path, pdfs):
+    """run_enriched_stream: the broadcast dimension's lang column reaches
+    the kernel per turn — convs routed to an unsupported language fail the
+    OCR branch in isolation (error set, turn still completes), mapped and
+    unmapped convs resolve to their dim/default language, and a resumed
+    drain re-extracts nothing."""
+    from ocr_mini_service_spark.kernel import DEFAULT_LANGUAGE
+    from ocr_mini_service_spark.streaming import run_enriched_stream
+
+    first, second = pdfs
+    inp, out, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    os.makedirs(inp)
+    pq.write_table(
+        pa.Table.from_pandas(first, preserve_index=False), f"{inp}/a.parquet"
+    )
+    convs = sorted(set(first["conv_id"]))
+    assert len(convs) >= 3
+    dim = spark.createDataFrame(
+        [(convs[0], "xxx"), (convs[1], "eng")], ["conv_id", "lang"]
+    )
+
+    run_enriched_stream(spark, inp, dim, out, ckpt)
+    got = spark.read.parquet(out)
+    n1 = got.count()
+    assert n1 == len(first)
+    by_conv = {
+        r["conv_id"]: r
+        for r in got.groupBy("conv_id").agg(
+            F.first("lang").alias("lang"),
+            F.count("error").alias("n_err"),
+            F.count("*").alias("n"),
+        ).collect()
+    }
+    bad = by_conv[convs[0]]
+    assert bad["lang"] == "xxx" and bad["n_err"] == bad["n"]  # isolated fail
+    assert by_conv[convs[1]]["lang"] == "eng"
+    assert by_conv[convs[1]]["n_err"] == 0
+    assert by_conv[convs[2]]["lang"] == DEFAULT_LANGUAGE  # unmapped conv
+    assert by_conv[convs[2]]["n_err"] == 0
+
+    # resume: nothing new → nothing re-extracted, no duplicates
+    run_enriched_stream(spark, inp, dim, out, ckpt)
+    assert spark.read.parquet(out).count() == n1
